@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query smoke check on sf0.001.
+queries()      — every implemented operator from SURVEY.md §2 plus the
+                 LLM-pipeline surface (dedup / similarity / text /
+                 multimodal), each (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB twin for each query (ANSI SQL on the same
+                 parquet views). Entries absent here get the weaker
+                 rows-only check (noted per query below).
 """
 
 from __future__ import annotations
@@ -13,26 +15,80 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mito_spark.operators import dedup, events, multimodal, relational, scalar_showcase, similarity, text
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q3-shaped join+agg+top-N on sf0.001."""
+    return relational.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (joins / aggregation / windows — SURVEY §2.2 extensions)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "order_priority_distinct_customers": relational.order_priority_distinct_customers,
+        "part_type_stats": relational.part_type_stats,
+        # event-stream surface (SURVEY §1.1/§2.11 batch twins)
+        "events_by_type": events.events_by_type,
+        "events_props_extract": events.events_props_extract,
+        "sessionize": events.sessionize,
+        "user_activity_windows": events.user_activity_windows,
+        # scalar function families (SURVEY §2.5-§2.8, §2.2)
+        "strings_showcase": scalar_showcase.strings_showcase,
+        "crypto_showcase": scalar_showcase.crypto_showcase,
+        "time_showcase": scalar_showcase.time_showcase,
+        "regexp_showcase": scalar_showcase.regexp_showcase,
+        "collections_showcase": scalar_showcase.collections_showcase,
+        # dedup (north-star LLM-pipeline surface)
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
+        "dedup_simhash": dedup.simhash_dedup,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # similarity search
+        "ann_cosine_topk": similarity.cosine_topk_bruteforce,
+        "ann_cosine_topk_lsh": similarity.cosine_topk_lsh,  # rows-only: LSH recall ≠ exact
+        "embedding_near_dup": similarity.embedding_near_dup,  # rows-only: bucket blocking
+        # text analysis
+        "text_token_count": text.token_count,
+        "text_lang_id": text.lang_id,
+        "text_quality": text.quality_score,
+        "text_fingerprint": text.fingerprint,
+        # multimodal plumbing (deterministic fake decode → full oracle)
+        "multimodal_features": multimodal.multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_shipping_priority": relational.Q3_SQL,
+        "q5_local_supplier_volume": relational.Q5_SQL,
+        "q6_forecast_revenue": relational.Q6_SQL,
+        "top_orders_per_customer": relational.TOP_ORDERS_SQL,
+        "order_priority_distinct_customers": relational.ORDER_PRIORITY_SQL,
+        "part_type_stats": relational.PART_TYPE_SQL,
+        "events_by_type": events.EVENTS_BY_TYPE_SQL,
+        "events_props_extract": events.EVENTS_PROPS_SQL,
+        "sessionize": events.SESSIONIZE_SQL,
+        "user_activity_windows": events.USER_ACTIVITY_SQL,
+        "strings_showcase": scalar_showcase.STRINGS_SQL,
+        "crypto_showcase": scalar_showcase.CRYPTO_SQL,
+        "time_showcase": scalar_showcase.TIME_SQL,
+        "regexp_showcase": scalar_showcase.REGEXP_SQL,
+        "collections_showcase": scalar_showcase.COLLECTIONS_SQL,
+        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "dedup_minhash_lsh": dedup.MINHASH_LSH_SQL,
+        "dedup_simhash": dedup.SIMHASH_SQL,
+        "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
+        "text_token_count": text.TOKEN_COUNT_SQL,
+        "text_lang_id": text.LANG_ID_SQL,
+        "text_quality": text.QUALITY_SQL,
+        "text_fingerprint": text.FINGERPRINT_SQL,
+        "multimodal_features": multimodal.MULTIMODAL_SQL,
+    }

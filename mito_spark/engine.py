@@ -1,0 +1,93 @@
+"""SparkSession construction and table loading.
+
+Scale posture: these configs are chosen so the same code runs on a
+1000-executor cluster against ~100 TB — AQE handles runtime re-planning
+(skew joins, coalescing post-shuffle partitions), broadcast threshold
+keeps dimension joins shuffle-free, and nothing below ever collects a
+large result to the driver. Tests run on local[N]; only parallelism
+defaults differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor that
+# follows TPC-H-ish proportions (region=5, nation=25; customer/supplier
+# scale linearly but stay << fact tables).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "mito_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    - AQE on: runtime coalescing of shuffle partitions + skew-join
+      handling, so a fixed ``spark.sql.shuffle.partitions`` is only an
+      upper bound, not a tuning burden, at any scale.
+    - Arrow enabled: every pandas-UDF boundary is Arrow-batched.
+    - On a real cluster, shuffle_partitions should be ~2-3x total
+      cores; here it defaults to the local core count.
+    """
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if "spark.master" not in os.environ.get("SPARK_CONF", ""):
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; parquet scan gets column pruning and
+    predicate pushdown from Catalyst automatically.
+
+    events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; we read nanos as long (session conf, settable at
+    runtime so it works under any driver-provided session) and truncate
+    to microseconds — the same truncation DuckDB applies, keeping the
+    oracle comparable."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer `div`, not `/`: float division loses precision at
+            # nanosecond epoch magnitudes (~1.7e18 > 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

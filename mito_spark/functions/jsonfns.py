@@ -1,0 +1,53 @@
+"""JSON encode/decode (reference: /root/reference/lib/json.go,
+doc :40-81).
+
+Dynamic-schema strategy (SURVEY.md §1.4): when the caller knows the
+schema, ``decode_json`` compiles to from_json (fully typed, codegen);
+when not, ``decode_json_dyn`` samples the column to infer a schema on
+the driver (one tiny job) so the per-row path is still from_json —
+never a Python loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def encode_json(col) -> Column:
+    """value → compact JSON string (json.go:207-247)."""
+    return F.to_json(_c(col))
+
+
+def decode_json(col, schema) -> Column:
+    """string/bytes → typed value (json.go:249-266); schema is a DDL
+    string or DataType."""
+    return F.from_json(_c(col).cast("string"), schema)
+
+
+def decode_json_dyn(df: DataFrame, column: str, sample_rows: int = 1000) -> Column:
+    """Schema-on-read for a dynamic JSON column: infer the schema from
+    a bounded sample (driver-side, one small job), then decode the full
+    column JVM-side. At 100 TB the sample cost is constant; the decode
+    is distributed."""
+    sample = [r[0] for r in df.select(column).where(F.col(column).isNotNull()).limit(sample_rows).collect()]
+    spark = df.sparkSession
+    inferred = spark.read.json(spark.sparkContext.parallelize(sample)).schema
+    return F.from_json(_c(column), inferred)
+
+
+def decode_json_stream(col, element_schema) -> Column:
+    """Concatenated/NDJSON stream in one value → array of typed values
+    (json.go:268-289): split on newlines, decode each element."""
+    lines = F.filter(F.split(_c(col).cast("string"), "\n"), lambda x: F.trim(x) != F.lit(""))
+    return F.transform(lines, lambda x: F.from_json(x, element_schema))
+
+
+def get_json_path(col, path: str) -> Column:
+    """Untyped point lookup without full decode — pushdown-friendly for
+    one-field access on huge JSON blobs."""
+    return F.get_json_object(_c(col), f"$.{path}")

@@ -1,0 +1,72 @@
+"""Error-as-value convention (reference: /root/reference/lib/try.go
+:96-138, lib/debug.go :57-91).
+
+CEL errors are values that flow through expressions; Spark kills the
+task instead. The engine's convention: fallible expressions are wrapped
+so failures become NULL (Spark's try_* family) or a struct
+``{value, error}`` — never a task failure. This is the uniform
+"try-ification" described in SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def try_result(value: Column, error_when: Column, errmsg: Column | str) -> Column:
+    """Build the ``{value, error}`` result struct: error populated and
+    value nulled when ``error_when`` holds (try.go:116-134)."""
+    msg = F.lit(errmsg) if isinstance(errmsg, str) else errmsg
+    return F.struct(
+        F.when(~error_when, value).alias("value"),
+        F.when(error_when, msg).alias("error"),
+    )
+
+
+def try_keyed(value: Column, error_when: Column, key: str, errmsg: Column | str) -> Column:
+    """``try(e, key)`` → value or ``{key: errmsg}`` (try.go:125-134)."""
+    msg = F.lit(errmsg) if isinstance(errmsg, str) else errmsg
+    return F.struct(
+        F.when(~error_when, value).alias("value"),
+        F.when(error_when, F.create_map(F.lit(key), msg)).alias("error"),
+    )
+
+
+def is_error(result: Column) -> Column:
+    """``is_error(e)`` (try.go:136-138) on a result struct."""
+    return _c(result).getField("error").isNotNull()
+
+
+# try_* passthroughs: Spark's built-in error-absorbing arithmetic —
+# the direct analogue of CEL's error-absorbing operators.
+def try_divide(a, b) -> Column:
+    return F.try_divide(_c(a), _c(b))
+
+
+def try_add(a, b) -> Column:
+    return F.try_add(_c(a), _c(b))
+
+
+def try_multiply(a, b) -> Column:
+    return F.try_multiply(_c(a), _c(b))
+
+
+def try_cast(col, dtype: str) -> Column:
+    return _c(col).try_cast(dtype)
+
+
+def try_element_at(col, key) -> Column:
+    """Optional access ``a.?b`` / ``x[?i]`` — NULL instead of error."""
+    return F.try_element_at(_c(col), key if isinstance(key, Column) else F.lit(key))
+
+
+def debug_observe(df, tag: str, *aggs):
+    """``debug(tag, v)`` pass-through logging (debug.go:70-91) →
+    df.observe: metrics stream to QueryExecutionListener without
+    perturbing the plan, the Spark-native version of log-and-continue."""
+    return df.observe(tag, *aggs) if aggs else df

@@ -1,0 +1,374 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash (banded Hamming), and n-gram Jaccard.
+
+Scale design notes (the whole point of these implementations):
+
+- Everything is built from Catalyst built-ins (split/transform/md5/
+  conv/array_* / bit ops) — zero Python in the row path, so signatures
+  compute at scan bandwidth.
+- MinHash-LSH: per-doc cost O(shingles × K) map-side; the only
+  shuffle is the band-bucket self-join, whose key (band_idx, band_key)
+  spreads uniformly (md5), so no skew. Candidate verification touches
+  only bucket-colliding pairs — the O(n²) never materializes. This is
+  the standard web-scale near-dup pipeline (Broder sketches; same shape
+  as the C4/RefinedWeb dedup stages).
+- SimHash: banded exact search — split the 60-bit signature into
+  (max_distance+1) chunks; by pigeonhole any pair within the Hamming
+  radius collides exactly on ≥1 chunk, so a chunk-equality shuffle join
+  finds all pairs without brute force.
+- All hashes are derived from md5 hex (not Spark's xxhash64/murmur) so
+  results are engine-independent — the DuckDB oracle reproduces them
+  bit-for-bit. 60 bits of md5 keeps values positive in signed int64 in
+  both engines.
+
+Reference parity note: the reference (elastic/mito) has no dedup; this
+is north-star surface (BASELINE.json) built Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mito_spark.engine import load_table
+
+NUM_HASHES = 16
+# 8 bands × 2 rows: candidate probability 1-(1-j²)⁸ ≈ 0.90 at j=0.5,
+# 0.995 at j=0.7 — tuned for the 0.5 verification threshold below.
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SIMHASH_BITS = 60
+SIMHASH_MAX_DIST = 3
+SIMHASH_CHUNKS = SIMHASH_MAX_DIST + 1  # pigeonhole guarantee
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda x: x != F.lit(""))
+
+
+def _hash60(s: Column, seed: Column | None = None) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5, as
+    bigint. seed is mixed in as a string prefix."""
+    keyed = s if seed is None else F.concat(seed.cast("string"), F.lit(":"), s)
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one hash-groupBy, keep the lowest
+    doc_id per group. The md5 groupBy key is uniform → no skew; at
+    100 TB this is a single shuffle of (hash, id) pairs, not documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingles(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles; n=1 → distinct token set
+    (bag-of-words dedup — catches permuted/near-identical docs)."""
+    toks = _tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+# Affine-rehash scheme: ONE md5 per shingle; the K hash functions are
+# h_j = (a_j·h1 + b_j·h2 + j) mod P over the md5's two 30-bit halves
+# (P = 2^61−1, Mersenne). All products stay < 2^63 — no overflow under
+# ANSI mode in Spark and identical arithmetic in the DuckDB oracle.
+# This is the standard practical MinHash construction (one strong hash
+# + K affine mixers) and cuts md5 calls by 16×.
+MERSENNE_P = (1 << 61) - 1
+_B0 = 2654435761  # Knuth multiplicative constant
+
+
+def _affine_minhash(sh: Column, num_hashes: int) -> Column:
+    """MinHash signature via map-then-fold: `transform` materializes
+    the md5-derived 60-bit hash array (md5 evaluated exactly once per
+    shingle — an expression inside the fold lambda would be re-evaluated
+    per hash index), then one `aggregate` folds K running minima with
+    zip_with(least)."""
+    # single-arg lambda is load-bearing: passing _hash60 directly would
+    # make PySpark treat its optional `seed` param as the element-index
+    # lambda slot, silently seeding each hash with its array position
+    hs = F.transform(sh, lambda s: _hash60(s))
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("bigint"), num_hashes)
+
+    def step(acc: Column, h: Column) -> Column:
+        h1 = F.shiftright(h, 30)
+        h2 = h.bitwiseAND(F.lit((1 << 30) - 1))
+        hashes = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda j: F.pmod((2 * j + 1) * h1 + (F.lit(_B0) + j) * h2 + j, F.lit(MERSENNE_P)),
+        )
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    return F.aggregate(hs, init, step)
+
+
+def minhash_signature(col: Column, num_hashes: int = NUM_HASHES, shingle: int = 3) -> Column:
+    """K-wise MinHash signature as array<bigint> — single pass over
+    shingles, O(shingles·(md5 + K adds)) per row, all built-ins."""
+    return _affine_minhash(_shingles(col, shingle), num_hashes)
+
+
+def minhash_lsh_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate detection.
+
+    Pipeline: signature (map-side) → explode into BANDS band keys →
+    self-join on (band, band_key) → distinct candidate pairs → exact
+    Jaccard verification on the shingle sets → pairs ≥ threshold.
+
+    Jaccard is computed as |∩| / (|A|+|B|−|∩|) on integer set sizes —
+    exact rationals, so the oracle matches bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(F.col("text"), shingle)
+    sigd = docs.select(
+        "doc_id", sh.alias("sh"), minhash_signature(F.col("text"), shingle=shingle).alias("sig")
+    ).persist()  # signatures feed both sides of the self-join and the
+    # verification joins — at 100 TB this is a checkpoint-to-parquet;
+    # in-memory persist is the local[*] equivalent
+    # band keys built explicitly (readable + identical to the SQL oracle)
+    band_cols = []
+    for b in range(BANDS):
+        parts = [
+            F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1).cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *parts)).alias("key")))
+    bands = sigd.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh_only = sigd.select("doc_id", "sh")
+    verified = (
+        cand.join(sh_only.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh_only.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def _minhash_sql(threshold: float = 0.5, shingle: int = 3) -> str:
+    sep = " || ':' || "
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5("
+        + sep.join(f"CAST(sig[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)" for r in range(ROWS_PER_BAND))
+        + ")"
+        for b in range(BANDS)
+    )
+    return rf"""
+WITH rawtok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {shingle - 1}, 1) + 1),
+           i -> array_to_string(toks[i:i+{shingle - 1}], ' '))) AS sh
+  FROM rawtok
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+  FROM tok
+), sig AS (
+  SELECT doc_id, sh,
+         list_transform(range(0, {NUM_HASHES}),
+           j -> list_min(list_transform(hs,
+                h -> ((2*j + 1) * (h >> 30) + ({_B0} + j) * (h & 1073741823) + j) % {MERSENNE_P}))) AS sig
+  FROM hashed
+), keyed AS (
+  SELECT doc_id, band, CASE band {band_cases} END AS key
+  FROM sig, range(0, {BANDS}) t(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+         / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
+FROM cand JOIN tok ta ON cand.id_a = ta.doc_id
+          JOIN tok tb ON cand.id_b = tb.doc_id
+WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+         / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) >= {threshold}
+"""
+
+
+MINHASH_LSH_SQL = _minhash_sql()
+# NOTE: the oracle replicates the *same* LSH pipeline (bands + exact
+# verification), so Spark and DuckDB agree exactly even for pairs the
+# banding probabilistically misses.
+
+
+def simhash_signature(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over the token multiset: per bit j, sign of
+    Σ_tokens (2·bit_j(h(token)) − 1); signature packed into a bigint.
+    Nested HOFs — per-row O(tokens×bits), JVM-side."""
+    toks = _tokens(col)
+    hashes = F.transform(toks, lambda t: _hash60(t))
+    # 2^j lookup table as a literal array (shiftleft's bit-count arg
+    # must be a Python int, not a Column, so we index instead of shift)
+    pows = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    # map-then-fold: md5 per token happens once in `hashes`; the fold
+    # keeps an array of `bits` signed counters and updates all of them
+    # per token with one zip_with.
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: (h.bitwiseAND(F.element_at(pows, j + 1)) != 0).cast("bigint") * 2 - 1,
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # bit-pack as a fold over the *concrete* zipped array — indexing
+    # `counts` per j would re-evaluate the whole fold 60 times
+    return F.aggregate(
+        F.zip_with(counts, pows, lambda c, p: F.when(c >= 0, p).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_dedup(spark: SparkSession, sf_dir: str, max_dist: int = SIMHASH_MAX_DIST) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_dist``.
+
+    Scale path: signature split into (max_dist+1) 15-bit chunks;
+    pigeonhole ⇒ any pair within distance collides on ≥1 chunk, so an
+    equality shuffle join on (chunk_idx, chunk_value) finds every pair
+    exactly — no brute-force O(n²), no approximation loss.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigd = docs.select("doc_id", simhash_signature(F.col("text")).alias("sig")).persist()
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = sigd.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col("sig"), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("v"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "sig", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    pairs = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["c", "v"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_dist)
+    )
+    return pairs
+
+
+SIMHASH_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id, list_transform(toks,
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+  FROM tok
+), sig AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, {SIMHASH_BITS}), j ->
+           CASE WHEN list_sum(list_transform(hs,
+                  h -> CASE WHEN (h & (CAST(1 AS BIGINT) << j)) <> 0 THEN 1 ELSE -1 END)) >= 0
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))::BIGINT AS sig
+  FROM th
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_DIST}
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 2, threshold: float = 0.3) -> DataFrame:
+    """Word-bigram Jaccard over all pairs — the exact/verification form
+    (quadratic; usable as a final re-rank after LSH candidate pruning).
+    At scale this is only ever run on LSH candidates; it exists
+    standalone here because the oracle can verify it exhaustively at
+    test SF. Blocking key: docs must share ≥1 bigram hash bucket is
+    skipped at this size; the broadcast self-join is explicit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
+    return (
+        g.alias("a")
+        .join(g.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("n_inter", F.size(F.array_intersect("a.sh", "b.sh")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / (F.size("a.sh") + F.size("b.sh") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), "jaccard")
+    )
+
+
+def _ngram_sql(n: int = 2, threshold: float = 0.3) -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {n - 1}, 1) + 1),
+           i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS sh
+  FROM tok
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold}
+"""
+
+
+NGRAM_JACCARD_SQL = _ngram_sql()

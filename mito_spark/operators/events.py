@@ -1,0 +1,132 @@
+"""Event-stream operators over the `events` table — the batch twins of
+the streaming surface (mito is a message-stream processor; its events
+are dynamic JSON documents, SURVEY.md §1.1). Each of these also runs
+unchanged on a readStream DataFrame (see mito_spark.streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mito_spark.engine import load_table
+
+
+def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group events by type: count + exact-decimal value stats.
+
+    100 TB posture: ~6 groups → partial agg collapses everything
+    map-side; shuffle is a few KB regardless of input size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-JSON field extraction (mito `state.?props.?k` /
+    decode_json, lib/json.go:249-266): point lookup with
+    get_json_object — no full JSON decode, no Python; per-user sum of
+    the extracted metric.
+
+    100 TB posture: get_json_object is a JVM scalar over the string —
+    one pass, codegen'd; shuffle only for the final per-user agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("user_id", k.alias("k"))
+        .groupBy("user_id")
+        .agg(F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT user_id, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap.
+
+    Implemented with the built-in `session_window` (the same operator
+    Structured Streaming uses for streaming sessions, so the batch and
+    streaming paths share semantics and code). One shuffle on user_id;
+    state never touches the driver.
+
+    Output: one row per (user_id, session) with event count and the
+    session's event-time span. session_window.end = last event + gap by
+    definition, so we report last_ts = end - gap for oracle parity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap = f"{gap_minutes} minutes"
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr(f"INTERVAL {gap_minutes} MINUTES")).alias("last_ts"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# Oracle: classic lag/cumulative-sum sessionization — a different
+# algorithm computing the same sessions, which is exactly what makes it
+# a good cross-check.
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def user_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed event-time windows (tumbling 1 day): the batch form of the
+    streaming windowed aggregate; window() is the same expression
+    Structured Streaming plans with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("day"), "event_type", "n_events")
+    )
+
+
+USER_ACTIVITY_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""

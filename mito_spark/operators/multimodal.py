@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step is STUBBED (this container has no image/audio codecs):
+``decode_media`` raises NotImplementedError unless ``fake=True``, in
+which case a deterministic md5-derived featureizer stands in. The
+Spark-side plumbing — schema contract, batch iteration, partition
+sizing — is real and is what matters for 100 TB:
+
+- binary payloads never pass through Python row-at-a-time: Arrow
+  batches carry them into pandas in bulk;
+- `maxRecordsPerBatch` bounds executor memory when payloads are MBs;
+- metadata (width/height/codec/...) lives in a typed struct column so
+  filters on it push down without touching the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType()),
+                    StructField("n_bytes", LongType()),
+                    StructField("source", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(LongType())),
+    ]
+)
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media table from documents: content = UTF-8 bytes of
+    text (a stand-in payload with real binary semantics)."""
+    from mito_spark.engine import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(content: bytes) -> list[int]:
+    """Deterministic stand-in for a real decoder: 4 int features from
+    content length + md5 prefix. Replicable in SQL for the oracle."""
+    import hashlib
+
+    h = hashlib.md5(content).hexdigest()
+    return [len(content), int(h[:8], 16), int(h[8:16], 16)]
+
+
+def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 256) -> DataFrame:
+    """Decode/feature-extract media payloads via mapInPandas.
+
+    Real decoders (PIL/torchaudio/pyav) are not installed in this
+    environment — pass fake=True for the deterministic stand-in, or
+    swap ``_fake_features`` for a real codec in deployment. The
+    iterator contract (stream of pandas batches in, stream out) is
+    the production shape: payloads never accumulate per-task.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs are not available in this container; pass fake=True "
+            "for the deterministic stand-in featureizer"
+        )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "features": [_fake_features(bytes(c)) for c in pdf["content"]],
+                }
+            )
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return df.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: media build → mapInPandas feature extraction.
+    Deterministic (md5-based), so the DuckDB oracle verifies the full
+    Arrow round-trip, not just row counts."""
+    media = media_from_documents(spark, sf_dir)
+    return decode_media(media, fake=True)
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id, 'text/plain' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       [octet_length(encode(text)),
+        CAST('0x' || substr(md5(text), 1, 8) AS BIGINT),
+        CAST('0x' || substr(md5(text), 9, 8) AS BIGINT)] AS features
+FROM documents
+"""

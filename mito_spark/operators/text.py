@@ -1,0 +1,205 @@
+"""Text-analysis operators for training-data pipelines over the
+`documents` table: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All of these are single-pass, shuffle-free (per-row) column programs
+built from split/regexp/array built-ins — no Python in the row path,
+so they run at parquet-scan bandwidth on any cluster size. That is the
+design requirement for 100 TB corpus preprocessing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mito_spark.engine import load_table
+
+
+def _tokens(col: Column) -> Column:
+    """Whitespace tokenization dropping empties (Go strings.Fields
+    semantics, reference lib/strings.go:648)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate.
+
+    The subword estimate counts runs matching a GPT-2-style pre-tokenizer
+    approximation (letter runs, digit runs, single punctuation) —
+    regexp_extract_all JVM-side, ~chars/4 heuristic checked against it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    bpe_ish = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])"), F.lit(1))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        bpe_ish.cast("bigint").alias("n_subword_pieces"),
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+       length(text) AS n_chars_measured,
+       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])', 1)) AS n_subword_pieces
+FROM documents
+"""
+
+# Tiny per-language marker vocabularies for the n-gram/stopword
+# language-ID heuristic. Real deployments would swap in fastText-style
+# models via mapInPandas; the heuristic keeps the hot path JVM-only.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "und", "die", "nicht", "das"],
+    "fr": ["le", "et", "les", "des", "une"],
+    "es": ["el", "y", "los", "que", "una"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _lang_score(toks: Column, lang: str) -> Column:
+    markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: score = count of tokens in each
+    language's marker list; argmax wins, alphabetical tiebreak,
+    'und' (undetermined) when all scores are 0.
+
+    Single projection, no shuffle; marker arrays are literals folded
+    into the codegen'd plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_lang_score(toks, lang).alias(f"score_{lang}") for lang in sorted(_LANG_MARKERS)],
+    )
+    # argmax via array_max over (score, negated-ordinal) structs: the
+    # alphabetically-first language wins ties.
+    langs = sorted(_LANG_MARKERS)
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"score_{lang}").alias("s"), F.lit(-i).alias("ord"))
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(pairs)
+    pred = F.when(best.getField("s") == 0, F.lit("und"))
+    for i, lang in enumerate(langs):
+        pred = pred.when(-best.getField("ord") == i, F.lit(lang))
+    return scored.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+def _langid_sql() -> str:
+    langs = sorted(_LANG_MARKERS)
+    score_exprs = ",\n       ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+        + f"], t))) AS score_{lang}"
+        for lang in langs
+    )
+    # alphabetical tiebreak = first maximal score in alphabetical scan
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN score_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, {score_exprs} FROM tok
+)
+SELECT doc_id, lang, {case} AS predicted_lang FROM scored
+"""
+
+
+LANG_ID_SQL = _langid_sql()
+
+_STOPWORDS = sorted({w for ms in _LANG_MARKERS.values() for w in ms})
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality in [0,1]: mixes length band, mean
+    word length band, stopword presence, and alpha ratio — the classic
+    cheap pre-filter before expensive model-based scoring.
+
+    Exact-rational arithmetic (counts divided once at the end) keeps
+    the score bit-identical across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    n_chars = F.length("text")
+    mean_wlen = n_chars.cast("double") / n_tok
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(n_stop * 100 >= n_tok * 5, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(n_alpha * 100 >= n_chars * 60, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopword_hits"),
+        score.alias("quality"),
+    )
+
+
+def _quality_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains([{sw}], x))) AS n_stop,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) AS n_chars
+  FROM t
+)
+SELECT doc_id, n_tokens, n_stop AS n_stopword_hits,
+       (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25::DOUBLE ELSE 0.0 END
+        + CASE WHEN CAST(n_chars AS DOUBLE)/n_tokens BETWEEN 3.0 AND 12.0 THEN 0.25::DOUBLE ELSE 0.0 END
+        + CASE WHEN n_stop*100 >= n_tokens*5 THEN 0.25::DOUBLE ELSE 0.0 END
+        + CASE WHEN n_alpha*100 >= n_chars*60 THEN 0.25::DOUBLE ELSE 0.0 END) AS quality
+FROM m
+"""
+
+
+QUALITY_SQL = _quality_sql()
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over the sorted distinct
+    lower-cased token set — order/multiplicity-insensitive, so
+    reordered or repeated-word variants collide (this is the key the
+    near-dup stage buckets on). Pure built-ins, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+            list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))), ' ')) AS fingerprint
+FROM documents
+"""

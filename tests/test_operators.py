@@ -1,0 +1,104 @@
+"""Operator-level sanity on the sf0.001 tables (full oracle equivalence
+runs via scripts/check_correctness.py and the driver's gate; these
+tests pin structural invariants and edge semantics)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mito_spark.operators import dedup, multimodal, similarity, text
+from mito_spark.operators.relational import q1_pricing_summary, q3_shipping_priority
+
+
+def test_q1_shape(spark, sf_dir):
+    out = q1_pricing_summary(spark, sf_dir)
+    rows = out.collect()
+    assert {(r.l_returnflag, r.l_linestatus) for r in rows} and len(rows) <= 9
+    for r in rows:
+        assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-9
+
+
+def test_q3_is_top10_sorted(spark, sf_dir):
+    rows = q3_shipping_priority(spark, sf_dir).collect()
+    assert len(rows) == 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    pairs = dedup.minhash_lsh_dedup(spark, sf_dir).collect()
+    assert all(p.jaccard >= 0.5 for p in pairs)
+    assert all(p.id_a < p.id_b for p in pairs)
+
+
+def test_simhash_hamming_bound(spark, sf_dir):
+    pairs = dedup.simhash_dedup(spark, sf_dir).collect()
+    assert all(p.hamming <= dedup.SIMHASH_MAX_DIST for p in pairs)
+
+
+def test_exact_dedup_total_preserved(spark, sf_dir):
+    from mito_spark.engine import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    agg = dedup.exact_dedup(spark, sf_dir).agg(F.sum("n_copies")).collect()[0][0]
+    assert agg == n_docs
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
+    rows = similarity.cosine_topk_bruteforce(spark, sf_dir, n_queries=3, k=5).collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos_sim))
+    for q, lst in by_q.items():
+        lst.sort()
+        sims = [s for _, s in lst]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
+    # LSH results are a subset of the candidate space; scores must
+    # match brute force exactly for the same (query, neighbor)
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.cosine_topk_bruteforce(spark, sf_dir, n_queries=2, k=50).collect()
+    }
+    lsh = similarity.cosine_topk_lsh(spark, sf_dir, n_queries=2, k=5).collect()
+    for r in lsh:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_lang_id_predictions_valid_and_better_than_chance(spark, sf_dir):
+    rows = text.lang_id(spark, sf_dir).collect()
+    valid = set(text._LANG_MARKERS) | {"und"}
+    assert all(r.predicted_lang in valid for r in rows)
+    # the synthetic corpus is mostly-random word soup with weak lang
+    # signal; require better-than-chance (5 labels → 0.2), not accuracy
+    hits = sum(1 for r in rows if r.predicted_lang == r.lang)
+    assert hits / len(rows) > 0.22
+
+
+def test_fingerprint_is_permutation_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "a b c b")], "doc_id bigint, text string"
+    )
+    import mito_spark.functions.collections  # noqa: F401  (module import sanity)
+
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != F.lit(""))
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    fps = [r.f for r in df.select(F.md5(canon).alias("f")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_decode_requires_fake_flag(spark, sf_dir):
+    import pytest
+
+    media = multimodal.media_from_documents(spark, sf_dir)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, fake=False)
+    out = multimodal.decode_media(media.limit(5), fake=True).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.features[0] == r.n_bytes
