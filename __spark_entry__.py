@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mito_spark.operators import dedup, events, multimodal, relational, scalar_showcase, similarity, text
+from mito_spark.operators import asof, dedup, events, multimodal, relational, scalar_showcase, similarity, text
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_extract": events.events_props_extract,
         "sessionize": events.sessionize,
         "user_activity_windows": events.user_activity_windows,
+        "events_asof_join": asof.events_asof_latest_order,
         # scalar function families (SURVEY §2.5-§2.8, §2.2)
         "strings_showcase": scalar_showcase.strings_showcase,
         "crypto_showcase": scalar_showcase.crypto_showcase,
@@ -76,6 +77,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_extract": events.EVENTS_PROPS_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "user_activity_windows": events.USER_ACTIVITY_SQL,
+        "events_asof_join": asof.EVENTS_ASOF_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,
         "crypto_showcase": scalar_showcase.CRYPTO_SQL,
         "time_showcase": scalar_showcase.TIME_SQL,

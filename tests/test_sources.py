@@ -1,0 +1,266 @@
+"""File sources / decoders / XML-XSD / HTTP maps / rate-limit policies
+(reference testdata semantics: FIXTURES.md F4-F8)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import zipfile
+from datetime import datetime, timezone
+
+import pytest
+
+from mito_spark.sources import files as fsrc
+from mito_spark.sources import http as hsrc
+from mito_spark.sources import ratelimit as rl
+from mito_spark.sources.xmlsrc import decode_xml, xsd_to_schema
+
+
+@pytest.fixture()
+def tmpdata(tmp_path):
+    # F4 csv
+    (tmp_path / "hello.csv").write_text("first,second,third\n1,2,3\n4,5,6\n7,8,9\na,b,c\n")
+    # F5 ndjson with malformed line 2
+    (tmp_path / "bad.ndjson").write_text('{"message":"hello"}\n{"message": tru\n{"message":"world"}\n')
+    # gzip ndjson
+    with gzip.open(tmp_path / "data.ndjson.gz", "wt") as f:
+        f.write('{"n": 1}\n{"n": 2}\n')
+    # zip archive
+    with zipfile.ZipFile(tmp_path / "arch.zip", "w") as z:
+        z.writestr("a.txt", "alpha")
+        z.writestr("sub/b.txt", "beta")
+    return str(tmp_path)
+
+
+def test_csv_header_all_strings(spark, tmpdata):
+    df = fsrc.read_mime(spark, f"{tmpdata}/hello.csv", "text/csv; header=present")
+    assert df.columns == ["first", "second", "third"]
+    rows = df.collect()
+    assert len(rows) == 4
+    assert rows[3].first == "a"  # strings, not inferred (mime.go:145-171)
+    assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_csv_no_header_includes_header_row(spark, tmpdata):
+    df = fsrc.read_mime(spark, f"{tmpdata}/hello.csv", "text/csv; header=absent")
+    assert df.count() == 5  # header row is data (mime.go:197-223)
+
+
+def test_ndjson_errors_are_values(spark, tmpdata):
+    df = fsrc.read_ndjson(spark, f"{tmpdata}/bad.ndjson")
+    rows = df.collect()
+    good = [r for r in rows if r.message is not None]
+    bad = [r for r in rows if r.error_message is not None]
+    assert len(good) == 2 and len(bad) == 1  # per-line error, scan survives
+    assert "tru" in bad[0].error_message
+
+
+def test_gzip_transparent(spark, tmpdata):
+    df = spark.read.json(f"{tmpdata}/data.ndjson.gz")
+    assert sorted(r.n for r in df.collect()) == [1, 2]
+
+
+def test_zip_entries(spark, tmpdata):
+    rows = fsrc.read_zip(spark, f"{tmpdata}/arch.zip").collect()
+    by_name = {r.name: r for r in rows}
+    assert bytes(by_name["a.txt"].data) == b"alpha"
+    assert bytes(by_name["sub/b.txt"].data) == b"beta"
+    assert by_name["a.txt"].size == 5
+
+
+def test_dir_listing_sorted(spark, tmpdata):
+    rows = fsrc.read_dir(spark, tmpdata).collect()
+    names = [r.name for r in rows]
+    assert names == sorted(names) and "hello.csv" in names
+    assert all(r.size > 0 for r in rows)
+
+
+def test_unknown_mime_raises(spark, tmpdata):
+    with pytest.raises(ValueError, match="no transform"):
+        fsrc.read_mime(spark, f"{tmpdata}/hello.csv", "application/whatever")
+
+
+# --- XML + XSD (F6) ---
+
+ORDER_XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:complexType name="ItemType">
+    <xs:sequence>
+      <xs:element name="name" type="xs:string"/>
+      <xs:element name="number" type="xs:integer"/>
+      <xs:element name="cost" type="xs:decimal"/>
+      <xs:element name="sent" type="xs:boolean"/>
+    </xs:sequence>
+  </xs:complexType>
+  <xs:element name="order">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="sender" type="xs:string"/>
+        <xs:element name="item" type="ItemType" maxOccurs="unbounded"/>
+      </xs:sequence>
+      <xs:attribute name="orderid" type="xs:string"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+ORDER_ONE_ITEM = """<order orderid="o-1"><sender>Ada</sender>
+<item><name>widget</name><number>5</number><cost>1.75</cost><sent>true</sent></item>
+</order>"""
+
+
+def test_xsd_to_schema_types_and_plurality():
+    name, schema = xsd_to_schema(ORDER_XSD)
+    assert name == "order"
+    item = schema["item"].dataType
+    assert item.typeName() == "array"  # maxOccurs=unbounded → list
+    elem = item.elementType
+    assert elem["number"].dataType.typeName() == "long"
+    assert elem["cost"].dataType.typeName() == "double"
+    assert elem["sent"].dataType.typeName() == "boolean"
+    assert schema["_orderid"].dataType.typeName() == "string"
+
+
+def test_decode_xml_single_item_is_still_list(spark):
+    df = spark.createDataFrame([(ORDER_ONE_ITEM,)], "xml string")
+    row = df.select(decode_xml("xml", xsd=ORDER_XSD).alias("o")).first().o
+    # key reference behavior (xml.go:208-224): XSD plurality forces a
+    # single occurrence into a one-element list, with typed leaves
+    assert row._orderid == "o-1"
+    assert len(row.item) == 1
+    assert row.item[0].number == 5 and row.item[0].cost == 1.75 and row.item[0].sent is True
+
+
+# --- HTTP request/response maps (F7) ---
+
+def test_request_map_shape():
+    req = hsrc.post_request("http://example.test/api?q=1", "application/json", '{"a":1}')
+    assert req["Method"] == "POST"
+    assert req["Host"] == "example.test"
+    assert req["ContentLength"] == 7
+    assert req["Header"]["Content-Type"] == ["application/json"]
+
+
+def test_basic_authentication_header():
+    req = hsrc.basic_authentication(hsrc.get_request("http://x/"), "user", "pass")
+    assert req["Header"]["Authorization"] == ["Basic dXNlcjpwYXNz"]
+
+
+def test_do_request_against_local_server(spark):
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps({"path": self.path}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("X-Rate-Limit-Limit", "600")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_port
+        resp = hsrc.do_request(hsrc.get_request(f"http://127.0.0.1:{port}/hello"))
+        assert resp["StatusCode"] == 200
+        assert json.loads(resp["Body"]) == {"path": "/hello"}
+        assert resp["Header"]["X-Rate-Limit-Limit"] == ["600"]
+        # distributed execution path
+        reqs = spark.createDataFrame(
+            [(("GET", f"http://127.0.0.1:{port}/{i}", None, 0, "", None)) for i in range(4)],
+            hsrc.REQUEST_SCHEMA,
+        )
+        out = hsrc.execute_requests(reqs).collect()
+        assert sorted(json.loads(bytes(r.Body))["path"] for r in out) == [f"/{i}" for i in range(4)]
+        assert all(r.Error is None for r in out)
+    finally:
+        srv.shutdown()
+
+
+def test_do_request_error_is_value():
+    resp = hsrc.do_request(hsrc.get_request("http://127.0.0.1:1/unreachable"), timeout=1)
+    assert resp["Error"] is not None and resp["StatusCode"] is None
+
+
+# --- rate limit policies (F8) ---
+
+NOW = datetime(2024, 1, 1, 0, 0, 0, tzinfo=timezone.utc)
+
+
+def test_okta_policy():
+    headers = {
+        "X-Rate-Limit-Limit": ["600"],
+        "X-Rate-Limit-Remaining": ["300"],
+        "X-Rate-Limit-Reset": [str(int(NOW.timestamp()) + 30)],
+    }
+    st = rl.okta_rate_limit(headers, now=NOW)
+    assert st.rate == pytest.approx(10.0)  # 300 remaining / 30s window
+    assert st.next == pytest.approx(20.0)
+    assert st.burst == 300
+    assert st.reset.timestamp() == NOW.timestamp() + 30
+
+
+def test_okta_zero_remaining():
+    headers = {
+        "X-Rate-Limit-Limit": ["600"],
+        "X-Rate-Limit-Remaining": ["0"],
+        "X-Rate-Limit-Reset": [str(int(NOW.timestamp()) + 10)],
+    }
+    st = rl.okta_rate_limit(headers, now=NOW)
+    assert st.rate == 0.0 and st.burst == 0  # throttled until reset
+
+
+def test_okta_missing_headers_error_value():
+    st = rl.okta_rate_limit({}, now=NOW)
+    assert st.error is not None and st.rate == rl.INF  # headers-only map, no throttle
+
+
+def test_draft_policy_simple():
+    st = rl.draft_rate_limit({"Rate-Limit-Limit": ["600"]}, window=60, now=NOW)
+    assert st.rate == pytest.approx(10.0) and st.burst == 600
+
+
+def test_draft_policy_with_quota_policies():
+    headers = {
+        "Rate-Limit-Limit": ["12, 12;window=1;burst=1000"],
+        "Rate-Limit-Remaining": ["6"],
+        "Rate-Limit-Reset": ["2"],
+    }
+    st = rl.draft_rate_limit(headers, now=NOW)
+    assert st.rate == pytest.approx(3.0)  # 6 remaining / 2s
+    assert st.next == pytest.approx(12.0)  # 12 per 1s window
+    assert st.burst == 6
+
+
+def test_draft_unparseable_is_error_value():
+    st = rl.draft_rate_limit({"Rate-Limit-Limit": ["abc"]}, now=NOW)
+    assert st.error is not None
+
+
+def test_general_form_maps_headers():
+    headers = {"My-Limit": ["100"], "My-Remaining": ["50"], "My-Reset": ["25"]}
+    st = rl.general_rate_limit(headers, "My-Limit", "My-Remaining", "My-Reset", now=NOW)
+    assert st.rate == pytest.approx(2.0)  # 50/25s
+
+
+def test_rate_limit_dispatch_and_unknown_policy():
+    with pytest.raises(ValueError, match="unknown rate-limit policy"):
+        rl.rate_limit({}, "nope")
+    out = rl.rate_limit({"Rate-Limit-Limit": ["60"]}, "draft", window=60, now=NOW)
+    assert out["rate"] == pytest.approx(1.0)
+
+
+def test_token_bucket_pacing():
+    b = rl.TokenBucket(rate=2.0, burst=2)
+    t0 = NOW
+    assert b.wait_time(t0) == 0.0
+    assert b.wait_time(t0) == 0.0
+    w = b.wait_time(t0)
+    assert w == pytest.approx(0.5)  # bucket drained → 1/rate

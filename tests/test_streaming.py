@@ -1,0 +1,76 @@
+"""Structured Streaming twins + channel sinks + as-of join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mito_spark.operators.asof import asof_join
+from mito_spark.streaming.stream_ops import (
+    ChannelSink,
+    run_stream_to_list,
+    streaming_sessionize,
+    stream_events_from_parquet,
+    windowed_counts,
+)
+
+
+def test_streaming_windowed_counts_match_batch(spark, sf_dir):
+    from mito_spark.engine import load_table
+    from mito_spark.operators.events import user_activity_windows
+
+    stream = stream_events_from_parquet(spark, sf_dir)
+    out = run_stream_to_list(windowed_counts(stream))
+    batch = {
+        (r.day, r.event_type): r.n_events
+        for r in user_activity_windows(spark, sf_dir).collect()
+    }
+    streamed = {(r.window_start, r.event_type): r.n_events for r in out}
+    assert streamed == batch  # same expression ⇒ same result, batch or stream
+
+
+def test_streaming_sessionize_runs(spark, sf_dir):
+    stream = stream_events_from_parquet(spark, sf_dir)
+    rows = run_stream_to_list(streaming_sessionize(stream))
+    assert len(rows) > 0
+    assert all(r.n_events >= 1 for r in rows)
+
+
+def test_channel_sink_send_to_close(spark, sf_dir):
+    batches = []
+    sink = ChannelSink("ch", lambda df, i: batches.append((i, df.count())))
+    stream = stream_events_from_parquet(spark, sf_dir).select("event_id")
+    q = sink.send_to(stream, availableNow=True)
+    q.awaitTermination(120)
+    sink.close()
+    assert sink.query is None  # closed
+    assert sum(n for _, n in batches) == 1000  # sf0.001 events
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (1, "2024-01-01 00:30:00"), (2, "2024-01-01 00:10:00")],
+        "k bigint, lt string",
+    ).select("k", F.col("lt").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 10.0), (1, "2024-01-01 00:20:00", 20.0),
+         (3, "2024-01-01 00:00:00", 99.0)],
+        "k bigint, rt string, v double",
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "v")
+    out = asof_join(left, right, on="k", left_ts="lt", right_ts="rt", value_cols=["v"])
+    got = {(r.k, r.lt.minute): r.right_v for r in out.collect()}
+    assert got[(1, 10)] == 10.0   # most recent prior
+    assert got[(1, 30)] == 20.0   # advances with time
+    assert got[(2, 10)] is None   # no right rows for key
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00")], "k bigint, lt string"
+    ).select("k", F.col("lt").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0)], "k bigint, rt string, v double"
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "v")
+    loose = asof_join(left, right, "k", "lt", "rt", ["v"]).collect()[0]
+    tight = asof_join(left, right, "k", "lt", "rt", ["v"], tolerance="30 minutes").collect()[0]
+    assert loose.right_v == 5.0
+    assert tight.right_v is None  # match older than tolerance dropped
