@@ -15,7 +15,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mito_spark.operators import asof, dedup, events, multimodal, relational, scalar_showcase, similarity, text
+from mito_spark.operators import (
+    asof,
+    dedup,
+    events,
+    multimodal,
+    relational,
+    relational2,
+    scalar_showcase,
+    similarity,
+    text,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,6 +43,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "order_priority_distinct_customers": relational.order_priority_distinct_customers,
         "part_type_stats": relational.part_type_stats,
+        # advanced relational (semi/anti joins, subqueries, rollup/cube,
+        # window frames, set ops)
+        "q2_cheapest_supplier": relational2.q2_cheapest_supplier,
+        "q4_priority_semi": relational2.q4_priority_semi,
+        "q7_nation_volume": relational2.q7_nation_volume,
+        "q10_returned_top_customers": relational2.q10_returned_top_customers,
+        "q12_priority_case_agg": relational2.q12_priority_case_agg,
+        "q13_order_count_distribution": relational2.q13_order_count_distribution,
+        "q14_promo_share": relational2.q14_promo_share,
+        "q17_below_avg_qty_revenue": relational2.q17_below_avg_qty_revenue,
+        "q18_large_orders": relational2.q18_large_orders,
+        "q19_disjunctive_pred": relational2.q19_disjunctive_pred,
+        "q22_idle_rich_customers": relational2.q22_idle_rich_customers,
+        "revenue_rollup": relational2.revenue_rollup,
+        "order_cube": relational2.order_cube,
+        "customer_running_totals": relational2.customer_running_totals,
+        "nation_set_ops": relational2.nation_set_ops,
         # event-stream surface (SURVEY §1.1/§2.11 batch twins)
         "events_by_type": events.events_by_type,
         "events_props_extract": events.events_props_extract,
@@ -73,6 +100,21 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": relational.TOP_ORDERS_SQL,
         "order_priority_distinct_customers": relational.ORDER_PRIORITY_SQL,
         "part_type_stats": relational.PART_TYPE_SQL,
+        "q2_cheapest_supplier": relational2.Q2_SQL,
+        "q4_priority_semi": relational2.Q4_SQL,
+        "q7_nation_volume": relational2.Q7_SQL,
+        "q10_returned_top_customers": relational2.Q10_SQL,
+        "q12_priority_case_agg": relational2.Q12_SQL,
+        "q13_order_count_distribution": relational2.Q13_SQL,
+        "q14_promo_share": relational2.Q14_SQL,
+        "q17_below_avg_qty_revenue": relational2.Q17_SQL,
+        "q18_large_orders": relational2.Q18_SQL,
+        "q19_disjunctive_pred": relational2.Q19_SQL,
+        "q22_idle_rich_customers": relational2.Q22_SQL,
+        "revenue_rollup": relational2.ROLLUP_SQL,
+        "order_cube": relational2.CUBE_SQL,
+        "customer_running_totals": relational2.RUNNING_SQL,
+        "nation_set_ops": relational2.SET_OPS_SQL,
         "events_by_type": events.EVENTS_BY_TYPE_SQL,
         "events_props_extract": events.EVENTS_PROPS_SQL,
         "sessionize": events.SESSIONIZE_SQL,

@@ -28,6 +28,22 @@ HEADLINE = [
     "top_orders_per_customer",
     "order_priority_distinct_customers",
     "part_type_stats",
+    "q2_cheapest_supplier",
+    "q4_priority_semi",
+    "q7_nation_volume",
+    "q10_returned_top_customers",
+    "q12_priority_case_agg",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q17_below_avg_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_rich_customers",
+    "revenue_rollup",
+    "order_cube",
+    "customer_running_totals",
+    "nation_set_ops",
+    "events_asof_join",
     "events_by_type",
     "events_props_extract",
     "sessionize",

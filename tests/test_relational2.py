@@ -1,0 +1,73 @@
+"""Structural invariants for the advanced relational surface (full
+oracle equivalence runs via scripts/check_correctness.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mito_spark.operators import relational2 as r2
+
+
+def test_semi_join_counts_bounded_by_orders(spark, sf_dir):
+    from mito_spark.engine import load_table
+
+    total = load_table(spark, sf_dir, "orders").count()
+    semi = r2.q4_priority_semi(spark, sf_dir).agg(F.sum("order_count")).collect()[0][0]
+    assert 0 < semi <= total
+
+
+def test_q13_includes_zero_order_bucket_total(spark, sf_dir):
+    from mito_spark.engine import load_table
+
+    rows = r2.q13_order_count_distribution(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.custdist for r in rows) == n_cust  # every customer in exactly one bucket
+
+
+def test_rollup_grand_total_matches_detail(spark, sf_dir):
+    rows = r2.revenue_rollup(spark, sf_dir).collect()
+    grand = [r for r in rows if r.g_nation == 1 and r.g_year == 1]
+    assert len(grand) == 1
+    detail = sum(r.revenue for r in rows if r.g_nation == 0 and r.g_year == 0)
+    assert abs(grand[0].revenue - detail) < 1e-4
+
+
+def test_cube_has_all_grouping_sets(spark, sf_dir):
+    rows = r2.order_cube(spark, sf_dir).collect()
+    seen = {(r.g_status, r.g_priority) for r in rows}
+    assert seen == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_running_totals_monotone_per_customer(spark, sf_dir):
+    rows = r2.customer_running_totals(spark, sf_dir).collect()
+    by_cust: dict = {}
+    for r in sorted(rows, key=lambda r: (r.o_custkey, r.order_seq)):
+        prev = by_cust.get(r.o_custkey, 0.0)
+        assert r.cum_revenue >= prev  # totalprice > 0 ⇒ strictly growing
+        by_cust[r.o_custkey] = r.cum_revenue
+
+
+def test_set_ops_partition_is_disjoint_and_complete(spark, sf_dir):
+    rows = r2.nation_set_ops(spark, sf_dir).collect()
+    by_src: dict = {"both": set(), "cust_only": set(), "supp_only": set()}
+    for r in rows:
+        by_src[r.src].add(r.nationkey)
+    assert by_src["both"].isdisjoint(by_src["cust_only"])
+    assert by_src["both"].isdisjoint(by_src["supp_only"])
+    assert by_src["cust_only"].isdisjoint(by_src["supp_only"])
+
+
+def test_q2_min_per_group_is_minimum(spark, sf_dir):
+    from mito_spark.engine import load_table
+
+    out = {r.p_partkey: r.price for r in r2.q2_cheapest_supplier(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 1)
+    true_min = {
+        r.k: r.m
+        for r in li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.min("l_extendedprice").alias("m"))
+        .collect()
+    }
+    assert out == true_min
