@@ -91,3 +91,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Ensure a DataFrame has at least session-parallelism partitions
+    before CPU-dense per-row work (hashing, signatures, pandas UDFs).
+
+    A scan of few/small files yields few partitions, serializing all
+    downstream expression compute on that many cores regardless of
+    cluster size. At 100 TB the file count dwarfs the core count and
+    this is a no-op; at any scale the one round-robin shuffle it may add
+    costs far less than running sketch/decode compute underparallelized.
+    """
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df

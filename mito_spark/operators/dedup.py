@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mito_spark.engine import load_table
+from mito_spark.engine import load_table, spread
 
 NUM_HASHES = 16
 # 8 bands × 2 rows: candidate probability 1-(1-j²)⁸ ≈ 0.90 at j=0.5,
@@ -139,7 +139,7 @@ def minhash_lsh_dedup(
     Jaccard is computed as |∩| / (|A|+|B|−|∩|) on integer set sizes —
     exact rationals, so the oracle matches bit-for-bit.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = _shingles(F.col("text"), shingle)
     sigd = docs.select(
         "doc_id", sh.alias("sh"), minhash_signature(F.col("text"), shingle=shingle).alias("sig")
@@ -271,7 +271,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str, max_dist: int = SIMHASH_MAX_
     equality shuffle join on (chunk_idx, chunk_value) finds every pair
     exactly — no brute-force O(n²), no approximation loss.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sigd = docs.select("doc_id", simhash_signature(F.col("text")).alias("sig")).persist()
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
@@ -336,7 +336,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 2, threshold:
     test SF. Blocking key: docs must share ≥1 bigram hash bucket is
     skipped at this size; the broadcast self-join is explicit.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     g = docs.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
     return (
         g.alias("a")

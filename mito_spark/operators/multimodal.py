@@ -62,6 +62,10 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (a stand-in payload with real binary semantics)."""
     from mito_spark.engine import load_table
 
+    # no spread() here: the decode path is mapInPandas, and fanning a
+    # small scan to N partitions spawns N Python workers whose startup
+    # dwarfs the decode at test scale; at 100 TB the file count already
+    # provides scan parallelism
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").alias("media_id"),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mito_spark.engine import load_table
+from mito_spark.engine import load_table, spread
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -47,7 +47,7 @@ def cosine_topk_bruteforce(
     """Exact cosine top-k: queries = vec_id < n_queries, corpus = all
     vectors (self excluded). Returns (query_id, neighbor_id, cos_sim
     rounded to 6dp, rank)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     queries = emb.where(F.col("vec_id") < n_queries).select(
@@ -127,7 +127,7 @@ def cosine_topk_lsh(
     within Hamming distance 1 of the query's bucket (multi-probe).
     Output schema matches the brute-force tier so recall can be
     measured by joining the two."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     emb = emb.withColumn("bucket", lsh_bucket_expr(F.col("v"), dim))
@@ -170,7 +170,7 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs via LSH bucket blocking:
     pairs sharing a bucket, cosine ≥ threshold. The embedding-space
     sibling of minhash_lsh_dedup."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     emb = emb.withColumn("bucket", lsh_bucket_expr(F.col("v"), 64))
