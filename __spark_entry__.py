@@ -79,8 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk_bruteforce,
-        "ann_cosine_topk_lsh": similarity.cosine_topk_lsh,  # rows-only: LSH recall ≠ exact
-        "embedding_near_dup": similarity.embedding_near_dup,  # rows-only: bucket blocking
+        "ann_cosine_topk_lsh": similarity.cosine_topk_lsh,
+        "embedding_near_dup": similarity.embedding_near_dup,
         # text analysis
         "text_token_count": text.token_count,
         "text_lang_id": text.lang_id,
@@ -130,6 +130,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.SIMHASH_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
+        "ann_cosine_topk_lsh": similarity.COSINE_LSH_SQL,
+        "embedding_near_dup": similarity.NEAR_DUP_SQL,
         "text_token_count": text.TOKEN_COUNT_SQL,
         "text_lang_id": text.LANG_ID_SQL,
         "text_quality": text.QUALITY_SQL,

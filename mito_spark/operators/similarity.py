@@ -188,3 +188,71 @@ def embedding_near_dup(
         .distinct()
     )
     return pairs
+
+
+# --- DuckDB oracle twins for the LSH tiers ----------------------------
+# The hyperplanes are md5-derived constants, so the whole LSH pipeline
+# is deterministic and SQL-expressible: the planes are inlined as list
+# literals (Python float repr round-trips exactly into DuckDB DOUBLE,
+# and F.lit() embeds the identical double in the Spark plan).
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return f"list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i]))"
+
+
+def _bucket_sql(vcol: str = "v", dim: int = 64, bits: int = _LSH_BITS) -> str:
+    terms = []
+    for h in range(bits):
+        plane = "[" + ", ".join(repr(x) for x in _hyperplane(dim, h)) + "]"
+        terms.append(
+            f"(CASE WHEN {_dot_sql(vcol, f'({plane})', dim)} >= 0 THEN {1 << h} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cosine_lsh_sql(n_queries: int = 10, k: int = 10, dim: int = 64) -> str:
+    probe_list = ", ".join(["qb"] + [f"xor(qb, {1 << b})" for b in range(_LSH_BITS)])
+    cos = f"{_dot_sql('b.v', 'probes.q', dim)} / (sqrt({_dot_sql('probes.q', 'probes.q', dim)}) * sqrt({_dot_sql('b.v', 'b.v', dim)}))"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, {_bucket_sql('v', dim)} AS bucket FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS q, bucket AS qb FROM b WHERE vec_id < {n_queries}
+), probes AS (
+  SELECT query_id, q, unnest([{probe_list}]) AS bucket FROM q
+), joined AS (
+  SELECT query_id, b.vec_id AS neighbor_id, {cos} AS cos
+  FROM b JOIN probes ON b.bucket = probes.bucket AND b.vec_id <> probes.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM joined
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+COSINE_LSH_SQL = _cosine_lsh_sql()
+
+
+def _near_dup_sql(threshold: float = 0.45, dim: int = 64) -> str:
+    cos = f"{_dot_sql('x.v', 'y.v', dim)} / (sqrt({_dot_sql('x.v', 'x.v', dim)}) * sqrt({_dot_sql('y.v', 'y.v', dim)}))"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, {_bucket_sql('v', dim)} AS bucket FROM e
+), pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT DISTINCT id_a, id_b, ROUND(cos, 6) AS cos_sim
+FROM pairs WHERE cos >= {threshold}
+"""
+
+
+NEAR_DUP_SQL = _near_dup_sql()
