@@ -74,6 +74,27 @@ def last_index_of(s, sub: str) -> Column:
     return F.when(rpos == 0, F.lit(-1)).otherwise(F.length(s) - rpos - len(sub) + 1)
 
 
+def index_any(s, chars: str) -> Column:
+    """0-based index of the first occurrence of any char from ``chars``,
+    -1 if none (strings.go:692). Single regexp char-class scan."""
+    import re as _re
+
+    cls = "[" + _re.escape(chars) + "]"
+    return F.regexp_instr(_c(s), F.lit(cls)) - 1
+
+
+def last_index_any(s, chars: str) -> Column:
+    """0-based index of the last occurrence of any char from ``chars``,
+    -1 if none (strings.go:728). Scans the reversed string — valid
+    because the class matches single code points."""
+    import re as _re
+
+    cls = "[" + _re.escape(chars) + "]"
+    s = _c(s)
+    rpos = F.regexp_instr(F.reverse(s), F.lit(cls))
+    return F.when(rpos == 0, F.lit(-1)).otherwise(F.length(s) - rpos)
+
+
 def join(arr, sep: str) -> Column:
     return F.array_join(_c(arr), sep)
 
@@ -123,6 +144,14 @@ def split_after(s, sep: str) -> Column:
     import re as _re
 
     return F.split(_c(s), f"(?<={_re.escape(sep)})", -1)
+
+
+def split_after_n(s, sep: str, n: int) -> Column:
+    """SplitAfterN (strings.go:818): at most n pieces, the last piece
+    keeps the unsplit remainder (separators included)."""
+    import re as _re
+
+    return F.split(_c(s), f"(?<={_re.escape(sep)})", n)
 
 
 def substring(s, start: int, end: int) -> Column:

@@ -33,6 +33,8 @@ def strings_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         strings.trim_prefix(strings.substring(F.col("text"), 0, 10), "the ").alias("trimmed"),
         strings.repeat(F.lit("ab"), 3).alias("rep"),
         strings.join(F.slice(strings.fields(F.col("text")), 1, 3), "-").alias("first3"),
+        strings.index_any(F.col("text"), "xq").alias("idx_any_xq"),
+        strings.last_index_any(F.col("text"), "xq").alias("last_any_xq"),
     )
 
 
@@ -47,7 +49,9 @@ SELECT doc_id,
        CASE WHEN starts_with(substr(text, 1, 10), 'the ')
             THEN substr(substr(text, 1, 10), 5) ELSE substr(text, 1, 10) END AS trimmed,
        repeat('ab', 3) AS rep,
-       array_to_string(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')[1:3], '-') AS first3
+       array_to_string(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')[1:3], '-') AS first3,
+       CAST(COALESCE(LEAST(NULLIF(strpos(text,'x'),0), NULLIF(strpos(text,'q'),0)), 0) - 1 AS INTEGER) AS idx_any_xq,
+       CAST(length(text) - COALESCE(LEAST(NULLIF(strpos(reverse(text),'x'),0), NULLIF(strpos(reverse(text),'q'),0)), length(text)+1) AS INTEGER) AS last_any_xq
 FROM documents WHERE doc_id < 200
 """
 

@@ -64,6 +64,24 @@ def test_string_semantics(one):
     assert row.trimmed == "hi"
 
 
+def test_index_any_and_split_after_n(one):
+    # one.s == "hello world"
+    row = one.select(
+        strings.index_any("s", "wol").alias("ia"),       # first of {w,o,l} → 'l' @2
+        strings.index_any("s", "zq").alias("ia_miss"),
+        strings.last_index_any("s", "wol").alias("la"),  # last → 'l' @9
+        strings.last_index_any("s", "zq").alias("la_miss"),
+        strings.split_after("s", "o").alias("sa"),
+        strings.split_after_n("s", "o", 2).alias("san"),
+    ).first()
+    assert row.ia == 2
+    assert row.ia_miss == -1
+    assert row.la == 9
+    assert row.la_miss == -1
+    assert row.sa == ["hello", " wo", "rld"]
+    assert row.san == ["hello", " world"]  # last piece keeps remainder
+
+
 def test_unicode_substring(spark):
     # reference strings.go:857-902 slices by code point
     df = spark.createDataFrame([("零一二三四五",)], "s string")
