@@ -130,3 +130,32 @@ USER_ACTIVITY_SQL = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
 """
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of event value per type (linear interpolation,
+    the quantile_cont definition both engines share). Exact percentile
+    requires a sort per group — fine for bounded group counts; for
+    100 TB high-cardinality groups the drop-in is approx_percentile
+    (t-digest sketch: one pass, mergeable, no sort), which the oracle
+    can't hash-match and so isn't the checked form here."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90"),
+            F.round(F.percentile("value", 0.99), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""

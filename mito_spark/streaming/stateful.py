@@ -1,0 +1,109 @@
+"""Per-key continuation state on the executor state store.
+
+The reference's continuation protocol (want_more + cursor fields,
+/root/reference/mito.go:186-204) has a single global cursor because it
+evaluates one state document at a time. The distributed generalization
+is a cursor PER KEY, kept in Spark's state store — this is the
+"arbitrary stateful processing" tier promised in
+mito_spark.streaming.continuation's docstring.
+
+Scale posture: state lives in the executor state-store backend
+(RocksDB on a real cluster), partitioned by key — the driver never
+sees it; a micro-batch only shuffles its own keys. State size is
+bounded per key (a handful of scalars), so total state is O(distinct
+keys), independent of stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CURSOR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+# state tuple mirrors the output minus the key (timestamps kept as
+# microsecond epoch longs — state-store codecs want flat primitives)
+CURSOR_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _cursor_step(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """One micro-batch update for one key: merge the batch's events
+    into the cursor, emit the refreshed cursor row (update mode)."""
+    n, first_us, last_us, total = (
+        state.get if state.exists else (0, None, None, 0.0)
+    )
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        ts_us = pdf["ts"].astype("int64") // 1000  # pandas ns → µs
+        n += len(pdf)
+        b_first, b_last = int(ts_us.min()), int(ts_us.max())
+        first_us = b_first if first_us is None else min(first_us, b_first)
+        last_us = b_last if last_us is None else max(last_us, b_last)
+        total += float(pdf["value"].sum())
+    state.update((n, first_us, last_us, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            "total_value": [total],
+        }
+    )
+
+
+def per_key_cursor(events: DataFrame) -> DataFrame:
+    """Streaming per-key cursor: for each user, a continuously-updated
+    {n_events, first_ts, last_ts, total_value} — the reference's
+    cursor.timestamps.{first,last} summary (example.cel:28-34), per key,
+    with state in the store instead of the driver.
+
+    Works on a streaming DataFrame (update output mode). Each
+    micro-batch is the `want_more` re-entry: previous state is the
+    carried cursor, the batch is the new page.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _cursor_step,
+        outputStructType=CURSOR_OUTPUT_SCHEMA,
+        stateStructType=CURSOR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_rows(rows: list[Any], key: str = "user_id") -> dict[Any, Any]:
+    """Collapse an update-mode drain (one row per key per batch) to the
+    final cursor per key — later batches overwrite earlier ones."""
+    out: dict[Any, Any] = {}
+    for r in rows:
+        out[r[key]] = r
+    return out

@@ -74,3 +74,38 @@ def test_asof_join_tolerance(spark):
     tight = asof_join(left, right, "k", "lt", "rt", ["v"], tolerance="30 minutes").collect()[0]
     assert loose.right_v == 5.0
     assert tight.right_v is None  # match older than tolerance dropped
+
+
+def test_per_key_cursor_matches_batch(spark, sf_dir):
+    """The stateful per-key cursor, drained over micro-batches, must
+    equal the batch groupBy — state carried through the store is the
+    same computation as a shuffle-aggregate."""
+    from mito_spark.engine import load_table
+    from mito_spark.streaming.stateful import latest_rows, per_key_cursor
+
+    stream = stream_events_from_parquet(spark, sf_dir)
+    rows = []
+    sink = ChannelSink("cursors", lambda b, _i: rows.extend(b.collect()))
+    q = sink.send_to(per_key_cursor(stream), output_mode="update", availableNow=True)
+    q.awaitTermination(120)
+    sink.close()
+    final = latest_rows(rows)
+
+    batch = {
+        r.user_id: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        s = final[uid]
+        assert s.n_events == b.n_events
+        assert s.first_ts == b.first_ts and s.last_ts == b.last_ts
+        assert abs(s.total_value - b.total_value) < 1e-6
