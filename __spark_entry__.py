@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text.lang_id,
         "text_quality": text.quality_score,
         "text_fingerprint": text.fingerprint,
+        "text_chunking": text.chunk_documents,
+        "text_tfidf_top_terms": text.tfidf_top_terms,
         # multimodal plumbing (deterministic fake decode → full oracle)
         "multimodal_features": multimodal.multimodal_features,
     }
@@ -138,5 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": text.LANG_ID_SQL,
         "text_quality": text.QUALITY_SQL,
         "text_fingerprint": text.FINGERPRINT_SQL,
+        "text_chunking": text.CHUNK_SQL,
+        "text_tfidf_top_terms": text.TFIDF_SQL,
         "multimodal_features": multimodal.MULTIMODAL_SQL,
     }

@@ -63,6 +63,8 @@ HEADLINE = [
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
+    "text_chunking",
+    "text_tfidf_top_terms",
     "multimodal_features",
 ]
 

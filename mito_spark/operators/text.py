@@ -203,3 +203,123 @@ SELECT doc_id,
             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))), ' ')) AS fingerprint
 FROM documents
 """
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, chunk_tokens: int = 32, overlap: int = 8
+) -> DataFrame:
+    """Sliding-window document chunking for LLM context packing: split
+    each document into ~chunk_tokens-token chunks with `overlap` tokens
+    of overlap (stride = chunk_tokens - overlap).
+
+    Single-pass, shuffle-free: sequence() builds the stride offsets,
+    transform+slice materializes each chunk, explode emits one row per
+    chunk — all JVM built-ins, so chunking 100 TB runs at scan
+    bandwidth and partition count follows the input files.
+    """
+    stride = chunk_tokens - overlap
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.size(toks) - s + 1, F.lit(chunk_tokens)).alias("chunk_len"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.chunk_len").alias("chunk_len"),
+        )
+    )
+
+
+def _chunk_sql(chunk_tokens: int = 32, overlap: int = 8) -> str:
+    stride = chunk_tokens - overlap
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), spans AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {overlap}, 1) + 1, {stride})) AS s,
+         unnest(range(0, CAST(ceil(greatest(len(toks) - {overlap}, 1) / {stride}.0) AS BIGINT))) AS chunk_idx
+  FROM tok
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(toks[s:s+{chunk_tokens - 1}], ' ') AS chunk_text,
+       CAST(least(len(toks) - s + 1, {chunk_tokens}) AS INT) AS chunk_len
+FROM spans
+"""
+
+
+CHUNK_SQL = _chunk_sql()
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms — corpus statistics as two
+    shuffles: (1) explode→groupBy(term) for document frequencies,
+    (2) window over (doc, score) for the top-k. IDF = ln(N / df)
+    (natural log, no smoothing — identical arithmetic in DuckDB).
+
+    Scale: the df table is tiny (vocabulary-sized) → broadcast back;
+    the per-doc term counts never leave their partition until the
+    final top-k shuffle on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, computed once (cheap metadata count)
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def _tfidf_sql(top_k: int = 3) -> str:
+    return rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= {top_k}
+"""
+
+
+TFIDF_SQL = _tfidf_sql()
