@@ -1,0 +1,166 @@
+"""Paginated HTTP as a first-class Spark 4 Python DataSource.
+
+The reference drives paginated HTTP ingestion with its `want_more`
+loop: evaluate, keep a cursor in state, re-enter while more pages
+remain (/root/reference/mito.go:186-204 with lib/http.go sources).
+This module maps that protocol onto Spark's source contracts:
+
+- batch (`spark.read.format("http_paginated")`): when the page count
+  is known, pages fan out across executors — one InputPartition per
+  page chunk, each task fetching its own range with its own rate
+  limiter. The reference's loop is inherently sequential; page-range
+  fan-out is the distributed upgrade for page-addressable APIs.
+- streaming (`spark.readStream.format("http_paginated")`): the cursor
+  IS the source offset — micro-batch N covers pages
+  [start_N, end_N), committed offsets go to the checkpoint, recovery
+  resumes from the last committed page exactly like the reference
+  resumes from carried state. `maxPagesPerBatch` bounds each trigger
+  (the flow-control knob the reference implements with client-side
+  rate limiting).
+
+Rows are (page, status_code, body); body decoding (JSON/CSV/...)
+composes downstream with functions.jsonfns / sources.files — same
+separation as the reference's request/response maps + mime transforms.
+
+Options:
+  url       — template with a ``{page}`` placeholder (required)
+  n_pages   — total pages (required; finite sources. For unbounded
+              streams set a large bound and stop the query)
+  pages_per_partition — batch fan-out granularity (default 8)
+  max_pages_per_batch — streaming trigger bound (default 4)
+  max_per_second      — per-task rate limit (default: unlimited)
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+SCHEMA = StructType(
+    [
+        StructField("page", IntegerType()),
+        StructField("status_code", IntegerType()),
+        StructField("body", StringType()),
+    ]
+)
+
+
+class _PageRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _fetch_range(url_tmpl: str, start: int, end: int, max_per_second: float | None):
+    """Fetch pages [start, end) with per-task pacing; errors become
+    status_code=-1 rows (error-as-value, never task failure)."""
+    import time
+    import urllib.request
+
+    interval = 1.0 / max_per_second if max_per_second else 0.0
+    last = 0.0
+    for page in range(start, end):
+        if interval:
+            wait = interval - (time.monotonic() - last)
+            if wait > 0:
+                time.sleep(wait)
+            last = time.monotonic()
+        try:
+            with urllib.request.urlopen(url_tmpl.format(page=page), timeout=30) as r:
+                yield (page, int(r.status), r.read().decode("utf-8", "replace"))
+        except Exception as e:  # noqa: BLE001 — error-as-value contract
+            yield (page, -1, str(e))
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.url = options["url"]
+        self.n_pages = int(options["n_pages"])
+        self.chunk = int(options.get("pages_per_partition", 8))
+        self.rate = float(options["max_per_second"]) if "max_per_second" in options else None
+
+    def partitions(self):
+        return [
+            _PageRange(s, min(s + self.chunk, self.n_pages))
+            for s in range(0, self.n_pages, self.chunk)
+        ]
+
+    def read(self, partition: _PageRange) -> Iterator[tuple]:
+        yield from _fetch_range(self.url, partition.start, partition.end, self.rate)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Micro-batch reader: offset = next unread page number."""
+
+    def __init__(self, options: dict):
+        self.url = options["url"]
+        self.n_pages = int(options["n_pages"])
+        self.per_batch = int(options.get("max_pages_per_batch", 4))
+        self.rate = float(options["max_per_second"]) if "max_per_second" in options else None
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:
+        # advance the visible end by at most per_batch pages per trigger
+        self._current = min(self._current + self.per_batch, self.n_pages)
+        return {"page": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        if start["page"] >= end["page"]:
+            return []
+        return [_PageRange(start["page"], end["page"])]
+
+    def read(self, partition: _PageRange) -> Iterator[tuple]:
+        yield from _fetch_range(self.url, partition.start, partition.end, self.rate)
+
+    def commit(self, end: dict) -> None:
+        # offsets are checkpointed by the engine; nothing to clean up
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class HttpPaginatedDataSource(DataSource):
+    """``format("http_paginated")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "http_paginated"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _BatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _StreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(HttpPaginatedDataSource)
+
+
+def parse_json_pages(pages_df, element_schema):
+    """Decode each page body (a JSON array) and explode to one row per
+    element — the downstream half of the reference's get→decode_json
+    pipelines."""
+    from pyspark.sql import functions as F
+
+    arr = F.from_json(F.col("body"), f"array<struct<{element_schema}>>")
+    return (
+        pages_df.where(F.col("status_code") == 200)
+        .select("page", F.explode(arr).alias("item"))
+        .select("page", "item.*")
+    )
