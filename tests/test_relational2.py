@@ -71,3 +71,26 @@ def test_q2_min_per_group_is_minimum(spark, sf_dir):
         .collect()
     }
     assert out == true_min
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from mito_spark.engine import load_table
+    from mito_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(
+            orders.withColumnRenamed("o_custkey", "c_custkey"), cust, "c_custkey", salt=8
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r.c_mktsegment, r.n) for r in plain.collect()} == {
+        (r.c_mktsegment, r.n) for r in salted.collect()
+    }
