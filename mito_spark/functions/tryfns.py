@@ -67,6 +67,12 @@ def try_element_at(col, key) -> Column:
 
 def debug_observe(df, tag: str, *aggs):
     """``debug(tag, v)`` pass-through logging (debug.go:70-91) →
-    df.observe: metrics stream to QueryExecutionListener without
-    perturbing the plan, the Spark-native version of log-and-continue."""
-    return df.observe(tag, *aggs) if aggs else df
+    df.observe: metrics collect on an Observation without perturbing
+    the plan — the Spark-native version of log-and-continue. Returns
+    (df, observation); read ``observation.get`` after an action."""
+    from pyspark.sql import Observation
+
+    if not aggs:
+        return df, None
+    obs = Observation(tag)
+    return df.observe(obs, *aggs), obs

@@ -148,6 +148,13 @@ MIME_READERS = {
 }
 
 
+def register_mime(mime: str, reader) -> None:
+    """Host-extensible transform registry (the reference's
+    Mime/transforms registration, lib/file.go:105-107, mito.go:276-284):
+    reader is (spark, path) -> DataFrame."""
+    MIME_READERS[mime] = reader
+
+
 def read_mime(spark: SparkSession, path: str, mime: str) -> DataFrame:
     """``file(path, mime)`` dispatch (file.go:203-253). Unknown type →
     ValueError listing registered transforms, mirroring the reference's

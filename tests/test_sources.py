@@ -264,3 +264,25 @@ def test_token_bucket_pacing():
     assert b.wait_time(t0) == 0.0
     w = b.wait_time(t0)
     assert w == pytest.approx(0.5)  # bucket drained → 1/rate
+
+
+def test_custom_mime_transform_rot13(spark, tmp_path):
+    # reference file_rot13_hello_world.txt: host-registered transform
+    import pyspark.sql.functions as F
+
+    from mito_spark.sources.files import read_mime, register_mime
+
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    rot = lower[13:] + lower[:13]
+    tbl = lower + lower.upper(), rot + rot.upper()
+
+    def read_rot13(spark, path):
+        return spark.read.text(path).select(
+            F.translate(F.col("value"), tbl[0], tbl[1]).alias("value")
+        )
+
+    register_mime("text/x-rot13", read_rot13)
+    f = tmp_path / "hello.rot13"
+    f.write_text("uryyb jbeyq")
+    out = read_mime(spark, str(f), "text/x-rot13").first()
+    assert out.value == "hello world"
