@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mito_spark.operators import (
     asof,
     dedup,
+    dynamic,
     events,
     multimodal,
     relational,
@@ -63,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-stream surface (SURVEY §1.1/§2.11 batch twins)
         "events_by_type": events.events_by_type,
         "events_props_extract": events.events_props_extract,
+        "events_props_variant": dynamic.events_props_variant,
         "sessionize": events.sessionize,
         "user_activity_windows": events.user_activity_windows,
         "events_asof_join": asof.events_asof_latest_order,
@@ -120,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_set_ops": relational2.SET_OPS_SQL,
         "events_by_type": events.EVENTS_BY_TYPE_SQL,
         "events_props_extract": events.EVENTS_PROPS_SQL,
+        "events_props_variant": dynamic.PROPS_VARIANT_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "user_activity_windows": events.USER_ACTIVITY_SQL,
         "events_asof_join": asof.EVENTS_ASOF_SQL,

@@ -47,6 +47,7 @@ HEADLINE = [
     "events_value_percentiles",
     "events_by_type",
     "events_props_extract",
+    "events_props_variant",
     "sessionize",
     "user_activity_windows",
     "strings_showcase",

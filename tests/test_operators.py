@@ -102,3 +102,11 @@ def test_multimodal_decode_requires_fake_flag(spark, sf_dir):
     assert len(out) == 5
     for r in out:
         assert r.features[0] == r.n_bytes
+
+
+def test_infer_dynamic_schema(spark, sf_dir):
+    from mito_spark.engine import load_table
+    from mito_spark.operators.dynamic import infer_dynamic_schema
+
+    s = infer_dynamic_schema(load_table(spark, sf_dir, "events"), "props")
+    assert "k" in s and "BIGINT" in s.upper()
