@@ -49,7 +49,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_cheapest_supplier": relational2.q2_cheapest_supplier,
         "q4_priority_semi": relational2.q4_priority_semi,
         "q7_nation_volume": relational2.q7_nation_volume,
+        "q8_market_share": relational2.q8_market_share,
+        "q9_profit_by_nation": relational2.q9_profit_by_nation,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
+        "q15_top_supplier": relational2.q15_top_supplier,
         "q12_priority_case_agg": relational2.q12_priority_case_agg,
         "q13_order_count_distribution": relational2.q13_order_count_distribution,
         "q14_promo_share": relational2.q14_promo_share,
@@ -108,7 +111,10 @@ def oracle_sql() -> dict[str, str]:
         "q2_cheapest_supplier": relational2.Q2_SQL,
         "q4_priority_semi": relational2.Q4_SQL,
         "q7_nation_volume": relational2.Q7_SQL,
+        "q8_market_share": relational2.Q8_SQL,
+        "q9_profit_by_nation": relational2.Q9_SQL,
         "q10_returned_top_customers": relational2.Q10_SQL,
+        "q15_top_supplier": relational2.Q15_SQL,
         "q12_priority_case_agg": relational2.Q12_SQL,
         "q13_order_count_distribution": relational2.Q13_SQL,
         "q14_promo_share": relational2.Q14_SQL,

@@ -31,7 +31,10 @@ HEADLINE = [
     "q2_cheapest_supplier",
     "q4_priority_semi",
     "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
     "q10_returned_top_customers",
+    "q15_top_supplier",
     "q12_priority_case_agg",
     "q13_order_count_distribution",
     "q14_promo_share",
