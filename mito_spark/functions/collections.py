@@ -181,10 +181,20 @@ def _drop_empty_expr(col: Column, dtype: DataType) -> Column:
     return col
 
 
+def _dtype_at(df: DataFrame, column: str) -> DataType:
+    """Resolve a possibly-dotted column reference ('doc.x.y') to its
+    static type by walking struct fields."""
+    parts = column.split(".")
+    dtype: DataType = df.schema[parts[0]].dataType
+    for part in parts[1:]:
+        dtype = _field_type(dtype, part)
+    return dtype
+
+
 def drop_empty(df: DataFrame, column: str) -> Column:
     """``doc.drop_empty()`` — empty lists/maps removed recursively
     (filtered inside arrays, nulled elsewhere); empty strings kept."""
-    return _drop_empty_expr(F.col(column), df.schema[column].dataType)
+    return _drop_empty_expr(F.col(column), _dtype_at(df, column))
 
 
 def flatten_deep(df: DataFrame, column: str) -> Column:
@@ -192,7 +202,7 @@ def flatten_deep(df: DataFrame, column: str) -> Column:
     from the static schema, so this compiles to ``flatten`` applied
     (ndims-1) times — O(depth) built-in calls, no UDF
     (collections.go:560-583)."""
-    dtype = df.schema[column].dataType
+    dtype = _dtype_at(df, column)
     col = F.col(column)
     for _ in range(_ndims(dtype) - 1):
         col = F.flatten(col)
