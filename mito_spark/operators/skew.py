@@ -41,7 +41,8 @@ def salted_join(
 
 
 def explain_shuffle_count(df: DataFrame) -> int:
-    """Count exchanges in the physical plan — the unit test for 'did I
-    add a shuffle I didn't mean to'."""
+    """Count shuffle exchanges in the physical plan — the unit test for
+    'did I add a shuffle I didn't mean to'. Broadcast exchanges are
+    excluded: they replicate a small side, they don't repartition."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange")
+    return plan.count("Exchange") - plan.count("BroadcastExchange")

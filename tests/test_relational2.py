@@ -94,3 +94,41 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert {(r.c_mktsegment, r.n) for r in plain.collect()} == {
         (r.c_mktsegment, r.n) for r in salted.collect()
     }
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Co-located join: bucketed tables joined on the bucket key plan
+    ZERO exchanges before the join (the 100 TB shuffle-elimination
+    contract); results equal the plain join."""
+    from mito_spark.engine import load_table
+    from mito_spark.operators.bucketing import bucketed_join, write_bucketed
+    from mito_spark.operators.skew import explain_shuffle_count
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "k"), "b_orders", "k", 8,
+                   sort_by="k", path=str(tmp_path / "b_orders"))
+    write_bucketed(li.withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k", 8,
+                   sort_by="k", path=str(tmp_path / "b_lineitem"))
+
+    # force the sort-merge path so bucketing (not broadcast) is on trial
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    joined = bucketed_join(spark, "b_orders", "b_lineitem", "k")
+    agg = joined.groupBy("o_orderpriority").count()
+    # the join itself is exchange-free; the only exchange allowed is the
+    # final 5-row aggregation
+    assert explain_shuffle_count(joined) == 0
+    assert explain_shuffle_count(agg) <= 1
+
+    plain = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert {(r.o_orderpriority, r["count"]) for r in agg.collect()} == {
+        (r.o_orderpriority, r["count"]) for r in plain.collect()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
