@@ -21,6 +21,7 @@ from mito_spark.operators import (
     dynamic,
     events,
     multimodal,
+    pipeline,
     relational,
     relational2,
     scalar_showcase,
@@ -96,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": text.tfidf_top_terms,
         # multimodal plumbing (deterministic fake decode → full oracle)
         "multimodal_features": multimodal.multimodal_features,
+        # composed end-to-end corpus pipeline (filters -> dedup -> chunk)
+        "training_corpus_pipeline": pipeline.training_corpus,
     }
 
 
@@ -152,4 +155,5 @@ def oracle_sql() -> dict[str, str]:
         "text_chunking": text.CHUNK_SQL,
         "text_tfidf_top_terms": text.TFIDF_SQL,
         "multimodal_features": multimodal.MULTIMODAL_SQL,
+        "training_corpus_pipeline": pipeline.PIPELINE_SQL,
     }

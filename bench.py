@@ -70,6 +70,7 @@ HEADLINE = [
     "text_chunking",
     "text_tfidf_top_terms",
     "multimodal_features",
+    "training_corpus_pipeline",
 ]
 
 

@@ -134,3 +134,87 @@ SELECT doc_id AS media_id, 'text/plain' AS mime,
         CAST('0x' || substr(md5(text), 9, 8) AS BIGINT)] AS features
 FROM documents
 """
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = False,
+                  batch_size: int = 64) -> DataFrame:
+    """Image resize via mapInPandas — payloads-in, payloads-out, so
+    Arrow batch size is the executor-memory knob (batch_size × payload
+    bytes live at once per task). Swap the stand-in for PIL in
+    deployment; the plumbing (schema, batching, no driver transit) is
+    the production shape.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this container; pass fake=True "
+            "for the deterministic stand-in resizer"
+        )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # stand-in: "resize" = deterministic truncation/padding of the
+            # payload to width*height bytes (real impl: PIL Image.resize)
+            out_bytes = [
+                (bytes(c) * ((width * height) // max(len(bytes(c)), 1) + 1))[: width * height]
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "content": out_bytes,
+                }
+            )
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
+                  fake: bool = False, batch_size: int = 64) -> DataFrame:
+    """Video frame sampling via mapInPandas — the one-to-many decode
+    shape (one payload → several frame rows). Output fan-out happens
+    inside the Arrow batch, so a long video never materializes all its
+    frames in one list on the driver or in Python row objects.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video codecs are not available in this container; pass fake=True "
+            "for the deterministic stand-in sampler"
+        )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(c)
+                for i in range(min(max_frames, max(len(data) // every_n_bytes, 1))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(data[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return df.mapInPandas(_sample, FRAME_SCHEMA)

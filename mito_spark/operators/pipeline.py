@@ -1,0 +1,156 @@
+"""The composed training-data pipeline: language filter → quality
+filter → fingerprint dedup → sliding-window chunking, as ONE lazy plan.
+
+This is the end-to-end shape the individual operators exist for
+(C4/RefinedWeb-style corpus preparation). Composition stays a single
+Catalyst plan: the filters are per-row projections that run in the
+scan stage, dedup is the only shuffle (fingerprint groupBy), chunking
+explodes after the data is already minimal. At 100 TB the ordering is
+the whole game — cheap row-local filters first, the shuffle on the
+smallest surviving set, fan-out last.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mito_spark.engine import load_table
+from mito_spark.operators.text import _LANG_MARKERS, _STOPWORDS, _tokens
+
+
+def training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    lang: str = "en",
+    min_quality: float = 0.75,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """documents → keep predicted-``lang`` docs of quality ≥
+    ``min_quality`` → keep the lowest doc_id per canonical fingerprint
+    → chunk. Returns (doc_id, chunk_idx, chunk_text, chunk_len)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+
+    # --- language argmax (same construction as text.lang_id) ---------
+    langs = sorted(_LANG_MARKERS)
+
+    def _score(lg: str):
+        # closure, NOT a default arg: a second lambda param would be
+        # silently bound to the array index by the HOF machinery
+        markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lg]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    scores = {lg: _score(lg) for lg in langs}
+    pairs = F.array(
+        *[F.struct(scores[lg].alias("s"), F.lit(-i).alias("ord")) for i, lg in enumerate(langs)]
+    )
+    best = F.array_max(pairs)
+    pred = F.when(best.getField("s") == 0, F.lit("und"))
+    for i, lg in enumerate(langs):
+        pred = pred.when(-best.getField("ord") == i, F.lit(lg))
+
+    # --- quality (same arithmetic as text.quality_score) -------------
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    n_chars = F.length("text")
+    mean_wlen = n_chars.cast("double") / n_tok
+    quality = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(n_stop * 100 >= n_tok * 5, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(n_alpha * 100 >= n_chars * 60, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+
+    fingerprint = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+    kept = (
+        docs.select("doc_id", "text", pred.alias("_lang"), quality.alias("_q"), fingerprint.alias("_fp"))
+        .where((F.col("_lang") == lang) & (F.col("_q") >= min_quality))
+    )
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    deduped = kept.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+
+    # --- chunking (same construction as text.chunk_documents) --------
+    stride = chunk_tokens - overlap
+    dtoks = _tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(dtoks) - overlap, F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(dtoks, s, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.size(dtoks) - s + 1, F.lit(chunk_tokens)).alias("chunk_len"),
+        ),
+    )
+    return deduped.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_len").alias("chunk_len"),
+    )
+
+
+def _pipeline_sql(lang: str = "en", min_quality: float = 0.75,
+                  chunk_tokens: int = 32, overlap: int = 8) -> str:
+    stride = chunk_tokens - overlap
+    langs = sorted(_LANG_MARKERS)
+    score_exprs = ",\n         ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in _LANG_MARKERS[lg])
+        + f"], t))) AS score_{lg}"
+        for lg in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = f"CASE WHEN {greatest} = 0 THEN 'und' "
+    for lg in langs:
+        case += f"WHEN score_{lg} = {greatest} THEN '{lg}' "
+    case += "END"
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, toks,
+         {score_exprs},
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains([{sw}], x))) AS n_stop,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) AS n_chars
+  FROM tok
+), judged AS (
+  SELECT doc_id, text,
+         {case} AS lang_pred,
+         (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25::DOUBLE ELSE 0.0 END
+          + CASE WHEN CAST(n_chars AS DOUBLE)/n_tokens BETWEEN 3.0 AND 12.0 THEN 0.25::DOUBLE ELSE 0.0 END
+          + CASE WHEN n_stop*100 >= n_tokens*5 THEN 0.25::DOUBLE ELSE 0.0 END
+          + CASE WHEN n_alpha*100 >= n_chars*60 THEN 0.25::DOUBLE ELSE 0.0 END) AS quality,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+  FROM scored
+), kept AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM judged
+  WHERE lang_pred = '{lang}' AND quality >= {min_quality}
+), rt AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM kept WHERE rn = 1
+), spans AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {overlap}, 1) + 1, {stride})) AS s,
+         unnest(range(0, CAST(ceil(greatest(len(toks) - {overlap}, 1) / {stride}.0) AS BIGINT))) AS chunk_idx
+  FROM rt
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(toks[s:s+{chunk_tokens - 1}], ' ') AS chunk_text,
+       CAST(least(len(toks) - s + 1, {chunk_tokens}) AS INT) AS chunk_len
+FROM spans
+"""
+
+
+PIPELINE_SQL = _pipeline_sql()

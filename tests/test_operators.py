@@ -110,3 +110,28 @@ def test_infer_dynamic_schema(spark, sf_dir):
 
     s = infer_dynamic_schema(load_table(spark, sf_dir, "events"), "props")
     assert "k" in s and "BIGINT" in s.upper()
+
+
+def test_resize_and_frame_sample_plumbing(spark, sf_dir):
+    from mito_spark.operators import multimodal
+
+    media = multimodal.media_from_documents(spark, sf_dir).limit(20)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 8, 8).collect()  # codec boundary marked
+
+    resized = multimodal.resize_images(media, 8, 8, fake=True)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(len(r.content) == 64 and r.width == 8 for r in rows)
+
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4, fake=True)
+    out = frames.collect()
+    assert {r.media_id for r in out} == {r.media_id for r in rows}
+    per = {}
+    for r in out:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    for idxs in per.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense frame indexes
+        assert len(idxs) <= 4
