@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.cosine_topk_bruteforce,
         "ann_cosine_topk_lsh": similarity.cosine_topk_lsh,
         "embedding_near_dup": similarity.embedding_near_dup,
+        # rows-only: distributed k-means centroid means are reduce-order
+        # sensitive in their last float bits, so no cross-engine hash
+        "ann_cosine_topk_ivf": similarity.cosine_topk_ivf,
         # text analysis
         "text_token_count": text.token_count,
         "text_lang_id": text.lang_id,

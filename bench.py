@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
     "text_token_count",
     "text_lang_id",
     "text_quality",

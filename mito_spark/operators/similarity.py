@@ -256,3 +256,107 @@ FROM pairs WHERE cos >= {threshold}
 
 
 NEAR_DUP_SQL = _near_dup_sql()
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------
+
+
+def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int = 5) -> list[list[float]]:
+    """Distributed Lloyd iterations: assignment + per-cell mean are
+    DataFrame jobs (shuffle on cell id); only the centroid table
+    (n_cells × dim floats) ever reaches the driver. Seeds are
+    stride-sampled by vec_id for determinism of the starting point."""
+    n = emb.count()
+    stride = max(n // n_cells, 1)
+    seeds = (
+        emb.where((F.col("vec_id") % stride == 0) & (F.col("vec_id") / stride < n_cells))
+        .orderBy("vec_id")
+        .select("v")
+        .collect()
+    )
+    centroids = [list(r.v) for r in seeds][:n_cells]
+    for _ in range(iters):
+        cell = _nearest_cell_expr(centroids)
+        means = (
+            emb.select(cell.alias("cell"), "v")
+            .groupBy("cell")
+            .agg(
+                F.array(*[F.avg(F.col("v")[i]) for i in range(len(centroids[0]))]).alias("c"),
+            )
+            .collect()
+        )
+        for r in means:
+            centroids[r.cell] = list(r.c)
+    return centroids
+
+
+def _nearest_cell_expr(centroids: list[list[float]]) -> Column:
+    """argmin over centroid literals: per-row cost cells × dim FMAs,
+    folded into codegen — the centroid table rides in the plan."""
+    dists = [
+        F.aggregate(
+            F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    pairs = F.array(*[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)])
+    return F.array_min(pairs).getField("i")
+
+
+def cosine_topk_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer → corpus partitioned into
+    cells → each query scores only its ``nprobe`` nearest cells.
+    Returns the brute-force schema so recall is measurable by join.
+
+    100 TB shape: the centroid table is tiny and broadcast in-plan; the
+    corpus is scanned once to tag cells (in production: written
+    partitioned by cell, so probes prune partitions); per-query work
+    drops from N to ~N·nprobe/n_cells.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = _kmeans_centroids(emb, n_cells)
+    tagged = emb.withColumn("cell", _nearest_cell_expr(centroids)).persist()
+    # query-side: nprobe nearest cells per query
+    dists = [
+        F.aggregate(
+            F.zip_with(F.col("q"), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    cell_pairs = F.array(*[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)])
+    probe_cells = F.transform(
+        F.slice(F.array_sort(cell_pairs), 1, nprobe), lambda p: p.getField("i")
+    )
+    queries = (
+        tagged.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+        .withColumn("cell", F.explode(probe_cells))
+    )
+    joined = (
+        tagged.join(F.broadcast(queries), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
+    )

@@ -135,3 +135,17 @@ def test_resize_and_frame_sample_plumbing(spark, sf_dir):
     for idxs in per.values():
         assert sorted(idxs) == list(range(len(idxs)))  # dense frame indexes
         assert len(idxs) <= 4
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4/16 cells must recover most of the true top-10
+    (recall is the contract for an ANN tier; exactness is the
+    brute-force tier's job)."""
+    from mito_spark.operators import similarity
+
+    exact = similarity.cosine_topk_bruteforce(spark, sf_dir, n_queries=5, k=10).collect()
+    approx = similarity.cosine_topk_ivf(spark, sf_dir, n_queries=5, k=10).collect()
+    true = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(true & got) / len(true)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
