@@ -286,3 +286,40 @@ def test_custom_mime_transform_rot13(spark, tmp_path):
     f.write_text("uryyb jbeyq")
     out = read_mime(spark, str(f), "text/x-rot13").first()
     assert out.value == "hello world"
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Date-partitioned layout: a date predicate must show up as a
+    PartitionFilter (pruned directories), not a data filter."""
+    from mito_spark.engine import load_table
+    from mito_spark.sources.sinks import add_date_partition, write_partitioned
+
+    ev = add_date_partition(load_table(spark, sf_dir, "events"))
+    path = str(tmp_path / "events_pt")
+    write_partitioned(ev, path, "dt")
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    q = back.where("dt = DATE'2024-01-05'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "dt" in plan.split("PartitionFilters")[1][:120]
+    # dynamic overwrite: rewriting one day leaves the rest intact
+    one_day = ev.where("dt = DATE'2024-01-05'")
+    write_partitioned(one_day, path, "dt")
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_compaction_reduces_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from mito_spark.engine import load_table
+    from mito_spark.sources.sinks import add_date_partition, compact, write_partitioned
+
+    ev = add_date_partition(load_table(spark, sf_dir, "events")).repartition(16)
+    path = str(tmp_path / "ev")
+    write_partitioned(ev, path, "dt")
+    n_before = len(glob.glob(f"{path}/dt=*/*.parquet"))
+    compact(spark, path, target_files=1)
+    n_after = len(glob.glob(f"{path}/dt=*/*.parquet"))
+    assert n_after < n_before
+    assert spark.read.parquet(path).count() == ev.count()
