@@ -127,3 +127,33 @@ def run_stream_to_list(df: DataFrame, timeout_s: float = 120.0) -> list:
     q.awaitTermination(timeout_s)
     sink.close()
     return rows
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       on: str, left_ts: str = "ts", right_ts: str = "ts",
+                       watermark: str = "1 hour", within: str = "30 minutes") -> DataFrame:
+    """Watermarked stream-stream inner join: each side buffers only
+    rows younger than its watermark, and the time-bound predicate lets
+    the engine evict state — unbounded joins are refused by Spark for
+    exactly the reason they'd die at scale."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.select(
+        F.col(on).alias("_rk"),
+        F.col(right_ts).alias("_rts"),
+        *[c for c in right.columns if c not in (on, right_ts)],
+    ).withWatermark("_rts", watermark)
+    cond = (
+        (F.col(on) == F.col("_rk"))
+        & (F.col("_rts") >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+        & (F.col("_rts") <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").drop("_rk")
+
+
+def streaming_dedup(events: DataFrame, keys: list[str],
+                    ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (dropDuplicatesWithinWatermark): the streaming twin of exact dedup
+    — state holds one entry per key and is evicted once the watermark
+    passes, so memory is bounded by the horizon, not the stream."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

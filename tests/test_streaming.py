@@ -109,3 +109,48 @@ def test_per_key_cursor_matches_batch(spark, sf_dir):
         assert s.n_events == b.n_events
         assert s.first_ts == b.first_ts and s.last_ts == b.last_ts
         assert abs(s.total_value - b.total_value) < 1e-6
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Self-join events↔events on user_id within ±30min: the streaming
+    result (complete drain) must equal the equivalent batch join."""
+    from mito_spark.engine import load_table
+    from mito_spark.streaming.stream_ops import stream_stream_join
+
+    left = stream_events_from_parquet(spark, sf_dir).select("user_id", "ts", "event_id")
+    right = stream_events_from_parquet(spark, sf_dir).select(
+        "user_id", "ts", F.col("event_id").alias("rid")
+    )
+    joined = stream_stream_join(left, right, on="user_id", within="30 minutes")
+    rows = []
+    sink = ChannelSink("ssj", lambda b, _i: rows.extend(b.collect()))
+    q = sink.send_to(joined.select("event_id", "rid"), availableNow=True)
+    q.awaitTermination(120)
+    sink.close()
+
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.select("user_id", "ts", "event_id")
+    r = ev.select(F.col("user_id").alias("u2"), F.col("ts").alias("ts2"), F.col("event_id").alias("rid"))
+    batch = (
+        l.join(r, (F.col("user_id") == F.col("u2"))
+               & (F.col("ts2") >= F.col("ts") - F.expr("INTERVAL 30 minutes"))
+               & (F.col("ts2") <= F.col("ts") + F.expr("INTERVAL 30 minutes")))
+        .select("event_id", "rid")
+    )
+    got = {(r_.event_id, r_.rid) for r_ in rows}
+    want = {(r_.event_id, r_.rid) for r_ in batch.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir):
+    from mito_spark.streaming.stream_ops import streaming_dedup
+
+    stream = stream_events_from_parquet(spark, sf_dir)
+    deduped = streaming_dedup(stream, ["user_id"], watermark="10 days")
+    rows = []
+    sink = ChannelSink("dedup", lambda b, _i: rows.extend(b.collect()))
+    q = sink.send_to(deduped.select("user_id"), availableNow=True)
+    q.awaitTermination(120)
+    sink.close()
+    seen = [r.user_id for r in rows]
+    assert len(seen) == len(set(seen))  # at most one row per user within horizon
