@@ -107,3 +107,12 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view so the whole
+    engine surface is reachable from plain ``spark.sql`` — the same
+    names the DuckDB oracle uses, so any oracle_sql() string is also
+    directly runnable (modulo dialect) against Spark."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -149,3 +149,13 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(true & got) / len(true)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    from mito_spark.engine import register_views
+
+    register_views(spark, sf_dir)
+    row = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey"
+    ).first()
+    assert row.n > 0
