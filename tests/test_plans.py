@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: the scale properties BENCH_NOTES
+documents, asserted so they can't silently regress — pushdown reaches
+the scan, projection prunes columns, joins pick the right strategy,
+and no plan ever degenerates to a Cartesian product."""
+
+from __future__ import annotations
+
+import re
+
+from mito_spark.operators import asof, relational, relational2
+
+
+def _plan(df) -> str:
+    # formatted mode always includes scan details (ReadSchema/PushedFilters)
+    from pyspark.sql import SparkSession
+
+    jvm = SparkSession.getActiveSession()._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _read_schemas(plan: str) -> list[list[str]]:
+    return [s.split(",") for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(relational.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    (cols,) = _read_schemas(plan)
+    assert len(cols) <= 9  # 11-column table, ≥2 pruned
+
+
+def test_q6_reads_four_columns(spark, sf_dir):
+    plan = _plan(relational.q6_forecast_revenue(spark, sf_dir))
+    (cols,) = _read_schemas(plan)
+    assert len(cols) == 4
+    assert plan.count("PushedFilters: [],") == 0  # every scan carries filters
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(relational.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    semi = _plan(relational2.q4_priority_semi(spark, sf_dir))
+    anti = _plan(relational2.q22_idle_rich_customers(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+    assert "CartesianProduct" not in semi and "CartesianProduct" not in anti
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    from mito_spark.operators.skew import explain_shuffle_count
+
+    df = asof.events_asof_latest_order(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # union + keyed window: exactly one shuffle on the join key
+    assert explain_shuffle_count(df) == 1
+
+
+def test_top_n_uses_take_ordered(spark, sf_dir):
+    plan = _plan(relational.q3_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort materialized
