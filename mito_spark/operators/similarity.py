@@ -261,11 +261,18 @@ NEAR_DUP_SQL = _near_dup_sql()
 # --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------
 
 
-def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int = 5) -> list[list[float]]:
+def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int = 3,
+                      train_cap: int = 512) -> list[list[float]]:
     """Distributed Lloyd iterations: assignment + per-cell mean are
     DataFrame jobs (shuffle on cell id); only the centroid table
     (n_cells × dim floats) ever reaches the driver. Seeds are
-    stride-sampled by vec_id for determinism of the starting point."""
+    stride-sampled by vec_id for determinism of the starting point.
+
+    Training runs on a deterministic id-capped sample (coarse
+    quantizers need cluster SHAPE, not every point — faiss trains IVF
+    on samples for the same reason); assignment of the full corpus
+    happens once, after training."""
+    emb = emb.where(F.col("vec_id") < train_cap)
     n = emb.count()
     stride = max(n // n_cells, 1)
     seeds = (
