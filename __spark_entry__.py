@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_showcase": scalar_showcase.time_showcase,
         "regexp_showcase": scalar_showcase.regexp_showcase,
         "collections_showcase": scalar_showcase.collections_showcase,
+        "collections_showcase2": scalar_showcase.collections_showcase2,
         # dedup (north-star LLM-pipeline surface)
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "time_showcase": scalar_showcase.TIME_SQL,
         "regexp_showcase": scalar_showcase.REGEXP_SQL,
         "collections_showcase": scalar_showcase.COLLECTIONS_SQL,
+        "collections_showcase2": scalar_showcase.COLLECTIONS2_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_lsh": dedup.MINHASH_LSH_SQL,
         "dedup_simhash": dedup.SIMHASH_SQL,

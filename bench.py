@@ -58,6 +58,7 @@ HEADLINE = [
     "time_showcase",
     "regexp_showcase",
     "collections_showcase",
+    "collections_showcase2",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -182,3 +182,53 @@ SELECT source,
        list_sort(list_distinct(list(lang))) AS zip_keys
 FROM documents GROUP BY source
 """
+
+
+def collections_showcase2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining §2.2 ops under oracle: flatten_deep over built
+    nesting, drop_empty pruning an empty inner list, and the three map
+    merge variants (with / with_update / with_replace) read back
+    through values_sorted. The oracle computes each expected value
+    independently, so Spark must reproduce the op semantics exactly."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    nested = F.array(F.slice(toks, 1, 3), F.slice(toks, 4, 3))
+    df = docs.select("doc_id", "n_chars", nested.alias("nested"), toks.alias("toks"))
+    flat = C.flatten_deep(df, "nested")
+
+    long_words = F.filter(F.col("toks"), lambda t: F.length(t) > 3)
+    none_words = F.filter(F.col("toks"), lambda t: t == F.lit("zzzzqq"))
+    pair = F.array(long_words, none_words)
+    df = df.withColumn("pair", pair)
+    pruned = C.drop_empty(df, "pair")
+
+    m1 = F.create_map(
+        F.lit("a"), F.col("n_chars").cast("bigint"),
+        F.lit("b"), F.col("doc_id").cast("bigint"),
+    )
+    m2 = F.create_map(F.lit("b"), F.lit(0).cast("bigint"), F.lit("c"), F.lit(1).cast("bigint"))
+    return df.select(
+        "doc_id",
+        flat.alias("flat"),
+        F.size(pruned).alias("n_nonempty_lists"),
+        C.values_sorted(C.map_with(m1, m2)).alias("with_vals"),
+        C.values_sorted(C.map_with_update(m1, m2)).alias("update_vals"),
+        C.values_sorted(C.map_with_replace(m1, m2)).alias("replace_vals"),
+    )
+
+
+COLLECTIONS2_SQL = r"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       toks[1:6] AS flat,
+       CAST(CASE WHEN len(list_filter(toks, t -> length(t) > 3)) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN len(list_filter(toks, t -> t = 'zzzzqq')) > 0 THEN 1 ELSE 0 END AS INT) AS n_nonempty_lists,
+       [n_chars, CAST(0 AS BIGINT), CAST(1 AS BIGINT)] AS with_vals,
+       [n_chars, doc_id, CAST(1 AS BIGINT)] AS update_vals,
+       [n_chars, CAST(0 AS BIGINT)] AS replace_vals
+FROM t
+"""
