@@ -178,19 +178,19 @@ def to_title(s) -> Column:
 
 def to_valid_utf8(b, replacement: str = "�") -> Column:
     """bytes → string with invalid sequences replaced
-    (strings.go:928). Spark's decode(..., 'UTF-8') already replaces
-    invalid bytes with U+FFFD; a custom replacement swaps it after."""
-    out = F.decode(_c(b), "UTF-8")
+    (strings.go:928). binary→string cast reinterprets without
+    validation; make_valid_utf8 (Spark 4) substitutes U+FFFD for
+    invalid sequences — decode() would throw instead."""
+    out = F.make_valid_utf8(_c(b).cast("string"))
     if replacement != "�":
         out = F.replace(out, F.lit("�"), F.lit(replacement))
     return out
 
 
 def valid_utf8(b) -> Column:
-    """True if bytes are valid UTF-8 (strings.go:1008): decode+encode
-    round-trip preserves the bytes iff input was valid."""
-    b = _c(b)
-    return F.encode(F.decode(b, "UTF-8"), "UTF-8") == b
+    """True if bytes are valid UTF-8 (strings.go:1008) — Spark 4's
+    is_valid_utf8 over the unchecked binary→string reinterpretation."""
+    return F.is_valid_utf8(_c(b).cast("string"))
 
 
 def trim(s, cutset: str) -> Column:

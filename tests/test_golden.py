@@ -106,6 +106,39 @@ SCENARIOS = [
         {"x": 1, "y": 2},
     ),
     (
+        # reference crypto goldens (testdata/{md5,sha256,base64,hex}.txt,
+        # lib/crypto.go:100-157): known digests for "hello world"
+        "crypto_goldens",
+        "testdata/md5.txt + sha256.txt + base64.txt + hex.txt",
+        {"s": "hello world"},
+        lambda df: (lambda F, cr: F.struct(
+            cr.md5_hex(F.col("doc.s")).alias("md5"),
+            cr.sha256_hex(F.col("doc.s")).alias("sha256"),
+            cr.base64(F.col("doc.s")).alias("b64"),
+            cr.base64_raw(F.col("doc.s")).alias("b64r"),
+            cr.hex_lower(F.encode(F.col("doc.s"), "UTF-8")).alias("hex"),
+        ))(__import__("pyspark.sql.functions", fromlist=["F"]), __import__("mito_spark.functions.crypto", fromlist=["crypto"])),
+        {
+            "md5": "5eb63bbbe01eeed093cb22bb8f5acdc3",
+            "sha256": "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9",
+            "b64": "aGVsbG8gd29ybGQ=",
+            "b64r": "aGVsbG8gd29ybGQ",
+            "hex": "68656c6c6f20776f726c64",
+        },
+    ),
+    (
+        # testdata/format_time.txt semantics: Go reference-time layouts
+        "format_time_layouts",
+        "testdata/format_time.txt + time_layout.txt",
+        {"t": "2023-10-05 15:04:05"},
+        lambda df: (lambda F, tf: F.struct(
+            tf.format_time(F.to_timestamp(F.col("doc.t")), "2006-01-02").alias("date"),
+            tf.format_time(F.to_timestamp(F.col("doc.t")), "Kitchen").alias("kitchen"),
+            tf.format_time(F.to_timestamp(F.col("doc.t")), "Mon Jan _2 15:04:05 2006").alias("ansic"),
+        ))(__import__("pyspark.sql.functions", fromlist=["F"]), __import__("mito_spark.functions.timefns", fromlist=["timefns"])),
+        {"date": "2023-10-05", "kitchen": "3:04PM", "ansic": "Thu Oct 5 15:04:05 2023"},
+    ),
+    (
         "json_encode_decode",
         "testdata/json_encode.txt + json_decode.txt",
         {"msg": "hello world", "n": 7},

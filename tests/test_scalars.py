@@ -153,3 +153,35 @@ def test_try_error_as_value(spark):
         ).alias("e")
     ).collect()
     assert [r.e for r in err] == [True, False]
+
+
+def test_remaining_string_functions(spark):
+    df = spark.createDataFrame(
+        [("Hello World", "HELLO WORLD", b"ok\xffbad")], "a string, b string, bin binary"
+    )
+    row = df.select(
+        strings.equal_fold("a", F.col("b")).alias("fold"),
+        strings.to_title(F.lit("hello world")).alias("title"),
+        strings.contains_any("a", "xyzW").alias("any"),
+        strings.contains_any("a", "xyz").alias("none"),
+        strings.split_n(F.lit("a,b,c,d"), ",", 2).alias("sn"),
+        strings.trim_left(F.lit("xxhixx"), "x").alias("tl"),
+        strings.trim_right(F.lit("xxhixx"), "x").alias("tr"),
+        strings.trim_suffix(F.lit("file.txt"), ".txt").alias("ts"),
+        strings.trim_suffix(F.lit("file.txt"), ".csv").alias("ts_noop"),
+        strings.valid_utf8("bin").alias("valid"),
+        strings.valid_utf8(F.encode(F.lit("fine"), "UTF-8")).alias("valid_ok"),
+        strings.to_valid_utf8("bin").alias("repaired"),
+        strings.compare("a", F.col("b")).alias("cmp"),
+        strings.compare("a", F.col("a")).alias("cmp_eq"),
+    ).first()
+    assert row.fold is True       # case-insensitive equality (Go EqualFold)
+    assert row.title == "HELLO WORLD"
+    assert row.any is True and row.none is False
+    assert row.sn == ["a", "b,c,d"]  # n-limited split keeps remainder
+    assert row.tl == "hixx" and row.tr == "xxhi"
+    assert row.ts == "file" and row.ts_noop == "file.txt"
+    assert row.valid is False and row.valid_ok is True
+    assert "�" in row.repaired and row.repaired.startswith("ok")
+    assert row.cmp == 1 or row.cmp == -1  # 'H' vs 'E' ordering is definite
+    assert row.cmp_eq == 0
