@@ -73,6 +73,23 @@ class RegexpRegistry:
         ]
         return F.when(col.rlike(pat), F.array(*parts))
 
+    def re_find_all_submatch(self, name: str, s) -> Column:
+        """Whole match + capture groups for EVERY match → array of
+        arrays (regexp.go:294): per-group regexp_extract_all runs are
+        zipped positionally — the i-th full match aligns with the i-th
+        extraction of each group because extraction order is document
+        order in both engines."""
+        pat = self._get(name)
+        ngroups = re.compile(pat).groups
+        col = self._c(s)
+        per_group = [F.regexp_extract_all(col, F.lit("(" + pat + ")"), F.lit(1))] + [
+            F.regexp_extract_all(col, F.lit(pat), F.lit(i + 1)) for i in range(ngroups)
+        ]
+        idx = F.sequence(F.lit(1), F.size(per_group[0]))
+        return F.transform(
+            idx, lambda i: F.array(*[F.element_at(g, i) for g in per_group])
+        )
+
     def re_replace_all(self, name: str, s, replacement: str) -> Column:
         """Replace all matches; ``${1}``/``$1`` group refs supported —
         both Go and Java use $-refs (regexp.go:313-341)."""
