@@ -323,3 +323,11 @@ def test_compaction_reduces_files(spark, sf_dir, tmp_path):
     n_after = len(glob.glob(f"{path}/dt=*/*.parquet"))
     assert n_after < n_before
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_read_file_bytes(spark, tmp_path):
+    f = tmp_path / "payload.bin"
+    f.write_bytes(b"\x00\x01hello")
+    row = fsrc.read_file_bytes(spark, str(f)).first()
+    assert bytes(row.content) == b"\x00\x01hello"
+    assert row.length == 7
