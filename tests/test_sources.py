@@ -331,3 +331,56 @@ def test_read_file_bytes(spark, tmp_path):
     row = fsrc.read_file_bytes(spark, str(f)).first()
     assert bytes(row.content) == b"\x00\x01hello"
     assert row.length == 7
+
+
+def test_oauth2_client_credentials_flow(spark):
+    """Token fetch + bearer stamping against a local token server
+    (reference basic_auth_config / mito.go:421-506 flow semantics)."""
+    import http.server
+    import threading
+    from urllib.parse import parse_qs
+
+    from mito_spark.sources.oauth2 import OAuth2Config, OAuth2Session
+
+    seen = {}
+
+    class TokenH(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+            seen.update({k: v[0] for k, v in parse_qs(body).items()})
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(json.dumps(
+                {"access_token": "tok123", "token_type": "Bearer", "expires_in": 3600}
+            ).encode())
+
+        def do_GET(self):
+            auth = self.headers.get("Authorization", "")
+            self.send_response(200 if auth == "Bearer tok123" else 401)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), TokenH)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        sess = OAuth2Session(OAuth2Config(
+            token_url=f"{base}/token", client_id="cid", client_secret="sec",
+            scopes=["read", "write"],
+        ))
+        req = sess.authorize(hsrc.get_request(f"{base}/api"))
+        assert seen["grant_type"] == "client_credentials"
+        assert seen["scope"] == "read write" and seen["client_id"] == "cid"
+        assert req["Header"]["Authorization"] == ["Bearer tok123"]
+        resp = hsrc.do_request(req)
+        assert resp["StatusCode"] == 200  # server accepted the bearer
+        # cached: a second authorize must not re-fetch
+        seen.clear()
+        sess.authorize(hsrc.get_request(f"{base}/api2"))
+        assert seen == {}
+    finally:
+        srv.shutdown()
