@@ -200,3 +200,34 @@ def test_per_key_cursor_resumes_from_checkpoint(spark, sf_dir, tmp_path):
         assert abs(final[uid].total_value - b.total_value) < 1e-6
     # and the first run genuinely saw only half the data
     assert sum(r.n_events for r in first.values()) < sum(r.n_events for r in final.values())
+
+
+def test_timer_sessionization_matches_declarative(spark, sf_dir):
+    """Timer-driven sessions (transformWithStateInPandas) must agree
+    with the declarative session_window twin on closed sessions."""
+    import pytest
+
+    from mito_spark.streaming.tws import sessionize_with_timers, tws_available
+
+    if not tws_available():
+        pytest.skip("transformWithState needs google.protobuf (not in this container)")
+
+    stream = stream_events_from_parquet(spark, sf_dir)
+    rows = []
+    sink = ChannelSink("tws", lambda b, _i: rows.extend(b.collect()))
+    q = sink.send_to(sessionize_with_timers(stream, gap_seconds=1800),
+                     availableNow=True)
+    q.awaitTermination(180)
+    sink.close()
+
+    declarative = {
+        (r.user_id, r.session_start): r.n_events
+        for r in run_stream_to_list(streaming_sessionize(stream, gap="30 minutes"))
+    }
+    got = {(r.user_id, r.session_start): r.n_events for r in rows}
+    # timer sessions close only when the watermark passes; the final
+    # still-open session per key never emits in a finite replay, so the
+    # timer output must be a subset that agrees exactly where emitted
+    assert got  # something closed
+    for k, n in got.items():
+        assert declarative.get(k) == n, f"session {k} disagrees"
