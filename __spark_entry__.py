@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_rich_customers": relational2.q22_idle_rich_customers,
         "revenue_rollup": relational2.revenue_rollup,
         "order_cube": relational2.order_cube,
+        "sql_grouping_sets": relational2.sql_grouping_sets,
         "customer_running_totals": relational2.customer_running_totals,
         "nation_set_ops": relational2.nation_set_ops,
         # event-stream surface (SURVEY §1.1/§2.11 batch twins)
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_idle_rich_customers": relational2.Q22_SQL,
         "revenue_rollup": relational2.ROLLUP_SQL,
         "order_cube": relational2.CUBE_SQL,
+        "sql_grouping_sets": relational2.GROUPING_SETS_SQL,
         "customer_running_totals": relational2.RUNNING_SQL,
         "nation_set_ops": relational2.SET_OPS_SQL,
         "events_by_type": events.EVENTS_BY_TYPE_SQL,

@@ -44,6 +44,7 @@ HEADLINE = [
     "q22_idle_rich_customers",
     "revenue_rollup",
     "order_cube",
+    "sql_grouping_sets",
     "customer_running_totals",
     "nation_set_ops",
     "events_asof_join",
