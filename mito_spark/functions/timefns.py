@@ -130,3 +130,22 @@ def now_pinned() -> Column:
     (time.go:151-152); Spark's current_timestamp() is likewise pinned
     per query — semantics align."""
     return F.current_timestamp()
+
+
+def now_instant() -> Column:
+    """``now()`` the *call-time* clock (time.go:194-199), as opposed to
+    the evaluation-pinned ``now`` global (now_pinned): current_timestamp
+    is query-constant in Spark, so the instant form needs a (cheap,
+    scalar) pandas UDF reading the executor clock per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("timestamp")
+    def _clock(s):  # no annotations: local pd import breaks inference
+        import pandas as pd
+
+        now = pd.Timestamp.utcnow().tz_localize(None)
+        return pd.Series([now] * len(s))
+
+    from pyspark.sql import functions as F
+
+    return _clock(F.lit(0))

@@ -81,3 +81,13 @@ def test_regexp_submatches(spark):
     ).first()
     assert row.sm == ["a=1", "a", "1"]  # full match + groups, Go shape
     assert row.all == [["a=1", "a", "1"], ["b=22", "b", "22"]]
+
+
+def test_now_instant_vs_pinned(spark):
+    import time as _t
+
+    df = spark.range(4)
+    t0 = df.select(timefns.now_instant().alias("t")).first().t
+    _t.sleep(1.2)
+    t1 = df.select(timefns.now_instant().alias("t")).first().t
+    assert t1 > t0  # advances between evaluations (call-time clock)
