@@ -67,3 +67,55 @@ def get_json_path(col, path: str) -> Column:
     ('b.c') or a full JSONPath ('$.b.c')."""
     jpath = path if path.startswith("$") else f"$.{path}"
     return F.get_json_object(_c(col), jpath)
+
+
+def has_json_path(col, path: str) -> Column:
+    """``has(state.?x.?y.z)`` on dynamic data (optional-access chain,
+    reference testdata/optional_types.txt; enabled at mito.go:83): true
+    iff the full path exists. Variant-based so a missing intermediate
+    field is null-absorbed, never an analysis or runtime error; malformed
+    JSON is also false (error-as-value)."""
+    jpath = path if path.startswith("$") else f"$.{path}"
+    return F.try_variant_get(F.try_parse_json(_c(col).cast("string")), jpath, "variant").isNotNull()
+
+
+def flatten_json(col) -> Column:
+    """Ragged depth-first flatten of a *dynamic* JSON array — the dyn
+    fallback for ``list.flatten()`` when element depth varies per row
+    (reference testdata/flatten_mixed.txt: [[{..}],[2,3],[[[4]],[5,6]]]
+    → [{..},2,3,4,5,6]; collections.go:560-583 — lists are recursed,
+    maps are leaves). Static uniform-depth arrays should use
+    collections.flatten_deep (pure built-ins); this path is an
+    Arrow-batched pandas UDF because ragged depth is unknowable at plan
+    time. Returns the flattened array re-encoded as a JSON string."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _flat(s):
+        def one(v):
+            if v is None:
+                return None
+            try:
+                data = _json.loads(v)
+            except ValueError:
+                return None  # error-as-value: malformed input → null
+            out = []
+
+            def rec(x):
+                if isinstance(x, list):
+                    for e in x:
+                        rec(e)
+                else:
+                    out.append(x)
+
+            rec(data)
+            return _json.dumps(out, separators=(",", ":"))
+
+        return s.map(one)
+
+    # real annotation objects: the module's postponed annotations would
+    # otherwise reach pandas_udf as unresolvable strings
+    _flat.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_flat, "string")(_c(col).cast("string"))

@@ -145,6 +145,39 @@ SCENARIOS = [
         lambda df: F.from_json(F.to_json(F.col("doc")), "msg string, n int"),
         {"msg": "hello world", "n": 7},
     ),
+    (
+        # ragged dyn flatten: depth varies per element, maps are leaves
+        "flatten_mixed",
+        "testdata/flatten_mixed.txt",
+        {"x": "[[{\"a\":1,\"b\":[10,11]}],[2,3],[[[4]],[5,6]]]"},
+        lambda df: (lambda J: F.from_json(J.flatten_json(F.col("doc.x")), "array<string>"))(
+            __import__("mito_spark.functions.jsonfns", fromlist=["jsonfns"])
+        ),
+        ['{"a":1,"b":[10,11]}', "2", "3", "4", "5", "6"],
+    ),
+    (
+        # has(state.?x.?y.z) over a doc with no x at all → false, no error
+        "optional_types",
+        "testdata/optional_types.txt",
+        {"n": 0},
+        lambda df: (lambda J: F.struct(
+            J.has_json_path(F.to_json(F.col("doc")), "x.y.z").alias("has_x_y_z"),
+            J.has_json_path(F.to_json(F.col("doc")), "n").alias("has_n"),
+        ))(__import__("mito_spark.functions.jsonfns", fromlist=["jsonfns"])),
+        {"has_x_y_z": False, "has_n": True},
+    ),
+    (
+        # as(v, expr) let-binding: alias + reuse, no runtime op
+        # (makeAs collections.go:1098-1113 rewrites to [v].map(..)[0])
+        "as_let_binding",
+        "testdata/as.txt",
+        {"a": 1, "b": 2},
+        lambda df: (lambda v: F.struct(
+            (v.getField("a") == 1).alias("pred"),
+            C.map_with(_as_map(v), F.create_map(F.lit("c"), F.lit(3))).alias("merged"),
+        ))(F.col("doc")),
+        {"pred": True, "merged": {"a": 1, "b": 2, "c": 3}},
+    ),
 ]
 
 
