@@ -26,6 +26,7 @@ from mito_spark.operators import (
     relational2,
     scalar_showcase,
     similarity,
+    sketches,
     text,
 )
 
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": events.events_by_type,
         "events_props_extract": events.events_props_extract,
         "events_props_variant": dynamic.events_props_variant,
+        "events_props_presence": dynamic.events_props_presence,
         "sessionize": events.sessionize,
         "user_activity_windows": events.user_activity_windows,
         "events_asof_join": asof.events_asof_latest_order,
@@ -93,6 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: distributed k-means centroid means are reduce-order
         # sensitive in their last float bits, so no cross-engine hash
         "ann_cosine_topk_ivf": similarity.cosine_topk_ivf,
+        # rows-only: sketch estimates are engine-specific by design;
+        # error bounds vs the exact twins are pytest-enforced
+        # (tests/test_sketches.py); exact twins are oracled above
+        "sketch_distinct_profile": sketches.sketch_distinct_profile,
         # text analysis
         "text_token_count": text.token_count,
         "text_lang_id": text.lang_id,
@@ -138,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": events.EVENTS_BY_TYPE_SQL,
         "events_props_extract": events.EVENTS_PROPS_SQL,
         "events_props_variant": dynamic.PROPS_VARIANT_SQL,
+        "events_props_presence": dynamic.PROPS_PRESENCE_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "user_activity_windows": events.USER_ACTIVITY_SQL,
         "events_asof_join": asof.EVENTS_ASOF_SQL,

@@ -52,6 +52,8 @@ HEADLINE = [
     "events_by_type",
     "events_props_extract",
     "events_props_variant",
+    "events_props_presence",
+    "sketch_distinct_profile",
     "sessionize",
     "user_activity_windows",
     "strings_showcase",

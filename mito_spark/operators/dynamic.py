@@ -52,6 +52,39 @@ FROM events GROUP BY event_type
 """
 
 
+def events_props_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``has(state.?props.?k)`` over the event stream: optional-chain
+    presence checks on dynamic JSON (reference optional_types.txt +
+    has() macro, mito.go:83). A probe of a path that never exists
+    (missing.x) exercises null-absorption — no error, just false —
+    while staying JVM-side (variant expressions, no Python)."""
+    from mito_spark.functions.jsonfns import has_json_path
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            has_json_path(F.col("props"), "k").alias("has_k"),
+            has_json_path(F.col("props"), "missing.x").alias("has_missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("has_k").cast("bigint")).alias("n_with_k"),
+            F.sum(F.col("has_missing").cast("bigint")).alias("n_with_missing"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+PROPS_PRESENCE_SQL = """
+SELECT event_type,
+       SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS n_with_k,
+       SUM(CASE WHEN json_extract(props, '$.missing.x') IS NOT NULL THEN 1 ELSE 0 END) AS n_with_missing,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def infer_dynamic_schema(df: DataFrame, column: str) -> str:
     """Observed-schema discovery over a dynamic column
     (schema_of_variant_agg): the engine-side answer to "what fields

@@ -1,0 +1,64 @@
+"""Sketch-tier accuracy: estimates must land within declared error
+bounds of the exact answers, and HLL sketches must merge losslessly
+(the property that makes them the 100 TB path)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mito_spark.engine import load_table
+from mito_spark.operators import sketches
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def exact(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users_exact"),
+            F.expr("percentile(value, 0.5)").alias("p50_exact"),
+            F.expr("percentile(value, 0.95)").alias("p95_exact"),
+        )
+        .collect()
+    )
+    return {r.event_type: r for r in rows}
+
+
+def test_sketch_estimates_within_bounds(spark, exact):
+    got = {r.event_type: r for r in sketches.sketch_distinct_profile(spark, SF_DIR).collect()}
+    assert set(got) == set(exact)
+    for et, r in got.items():
+        e = exact[et]
+        # approx_count_distinct at rsd=0.02 → generous 3-sigma-ish 6% gate
+        assert abs(r.users_approx - e.users_exact) <= max(3, 0.06 * e.users_exact), et
+        # hll_sketch default lgConfigK=12 → ~1.6% rsd
+        assert abs(r.users_hll - e.users_exact) <= max(3, 0.06 * e.users_exact), et
+        # percentile_approx with accuracy=10000 on ~10k rows is near-exact;
+        # gate on rank-tolerance expressed in value space (values ~ U[0,1000])
+        assert abs(r.p50_approx - e.p50_exact) <= 10.0, et
+        assert abs(r.p95_approx - e.p95_exact) <= 10.0, et
+
+
+def test_hll_sketches_merge_losslessly(spark, exact):
+    """Partial sketches per (event_type, user bucket) re-aggregated to
+    event_type must estimate as if built in one pass — the mergeability
+    contract that lets 1000 executors each sketch locally."""
+    ev = load_table(spark, SF_DIR, "events")
+    parts = ev.groupBy("event_type", (F.col("user_id") % 7).alias("b")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = {
+        r.event_type: r.distinct_estimate
+        for r in sketches.merge_hll_sketches(parts, "sk", "event_type").collect()
+    }
+    one_pass = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == one_pass
