@@ -64,3 +64,39 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
 def test_top_n_uses_take_ordered(spark, sf_dir):
     plan = _plan(relational.q3_shipping_priority(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no global sort materialized
+
+
+def test_props_presence_stays_jvm_side(spark, sf_dir):
+    """Variant presence checks must never plan a Python worker — the
+    whole point of has_json_path over a UDF."""
+    from mito_spark.operators import dynamic
+
+    plan = _plan(dynamic.events_props_presence(spark, sf_dir))
+    assert "EvalPython" not in plan  # no BatchEvalPython/ArrowEvalPython
+    assert "HashAggregate" in plan
+
+
+def test_sketch_aggregates_combine_map_side(spark, sf_dir):
+    """Sketch aggregation must be two-phase (partial map-side, merge
+    after shuffle) — the property that makes the shuffle carry sketches
+    instead of raw keys at 100 TB."""
+    from mito_spark.operators import sketches
+
+    plan = _plan(sketches.sketch_distinct_profile(spark, sf_dir))
+    assert "partial_approx_count_distinct" in plan or plan.count("ObjectHashAggregate") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_minhash_reuses_persisted_signatures(spark, sf_dir):
+    """The signature frame feeds the band self-join AND both
+    verification joins; the plan must reuse the persisted scan rather
+    than recompute the signature fold per consumer."""
+    from mito_spark.operators import dedup
+
+    df = dedup.minhash_lsh_dedup(spark, sf_dir)
+    try:
+        plan = _plan(df)
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.catalog.clearCache()
