@@ -22,6 +22,7 @@ from mito_spark.operators import (
     events,
     multimodal,
     pipeline,
+    rangejoin,
     relational,
     relational2,
     scalar_showcase,
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": events.sessionize,
         "user_activity_windows": events.user_activity_windows,
         "events_asof_join": asof.events_asof_latest_order,
+        "events_range_join": rangejoin.events_purchase_window,
         "events_value_percentiles": events.events_value_percentiles,
         # scalar function families (SURVEY §2.5-§2.8, §2.2)
         "strings_showcase": scalar_showcase.strings_showcase,
@@ -148,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": events.SESSIONIZE_SQL,
         "user_activity_windows": events.USER_ACTIVITY_SQL,
         "events_asof_join": asof.EVENTS_ASOF_SQL,
+        "events_range_join": rangejoin.PURCHASE_WINDOW_SQL,
         "events_value_percentiles": events.PERCENTILES_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,
         "crypto_showcase": scalar_showcase.CRYPTO_SQL,

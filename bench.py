@@ -48,6 +48,7 @@ HEADLINE = [
     "customer_running_totals",
     "nation_set_ops",
     "events_asof_join",
+    "events_range_join",
     "events_value_percentiles",
     "events_by_type",
     "events_props_extract",
