@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_presence": dynamic.events_props_presence,
         "sessionize": events.sessionize,
         "user_activity_windows": events.user_activity_windows,
+        "events_time_rollup": events.events_time_rollup,
         "events_asof_join": asof.events_asof_latest_order,
         "events_range_join": rangejoin.events_purchase_window,
         "events_value_percentiles": events.events_value_percentiles,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_presence": dynamic.PROPS_PRESENCE_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "user_activity_windows": events.USER_ACTIVITY_SQL,
+        "events_time_rollup": events.TIME_ROLLUP_SQL,
         "events_asof_join": asof.EVENTS_ASOF_SQL,
         "events_range_join": rangejoin.PURCHASE_WINDOW_SQL,
         "events_value_percentiles": events.PERCENTILES_SQL,

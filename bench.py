@@ -57,6 +57,7 @@ HEADLINE = [
     "sketch_distinct_profile",
     "sessionize",
     "user_activity_windows",
+    "events_time_rollup",
     "strings_showcase",
     "crypto_showcase",
     "time_showcase",

@@ -132,6 +132,45 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour → day → grand
+    total per event_type, one pass (ROLLUP grouping sets — a single
+    shuffle; partial aggregation collapses each set map-side).
+
+    100 TB posture: the continuous-aggregate pattern is to PERSIST the
+    finest grain (hour) partitioned by day and re-aggregate coarser
+    grains from it (see sources/sinks.py partitioned writes +
+    sketches.merge_hll_sketches for the mergeable-distinct variant);
+    this query is the one-shot form whose results match that pipeline
+    bit-for-bit because the sums are decimal-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        ev.select(day.alias("day"), hour.alias("hour"), "event_type", "value")
+        .rollup("day", "hour")
+        .agg(
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select("day", "hour", "g_day", "g_hour", "n_events", "total_value")
+    )
+
+
+TIME_ROLLUP_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day,
+       CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS g_hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+"""
+
+
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles of event value per type (linear interpolation,
     the quantile_cont definition both engines share). Exact percentile
