@@ -23,6 +23,7 @@ from mito_spark.operators import (
     multimodal,
     pipeline,
     rangejoin,
+    sampling,
     relational,
     relational2,
     scalar_showcase,
@@ -111,6 +112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": text.tfidf_top_terms,
         # multimodal plumbing (deterministic fake decode → full oracle)
         "multimodal_features": multimodal.multimodal_features,
+        # dataset assembly (splits / packing)
+        "dataset_split": sampling.dataset_split,
+        "token_pack_bins": sampling.token_pack_bins,
         # composed end-to-end corpus pipeline (filters -> dedup -> chunk)
         "training_corpus_pipeline": pipeline.training_corpus,
     }
@@ -174,5 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunking": text.CHUNK_SQL,
         "text_tfidf_top_terms": text.TFIDF_SQL,
         "multimodal_features": multimodal.MULTIMODAL_SQL,
+        "dataset_split": sampling.DATASET_SPLIT_SQL,
+        "token_pack_bins": sampling.TOKEN_PACK_SQL,
         "training_corpus_pipeline": pipeline.PIPELINE_SQL,
     }

@@ -79,6 +79,8 @@ HEADLINE = [
     "text_chunking",
     "text_tfidf_top_terms",
     "multimodal_features",
+    "dataset_split",
+    "token_pack_bins",
     "training_corpus_pipeline",
 ]
 

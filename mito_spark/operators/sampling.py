@@ -1,0 +1,117 @@
+"""Dataset assembly operators for training pipelines: deterministic
+splits and token-budget sequence packing.
+
+Both are map-dominant by design — the split is pure map (zero shuffle,
+trivially resumable, stable under re-runs and backfills because the
+assignment is a content hash, not a random() call), and packing is one
+window over a partitioning key. North-star surface (BASELINE.json);
+the reference has no sampling/packing (SURVEY §2.2 aggregation note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mito_spark.engine import load_table
+
+
+def hash_split(col: Column, weights: dict[str, float], salt: str = "split:v1") -> Column:
+    """Deterministic weighted split label from a stable hash of ``col``.
+
+    md5(salt:key) → uniform in [0, 1) via the first 15 hex digits;
+    cumulative weight thresholds pick the label. Engine-portable (md5
+    arithmetic, no Spark-specific hash), so the DuckDB oracle assigns
+    identical labels — and so would any other engine, which is what
+    makes the split reproducible across the pipeline's lifetime.
+    Changing ``salt`` re-deals the assignment; weights need not sum to
+    1 (they are normalized)."""
+    u = F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, 15), 16, 10).cast(
+        "double"
+    ) / float(1 << 60)
+    total = sum(weights.values())
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        expr = F.when(u < acc, name) if expr is None else expr.when(u < acc, name)
+    last = items[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(last)
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: 90/5/5 train/val/test split of documents by
+    content-stable doc_id hash; per-(lang, split) counts prove the
+    proportions and determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+DATASET_SPLIT_SQL = """
+WITH u AS (
+  SELECT lang,
+         CAST('0x' || substr(md5('split:v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM u GROUP BY 1, 2
+"""
+
+
+def token_pack_bins(spark: SparkSession, sf_dir: str, budget: int = 512) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget bins.
+
+    Greedy-by-cumulative-sum within a shard: documents are ordered
+    deterministically (doc_id) inside each (lang) shard, and a doc
+    whose running token total crosses a budget boundary opens the next
+    bin (bin = floor((cumsum - tokens) / budget) — i.e. placement by
+    the tokens *before* this doc). One window per shard — a single
+    shuffle on the shard key; bins never span shards so downstream
+    readers can consume shards independently. Oversized docs (> budget)
+    occupy their own bin span, never dropped silently.
+
+    Output: per (lang, bin) the doc count and token fill — the packing
+    manifest a sequence-assembly job would consume."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != F.lit("")))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    with_bins = docs.select(
+        "lang", "doc_id", toks.alias("n_tokens")
+    ).withColumn("bin", F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget))
+    return with_bins.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_in_bin"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+TOKEN_PACK_SQL = r"""
+WITH t AS (
+  SELECT lang, doc_id,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT lang, CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS tokens_in_bin,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c GROUP BY 1, 2
+"""
