@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk_bruteforce,
+        "ann_cosine_topk_filtered": similarity.cosine_topk_filtered,
         "ann_cosine_topk_lsh": similarity.cosine_topk_lsh,
         "embedding_near_dup": similarity.embedding_near_dup,
         # rows-only: distributed k-means centroid means are reduce-order
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.SIMHASH_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
+        "ann_cosine_topk_filtered": similarity.COSINE_FILTERED_SQL,
         "ann_cosine_topk_lsh": similarity.COSINE_LSH_SQL,
         "embedding_near_dup": similarity.NEAR_DUP_SQL,
         "text_token_count": text.TOKEN_COUNT_SQL,

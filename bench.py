@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_cosine_topk_filtered",
     "ann_cosine_topk_lsh",
     # ann_cosine_topk_ivf excluded: ~7 s of its cost is k-means TRAINING,
     # an index-build step amortized across queries in production (recall

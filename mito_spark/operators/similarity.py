@@ -93,6 +93,67 @@ FROM ranked WHERE rank <= {k}
 
 COSINE_TOPK_SQL = _cosine_sql()
 
+
+def cosine_topk_filtered(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """Filtered ANN — vector search under a metadata predicate (the
+    production 'WHERE label = X ORDER BY similarity' pattern).
+
+    This is the PRE-filter form: the label equality rides the join
+    condition, so candidates are restricted *before* scoring — no
+    wasted dot products, and top-k is never starved by the filter
+    (post-filtering an unfiltered top-k can return < k rows). At scale
+    the same shape applies with the filter pushed to the corpus scan
+    (partition/Z-order on the label) — candidate work is proportional
+    to the selectivity, not the corpus."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"), F.col("v").alias("q")
+    )
+    joined = emb.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id")) & (F.col("label") == F.col("qlabel")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "label", F.round("cos", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _cosine_filtered_sql(n_queries: int = 10, k: int = 10) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS q FROM e WHERE vec_id < {n_queries}
+), scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, e.label,
+         list_sum(list_transform(range(1, len(q)+1), i -> q[i] * v[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(q)+1), i -> q[i]*q[i])))
+              * sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])))) AS cos
+  FROM e, q WHERE e.vec_id <> q.query_id AND e.label = q.qlabel
+), ranked AS (
+  SELECT query_id, neighbor_id, label, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, label, ROUND(cos, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+COSINE_FILTERED_SQL = _cosine_filtered_sql()
+
 _LSH_BITS = 8
 
 
