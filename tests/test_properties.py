@@ -76,3 +76,89 @@ def test_chunk_reconstruction(spark, text, stride_extra):
     for s in starts:
         rebuilt.extend(toks[s - 1 : s - 1 + n])
     assert rebuilt == toks
+
+
+@_SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 7200), st.integers(0, 400)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 7200), st.integers(1, 3600)),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_range_join_matches_naive(spark, pts, ivs):
+    """Bucketized range join ≡ naive cross-filter, for random keys,
+    points, and interval spans (including cross-bucket and zero-width
+    boundary cases)."""
+    import datetime as dt
+
+    from mito_spark.operators.rangejoin import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = spark.createDataFrame(
+        [(f"k{k}", t0 + dt.timedelta(seconds=s), i) for i, (k, s, _) in enumerate(pts)],
+        "k string, ts timestamp, pid int",
+    )
+    idf = spark.createDataFrame(
+        [
+            (f"k{k}", t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=s + w), j)
+            for j, (k, s, w) in enumerate(ivs)
+        ],
+        "k string, lo timestamp, hi timestamp, iid int",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pdf, idf, on="k", ts="ts", lo="lo", hi="hi", bucket_seconds=600).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (pk, ps, _) in enumerate(pts)
+        for j, (ik, is_, w) in enumerate(ivs)
+        if pk == ik and is_ <= ps < is_ + w
+    )
+    assert got == want
+
+
+@_SET
+@given(st.lists(st.integers(0, 10_000_000), min_size=1, max_size=50, unique=True))
+def test_hash_split_deterministic_and_total(spark, ids):
+    """Every id gets exactly one label; re-evaluation gives identical
+    labels (content hash, not random())."""
+    from mito_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    lab = hash_split(F.col("id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r.id: r.s for r in df.select("id", lab.alias("s")).collect()}
+    b = {r.id: r.s for r in df.select("id", lab.alias("s")).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == len(ids)
+
+
+def test_token_pack_conserves_tokens(spark):
+    """Packing moves every token into exactly one bin and bins are
+    contiguous doc-id ranges per shard."""
+    from mito_spark.operators.sampling import token_pack_bins
+
+    out = token_pack_bins(spark, "/root/testdata/sf0.001").collect()
+    from mito_spark.engine import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    total = docs.select(
+        F.sum(
+            F.size(F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != F.lit("")))
+        ).alias("t")
+    ).first().t
+    assert sum(r.tokens_in_bin for r in out) == total
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for rows in by_lang.values():
+        rows.sort(key=lambda r: r.bin)
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev.last_doc < nxt.first_doc  # contiguous, non-overlapping
