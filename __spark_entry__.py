@@ -56,6 +56,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": relational2.q8_market_share,
         "q9_profit_by_nation": relational2.q9_profit_by_nation,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
+        "q11_important_parts": relational2.q11_important_parts,
+        "q16_supplier_part_variety": relational2.q16_supplier_part_variety,
+        "q20_heavy_shippers": relational2.q20_heavy_shippers,
+        "q21_sole_late_supplier": relational2.q21_sole_late_supplier,
         "q15_top_supplier": relational2.q15_top_supplier,
         "q12_priority_case_agg": relational2.q12_priority_case_agg,
         "q13_order_count_distribution": relational2.q13_order_count_distribution,
@@ -136,6 +140,10 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": relational2.Q8_SQL,
         "q9_profit_by_nation": relational2.Q9_SQL,
         "q10_returned_top_customers": relational2.Q10_SQL,
+        "q11_important_parts": relational2.Q11_SQL,
+        "q16_supplier_part_variety": relational2.Q16_SQL,
+        "q20_heavy_shippers": relational2.Q20_SQL,
+        "q21_sole_late_supplier": relational2.Q21_SQL,
         "q15_top_supplier": relational2.Q15_SQL,
         "q12_priority_case_agg": relational2.Q12_SQL,
         "q13_order_count_distribution": relational2.Q13_SQL,

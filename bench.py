@@ -34,6 +34,10 @@ HEADLINE = [
     "q8_market_share",
     "q9_profit_by_nation",
     "q10_returned_top_customers",
+    "q11_important_parts",
+    "q16_supplier_part_variety",
+    "q20_heavy_shippers",
+    "q21_sole_late_supplier",
     "q15_top_supplier",
     "q12_priority_case_agg",
     "q13_order_count_distribution",

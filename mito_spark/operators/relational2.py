@@ -677,3 +677,171 @@ SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted — no partsupp table: part value =
+    lineitem revenue from NATION_3's suppliers): group-HAVING against a
+    *global* scalar subquery. The global total is a 1-row broadcast;
+    the per-part aggregate shuffles once on partkey. Both sums are
+    decimal-exact; the 0.001 fraction is applied on doubles identically
+    in both engines."""
+    nat = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    scoped = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    total = scoped.agg(F.sum(_dec("l_extendedprice")).cast("double").alias("grand"))
+    return (
+        scoped.groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("part_value"))
+        .join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("grand") * 0.001)
+        .select("l_partkey", "part_value")
+    )
+
+
+Q11_SQL = """
+WITH scoped AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+)
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+FROM scoped
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+       > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) FROM scoped) * 0.001
+"""
+
+
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted): distinct-supplier variety per part
+    attribute, with suppliers excluded by a NOT IN subquery (negative
+    account balance standing in for 'Customer Complaints'). The
+    exclusion is an anti join against a tiny broadcast side; the
+    distinct count shuffles once on the group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1")
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers qualified by an aggregate
+    subquery — those who shipped > 150 units of PROMO-type parts during
+    1998 — semi-joined to the supplier dim and filtered to one nation.
+    The inner aggregate runs once on (suppkey); supplier then
+    semi-joins the small qualified set (never a row-per-row EXISTS)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    nat = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_0")
+    supp = load_table(spark, sf_dir, "supplier")
+    qualified = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_0'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+  )
+"""
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted — no commit/receipt dates: 'late' =
+    shipped more than 60 days after the order date): suppliers who were
+    the ONLY late supplier on a multi-supplier order. EXISTS (another
+    supplier on the order) is a semi join with a key-inequality
+    condition; NOT EXISTS (another *late* supplier) is the matching
+    anti join — both shuffle on orderkey only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    others = pairs.alias("o")
+    other_late = late.alias("ol")
+    sole_late = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("o.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("o.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l1.l_orderkey") == F.col("ol.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("ol.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM pairs o
+              WHERE o.l_orderkey = l1.l_orderkey AND o.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late ol
+                  WHERE ol.l_orderkey = l1.l_orderkey AND ol.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
