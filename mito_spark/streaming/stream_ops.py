@@ -57,6 +57,23 @@ def windowed_counts(events: DataFrame, window: str = "1 day",
     )
 
 
+def windowed_distinct_users(events: DataFrame, window: str = "1 day",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the sketch tier
+    (operators.sketches.sketch_distinct_profile): per-window
+    approximate distinct users. approx_count_distinct's HLL partials
+    live in the state store per open window and merge incrementally per
+    micro-batch — exact COUNT(DISTINCT) is unsupported in streaming
+    precisely because its state is unbounded; the sketch IS the
+    streaming-shaped answer. Watermark evicts finalized windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("users_approx"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "users_approx")
+    )
+
+
 def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
                          watermark: str = "1 hour") -> DataFrame:
     """Streaming session windows — same session_window expression as

@@ -87,6 +87,32 @@ def test_sketch_aggregates_combine_map_side(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_q11_broadcasts_global_total(spark, sf_dir):
+    """The grand-total scalar must be a broadcast side, and the
+    per-part aggregate must shuffle once — never a per-row subquery."""
+    plan = _plan(relational2.q11_important_parts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_excludes_via_anti_join(spark, sf_dir):
+    plan = _plan(relational2.q16_supplier_part_variety(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_joins_qualified_set(spark, sf_dir):
+    plan = _plan(relational2.q20_heavy_shippers(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_pair_shuffles_on_orderkey_only(spark, sf_dir):
+    plan = _plan(relational2.q21_sole_late_supplier(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_minhash_reuses_persisted_signatures(spark, sf_dir):
     """The signature frame feeds the band self-join AND both
     verification joins; the plan must reuse the persisted scan rather

@@ -231,3 +231,30 @@ def test_timer_sessionization_matches_declarative(spark, sf_dir):
     assert got  # something closed
     for k, n in got.items():
         assert declarative.get(k) == n, f"session {k} disagrees"
+
+
+def test_streaming_windowed_distinct_matches_batch_sketch(spark, sf_dir):
+    """The streaming HLL estimate per window must equal the batch
+    approx_count_distinct over the same slice — identical sketch,
+    incrementally merged vs one-shot."""
+    import pyspark.sql.functions as F
+
+    from mito_spark.engine import load_table
+    from mito_spark.streaming.stream_ops import windowed_distinct_users
+
+    stream = stream_events_from_parquet(spark, sf_dir)
+    streamed = {
+        (r.window_start, r.event_type): r.users_approx
+        for r in run_stream_to_list(windowed_distinct_users(stream))
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.day, r.event_type): r.users_approx
+        for r in ev.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("users_approx"))
+        .select(F.col("w.start").alias("day"), "event_type", "users_approx")
+        .collect()
+    }
+    assert streamed == batch
