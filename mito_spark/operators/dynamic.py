@@ -44,9 +44,9 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPS_VARIANT_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
-       SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS k_missing,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_missing,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """
@@ -78,8 +78,8 @@ def events_props_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPS_PRESENCE_SQL = """
 SELECT event_type,
-       SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS n_with_k,
-       SUM(CASE WHEN json_extract(props, '$.missing.x') IS NOT NULL THEN 1 ELSE 0 END) AS n_with_missing,
+       CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(SUM(CASE WHEN json_extract(props, '$.missing.x') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_missing,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """

@@ -56,7 +56,7 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_PROPS_SQL = """
-SELECT user_id, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(*) AS n_events
 FROM events GROUP BY user_id
 """

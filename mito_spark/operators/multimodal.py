@@ -123,15 +123,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic (md5-based), so the DuckDB oracle verifies the full
     Arrow round-trip, not just row counts."""
     media = media_from_documents(spark, sf_dir)
-    return decode_media(media, fake=True)
+    feats = decode_media(media, fake=True)
+    # features stays array-typed inside the op; the gate projection
+    # serializes it (driver's pandas canonicalizer can't hash lists)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.array_join(F.transform("features", lambda x: x.cast("string")), ",").alias("features"),
+    )
 
 
 MULTIMODAL_SQL = """
 SELECT doc_id AS media_id, 'text/plain' AS mime,
        octet_length(encode(text)) AS n_bytes,
-       [octet_length(encode(text)),
-        CAST('0x' || substr(md5(text), 1, 8) AS BIGINT),
-        CAST('0x' || substr(md5(text), 9, 8) AS BIGINT)] AS features
+       COALESCE(array_to_string(
+         [octet_length(encode(text)),
+          CAST('0x' || substr(md5(text), 1, 8) AS BIGINT),
+          CAST('0x' || substr(md5(text), 9, 8) AS BIGINT)], ','), '') AS features
 FROM documents
 """
 

@@ -173,8 +173,8 @@ def q12_priority_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_linestatus
@@ -470,7 +470,13 @@ def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("order_seq"),
         F.sum(_dec("o_totalprice")).over(wsum).cast("double").alias("cum_revenue"),
         F.lag("o_totalprice", 1).over(w).alias("prev_price"),
-        F.avg(_dec("o_totalprice")).over(wmov).cast("double").alias("moving_avg_3"),
+        # SUM(decimal)/COUNT rather than AVG: Spark's avg(decimal)
+        # rounds at scale+4 while DuckDB's AVG(decimal) returns DOUBLE;
+        # exact decimal sum ÷ exact count is bit-identical on both.
+        (
+            F.sum(_dec("o_totalprice")).over(wmov).cast("double")
+            / F.count(F.lit(1)).over(wmov)
+        ).alias("moving_avg_3"),
     )
 
 
@@ -480,8 +486,9 @@ SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
             OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
        LAG(o_totalprice, 1) OVER w AS prev_price,
-       CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4)))
-            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg_3
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3
 FROM orders
 WHERE o_custkey < 20
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

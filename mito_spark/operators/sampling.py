@@ -110,7 +110,7 @@ WITH t AS (
 )
 SELECT lang, CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS tokens_in_bin,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_bin,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM c GROUP BY 1, 2

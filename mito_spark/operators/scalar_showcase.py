@@ -163,23 +163,29 @@ def collections_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     langs = C.collate(grouped, "docs", "lang")
     ids = C.collate(grouped, "docs", "doc_id")
+    # List-typed outputs are serialized (array_join) in the FINAL
+    # projection only: the collate/zip/keys ops above stay array-typed;
+    # the driver's pandas canonicalizer cannot sort/hash python lists.
     return grouped.select(
         "source",
-        F.array_sort(F.array_distinct(langs)).alias("langs"),
+        F.array_join(F.array_sort(F.array_distinct(langs)), ",").alias("langs"),
         C.arr_min(ids).alias("min_doc"),
         C.arr_max(ids).alias("max_doc"),
         F.size(ids).alias("n_docs"),
-        C.keys_sorted(C.zip_map(F.array_distinct(langs), F.transform(F.array_distinct(langs), F.length))).alias("zip_keys"),
+        F.array_join(
+            C.keys_sorted(C.zip_map(F.array_distinct(langs), F.transform(F.array_distinct(langs), F.length))),
+            ",",
+        ).alias("zip_keys"),
     )
 
 
 COLLECTIONS_SQL = """
 SELECT source,
-       list_sort(list_distinct(list(lang))) AS langs,
+       COALESCE(array_to_string(list_sort(list_distinct(list(lang))), ','), '') AS langs,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc,
        COUNT(*) AS n_docs,
-       list_sort(list_distinct(list(lang))) AS zip_keys
+       COALESCE(array_to_string(list_sort(list_distinct(list(lang))), ','), '') AS zip_keys
 FROM documents GROUP BY source
 """
 
@@ -207,13 +213,17 @@ def collections_showcase2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("b"), F.col("doc_id").cast("bigint"),
     )
     m2 = F.create_map(F.lit("b"), F.lit(0).cast("bigint"), F.lit("c"), F.lit(1).cast("bigint"))
+    def _join(arr):
+        # serialize for the driver canonicalizer; ops stay array-typed
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
     return df.select(
         "doc_id",
-        flat.alias("flat"),
+        _join(flat).alias("flat"),
         F.size(pruned).alias("n_nonempty_lists"),
-        C.values_sorted(C.map_with(m1, m2)).alias("with_vals"),
-        C.values_sorted(C.map_with_update(m1, m2)).alias("update_vals"),
-        C.values_sorted(C.map_with_replace(m1, m2)).alias("replace_vals"),
+        _join(C.values_sorted(C.map_with(m1, m2))).alias("with_vals"),
+        _join(C.values_sorted(C.map_with_update(m1, m2))).alias("update_vals"),
+        _join(C.values_sorted(C.map_with_replace(m1, m2))).alias("replace_vals"),
     )
 
 
@@ -224,11 +234,11 @@ WITH t AS (
   FROM documents WHERE doc_id < 50
 )
 SELECT doc_id,
-       toks[1:6] AS flat,
+       COALESCE(array_to_string(toks[1:6], ','), '') AS flat,
        CAST(CASE WHEN len(list_filter(toks, t -> length(t) > 3)) > 0 THEN 1 ELSE 0 END
             + CASE WHEN len(list_filter(toks, t -> t = 'zzzzqq')) > 0 THEN 1 ELSE 0 END AS INT) AS n_nonempty_lists,
-       [n_chars, CAST(0 AS BIGINT), CAST(1 AS BIGINT)] AS with_vals,
-       [n_chars, doc_id, CAST(1 AS BIGINT)] AS update_vals,
-       [n_chars, CAST(0 AS BIGINT)] AS replace_vals
+       COALESCE(array_to_string([n_chars, CAST(0 AS BIGINT), CAST(1 AS BIGINT)], ','), '') AS with_vals,
+       COALESCE(array_to_string([n_chars, doc_id, CAST(1 AS BIGINT)], ','), '') AS update_vals,
+       COALESCE(array_to_string([n_chars, CAST(0 AS BIGINT)], ','), '') AS replace_vals
 FROM t
 """

@@ -1,6 +1,15 @@
 """Local mimic of the driver's correctness gate: run each queries()
 entry on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare
-row count, sorted column names, and an order-insensitive value hash.
+row count, sorted column names, and a value hash.
+
+Faithful to the driver's canonicalizer (post-r1 rework): both sides go
+through pandas (Spark ``.toPandas()``, DuckDB ``rel.df()``), columns
+are sorted by name, rows are sorted with ``DataFrame.sort_values`` on
+every column (list-typed columns therefore raise, exactly as the
+driver ERRs), and cells are rendered dtype-sensitively — a DuckDB
+HUGEINT that pandas materializes as float64 hashes as ``5.0`` and will
+NOT match Spark's int64 ``5``. That dtype strictness is the point: the
+r1 tree had 6 driver-red rows this script's predecessor could not see.
 
 Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 """
@@ -15,37 +24,52 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def norm_cell(v):
-    import datetime
-    import math
+def _cell(v) -> str:
+    import numpy as np
+    import pandas as pd
 
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:
+            return "NULL"
+        # repr keeps the dtype visible: float64 5 renders "5.0", which
+        # deliberately does NOT match an int64 "5".
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{norm_cell(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, pd.Timestamp):
+        return v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
+    if v is pd.NaT:
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
-def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int, list[str]]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+def canon(pdf) -> tuple[str, int, list[str], list[str]]:
+    """(value_hash, n_rows, sorted_cols, dtypes) — raises on
+    unsortable (list-typed) columns, as the driver does."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols).reset_index(drop=True)
+    lines = ["|".join(_cell(v) for v in row) for row in pdf.itertuples(index=False)]
     h = hashlib.md5("\n".join(lines).encode()).hexdigest()
-    return h, len(rows), sorted(cols)
+    return h, len(pdf), cols, [str(t) for t in pdf.dtypes]
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:2]) - {sf_dir} or None)
+    only = set(a for a in sys.argv[1:] if not os.path.isdir(a)) or None
 
     import duckdb
 
@@ -67,26 +91,27 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) — no oracle")
+            print(f"ok?   {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s) — no oracle")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
+            dpdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        sh, sn, sc = table_hash(scols, srows)
-        dh, dn, dc = table_hash(dcols, drows)
+        try:
+            sh, sn, sc, sdt = canon(spdf)
+            dh, dn, dc, ddt = canon(dpdf)
+        except Exception as e:
+            print(f"ERR   {name}: canon error (driver would ERR too): {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
         status = "PASS" if (sh == dh and sn == dn and sc == dc) else "FAIL"
         detail = ""
         if status == "FAIL":
@@ -95,12 +120,12 @@ def main() -> int:
                 detail = f" cols: spark={sc} duck={dc}"
             elif sn != dn:
                 detail = f" rows: spark={sn} duck={dn}"
+            elif sdt != ddt:
+                detail = f" dtypes: spark={dict(zip(sc, sdt))} duck={dict(zip(dc, ddt))}"
             else:
-                order = sorted(range(len(scols)), key=lambda i: scols[i])
-                sset = sorted("|".join(norm_cell(r[i]) for i in order) for r in srows)
-                dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                dset = sorted("|".join(norm_cell(r[i]) for i in dorder) for r in drows)
-                diffs = [(a, b) for a, b in zip(sset, dset) if a != b][:2]
+                srows = ["|".join(_cell(v) for v in r) for r in spdf[sc].sort_values(by=sc).itertuples(index=False)]
+                drows = ["|".join(_cell(v) for v in r) for r in dpdf[dc].sort_values(by=dc).itertuples(index=False)]
+                diffs = [(a, b) for a, b in zip(srows, drows) if a != b][:2]
                 detail = f" first diffs: {diffs}"
         print(f"{status}  {name}: {sn} rows, {time.time()-t0:.1f}s{detail}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
