@@ -316,8 +316,11 @@ WITH tok AS (
 ), sig AS (
   SELECT doc_id,
          list_sum(list_transform(range(0, {SIMHASH_BITS}), j ->
-           CASE WHEN list_sum(list_transform(hs,
-                  h -> CASE WHEN (h & (CAST(1 AS BIGINT) << j)) <> 0 THEN 1 ELSE -1 END)) >= 0
+           -- COALESCE: empty/whitespace-only docs have no tokens;
+           -- Spark's fold yields 0 (>= 0, bit set) while a bare
+           -- list_sum over [] is NULL (bit unset) — align on Spark
+           CASE WHEN COALESCE(list_sum(list_transform(hs,
+                  h -> CASE WHEN (h & (CAST(1 AS BIGINT) << j)) <> 0 THEN 1 ELSE -1 END)), 0) >= 0
                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))::BIGINT AS sig
   FROM th
 )

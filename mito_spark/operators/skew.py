@@ -26,12 +26,22 @@ def salted_join(
     rows of ``skewed`` scatter uniformly over ``salt`` sub-partitions
     (deterministic xxhash64 of the whole row — no RNG, so retries and
     speculative tasks agree); ``other`` is replicated ``salt`` times
-    via an exploded literal range. Result equals the plain join.
+    via an exploded literal range. Result equals the plain join for
+    ``inner`` and ``left`` (each skewed row carries exactly one salt,
+    so unmatched left rows emit once; unmatched right rows emit
+    nothing). ``right``/``full`` are rejected: the replicated side
+    would emit each unmatched right row once per salt value.
 
     At 100 TB: use AQE first; reach for this when one key exceeds what
     a single task can hold, and scope it to the hot keys by unioning a
     salted join over hot keys with a plain join over the rest.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "the replicated side duplicates unmatched rows under "
+            "right/full outer semantics"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     scatter = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt))
     left = skewed.withColumn("_salt", scatter)

@@ -40,6 +40,24 @@ def add_date_partition(df: DataFrame, ts_col: str = "ts", name: str = "dt") -> D
     return df.withColumn(name, F.to_date(F.col(ts_col)))
 
 
+def partition_columns(df: DataFrame) -> list[str]:
+    """Partition columns as encoded in the dataset's actual directory
+    layout (``.../col=value/...`` segments of its input files), in
+    nesting order. Empty for an unpartitioned dataset. Works on any
+    filesystem the scan does — no driver-side listing."""
+    import re
+
+    files = df.inputFiles()
+    if not files:
+        return []
+    cols: list[str] = []
+    for seg in files[0].split("/")[:-1]:
+        m = re.fullmatch(r"([^=/]+)=[^/]*", seg)
+        if m:
+            cols.append(m.group(1))
+    return cols
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -50,15 +68,36 @@ def compact(
     """Rewrite (a slice of) a dataset into ``target_files`` files per
     partition directory: one distributed read + repartition + dynamic
     overwrite. Run on cold partitions; readers see the swap atomically
-    per partition directory."""
+    per partition directory.
+
+    Safety contract: partition columns are derived from the dataset's
+    real directory layout (not assumed). A ``where`` slice is accepted
+    only when the dataset is partitioned AND the predicate references
+    partition columns alone — then dynamic partition overwrite rewrites
+    exactly the selected whole partitions. Anything else (unpartitioned
+    data, or a predicate touching data columns) would silently replace
+    the dataset with the filtered slice, so it raises instead."""
+    import re
+
     df = spark.read.format(fmt).load(path)
+    pcols = partition_columns(df)
     if where:
+        if not pcols:
+            raise ValueError(
+                "compact(where=...) on an unpartitioned dataset would overwrite "
+                "the whole dataset with the filtered slice; compact it in full "
+                "or partition it first"
+            )
+        data_cols = {f.name for f in df.schema.fields} - set(pcols)
+        referenced = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", where))
+        bad = sorted(referenced & data_cols)
+        if bad:
+            raise ValueError(
+                f"compact(where=...) predicate references non-partition "
+                f"column(s) {bad}; only whole-partition slices "
+                f"(predicates on {pcols}) can be rewritten losslessly"
+            )
         df = df.where(where)
-    parts = [f.name for f in df.schema.fields]
-    # partition columns are whatever the directory layout encoded;
-    # re-derive them from the read schema's partition values is not
-    # needed — partitionBy on the same columns reproduces the layout
-    pcols = [c for c in parts if c == "dt"]
     out = df.repartition(target_files)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     w = out.write.mode("overwrite").format(fmt)

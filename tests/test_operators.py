@@ -159,3 +159,33 @@ def test_register_views_sql_surface(spark, sf_dir):
         "SELECT COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey"
     ).first()
     assert row.n > 0
+
+
+def test_simhash_empty_doc_signature_parity(spark, tmp_path):
+    """Empty/whitespace-only docs: Spark's fold leaves all counters 0
+    and c >= 0 sets every bit; the DuckDB oracle must agree (ADVICE r1:
+    bare list_sum over [] is NULL → sig 0 without the COALESCE)."""
+    import duckdb
+
+    from mito_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    rows = [(0, ""), (1, "   "), (2, "alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spark_sigs = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", dedup.simhash_signature(F.col("text")).alias("sig")
+        ).collect()
+    }
+    all_bits = (1 << dedup.SIMHASH_BITS) - 1
+    assert spark_sigs[0] == all_bits and spark_sigs[1] == all_bits
+
+    pq = str(tmp_path / "docs.parquet")
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    # reuse the oracle's signature CTEs, project signatures directly
+    sig_cte = dedup.SIMHASH_SQL.split("SELECT a.doc_id")[0]
+    duck_sigs = dict(con.sql(sig_cte + "SELECT doc_id, sig FROM sig").fetchall())
+    assert duck_sigs == spark_sigs

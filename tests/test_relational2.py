@@ -132,3 +132,27 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_left_outer_and_rejects_right_full(spark, sf_dir):
+    """left join: unmatched skewed-side rows survive exactly once;
+    right/full are rejected (replicated side would duplicate them)."""
+    import pytest
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = load_table(spark, sf_dir, "customer").where("c_custkey % 3 = 0").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = orders.join(cust, "c_custkey", "left")
+    salted = salted_join(orders, cust, "c_custkey", salt=8, how="left")
+    assert salted.count() == plain.count()
+    assert salted.where("c_mktsegment IS NULL").count() == plain.where(
+        "c_mktsegment IS NULL"
+    ).count()
+
+    for bad in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(orders, cust, "c_custkey", how=bad)

@@ -384,3 +384,41 @@ def test_oauth2_client_credentials_flow(spark):
         assert seen == {}
     finally:
         srv.shutdown()
+
+
+def test_compact_derives_partition_cols_and_guards_where(spark, sf_dir, tmp_path):
+    """compact() must work for ANY partition column (not just 'dt'),
+    must scope a where slice via dynamic partition overwrite, and must
+    refuse slices that would lose data."""
+    import glob
+
+    import pytest
+
+    from mito_spark.engine import load_table
+    from mito_spark.sources.sinks import compact, partition_columns, write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").repartition(8)
+    path = str(tmp_path / "ev_by_type")
+    write_partitioned(ev, path, "event_type")
+    total = ev.count()
+
+    assert partition_columns(spark.read.parquet(path)) == ["event_type"]
+
+    # whole-partition slice: compacts one partition, leaves the rest
+    one = "event_type = 'click'"
+    n_click_before = spark.read.parquet(path).where(one).count()
+    compact(spark, path, target_files=1, where=one)
+    back = spark.read.parquet(path)
+    assert back.count() == total
+    assert back.where(one).count() == n_click_before
+    assert len(glob.glob(f"{path}/event_type=click/*.parquet")) == 1
+
+    # predicate on a data column → refused (would drop rows silently)
+    with pytest.raises(ValueError, match="non-partition"):
+        compact(spark, path, target_files=1, where="value > 0")
+
+    # where on an unpartitioned dataset → refused
+    flat = str(tmp_path / "flat")
+    ev.drop("props").write.parquet(flat)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        compact(spark, flat, target_files=1, where="value > 0")
