@@ -331,15 +331,64 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_DIST}
 """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 2, threshold: float = 0.3) -> DataFrame:
+def ngram_jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard over CANDIDATE pairs — the re-rank stage.
+
+    ``pairs`` carries (id_a, id_b) candidates from a blocking stage
+    (minhash_lsh_dedup bands, simhash chunks, embedding LSH buckets);
+    shingle sets join in by id, so the cost is O(|pairs|), never
+    O(n²). This is the only form reachable at scale — the quadratic
+    ``ngram_jaccard_pairs`` below exists solely so the oracle can
+    verify the Jaccard arithmetic exhaustively at test SF."""
+    g = docs.select(F.col(id_col).alias("_id"), _shingles(F.col(text_col), n).alias("sh"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(g.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(g.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# Quadratic all-pairs is only sane below this corpus size; past it the
+# blocking + ngram_jaccard_verify path is the correct shape.
+_NGRAM_ALL_PAIRS_CAP = 100_000
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 2,
+    threshold: float = 0.3,
+    max_rows: int | None = _NGRAM_ALL_PAIRS_CAP,
+) -> DataFrame:
     """Word-bigram Jaccard over all pairs — the exact/verification form
-    (quadratic; usable as a final re-rank after LSH candidate pruning).
-    At scale this is only ever run on LSH candidates; it exists
-    standalone here because the oracle can verify it exhaustively at
-    test SF. Blocking key: docs must share ≥1 bigram hash bucket is
-    skipped at this size; the broadcast self-join is explicit.
-    """
+    (quadratic). At scale this is only ever run on LSH candidates via
+    ``ngram_jaccard_verify``; it exists standalone because the oracle
+    can verify it exhaustively at test SF. The ``max_rows`` guard
+    refuses the cross join on corpora where the quadratic blowup would
+    be real (pass None to override explicitly)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    if max_rows is not None:
+        n_docs = docs.count()
+        if n_docs > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs is all-pairs quadratic; corpus has "
+                f"{n_docs} docs > cap {max_rows}. Block first (minhash_lsh_dedup / "
+                f"simhash) and re-rank with ngram_jaccard_verify, or pass max_rows=None."
+            )
     g = docs.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
     return (
         g.alias("a")

@@ -157,41 +157,77 @@ COSINE_FILTERED_SQL = _cosine_filtered_sql()
 _LSH_BITS = 8
 
 
-def _hyperplane(dim: int, h: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane h: component i derived
-    from md5(h:i) → uniform in [-1, 1). Engine-portable and seedless."""
+def auto_lsh_bits(
+    n_rows: int,
+    target_bucket_size: int = 64,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """Bucket width scaled to the corpus: 2^bits ≈ n / target_bucket_size,
+    so the expected bucket population — and therefore the in-bucket
+    self-join cost — stays constant as the corpus grows. A fixed width
+    caps the pair reduction at 2^bits regardless of n (at 100 TB an
+    8-bit table degenerates to 256 near-quadratic buckets); this rule
+    keeps per-bucket work O(target_bucket_size²) at any scale."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
+def _hyperplane(dim: int, h: int, table: int = 0) -> list[float]:
+    """Deterministic pseudo-random hyperplane h of table ``table``:
+    component i derived from md5 of the (table, h, i) coordinates →
+    uniform in [-1, 1). Engine-portable and seedless. Table 0 keeps the
+    legacy ``h:i`` seed so existing oracle SQL and stored buckets are
+    stable; tables ≥ 1 are independent families for banded multi-table
+    LSH."""
     import hashlib
 
     out = []
     for i in range(dim):
-        hx = hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:15]
+        seed = f"{h}:{i}" if table == 0 else f"t{table}:{h}:{i}"
+        hx = hashlib.md5(seed.encode()).hexdigest()[:15]
         out.append((int(hx, 16) / float(1 << 60)) * 2.0 - 1.0)
     return out
 
 
-def lsh_bucket_expr(v: Column, dim: int, bits: int = _LSH_BITS) -> Column:
+def lsh_bucket_expr(v: Column, dim: int, bits: int = _LSH_BITS, table: int = 0) -> Column:
     """Sign-LSH bucket id: bit h = (v · hyperplane_h) >= 0. Hyperplanes
     are literal arrays folded into the plan (bits × dim doubles —
     trivially small); per-row cost bits·d FMAs, no shuffle."""
     acc = F.lit(0).cast("bigint")
     for h in range(bits):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, h)])
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, h, table)])
         bit = (_dot(v, plane) >= 0).cast("bigint")
         acc = acc + F.shiftleft(bit, h)
     return acc
 
 
 def cosine_topk_lsh(
-    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 10, dim: int = 64
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    dim: int = 64,
+    bits: int | None = _LSH_BITS,
 ) -> DataFrame:
     """Bucketed ANN: score only corpus vectors whose LSH bucket is
     within Hamming distance 1 of the query's bucket (multi-probe).
     Output schema matches the brute-force tier so recall can be
-    measured by joining the two."""
+    measured by joining the two.
+
+    ``bits=None`` derives the width from the corpus size
+    (``auto_lsh_bits``) so bucket population stays constant as the
+    corpus grows; the driver-gated entry pins bits=8 to match the
+    static oracle SQL."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    emb = emb.withColumn("bucket", lsh_bucket_expr(F.col("v"), dim))
+    if bits is None:
+        bits = auto_lsh_bits(emb.count())
+    emb = emb.withColumn("bucket", lsh_bucket_expr(F.col("v"), dim, bits))
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket").alias("qb")
     )
@@ -202,7 +238,7 @@ def cosine_topk_lsh(
         F.explode(
             F.array(
                 F.col("qb"),
-                *[F.col("qb").bitwiseXOR(F.lit(1 << b)) for b in range(_LSH_BITS)],
+                *[F.col("qb").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
             )
         ).alias("bucket"),
     )
@@ -224,29 +260,74 @@ def cosine_topk_lsh(
 
 
 def embedding_near_dup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    bits: int | None = _LSH_BITS,
+    n_tables: int = 1,
+    dim: int = 64,
 ) -> DataFrame:
     # 0.45 default is tuned to this synthetic corpus (max pairwise
     # cosine ≈ 0.51); production near-dup filtering would use ≥0.9.
     """Embedding-cosine near-duplicate pairs via LSH bucket blocking:
-    pairs sharing a bucket, cosine ≥ threshold. The embedding-space
-    sibling of minhash_lsh_dedup."""
+    pairs sharing a bucket (in any table), cosine ≥ threshold. The
+    embedding-space sibling of minhash_lsh_dedup.
+
+    Scale knobs (the 100 TB path):
+
+    - ``bits=None`` derives the width from the corpus size
+      (``auto_lsh_bits``) so expected bucket population — and the
+      in-bucket self-join cost — stays constant as the corpus grows.
+      The driver-gated entry pins bits=8 to match the static oracle.
+    - ``n_tables > 1`` is banded multi-table LSH, mirroring
+      minhash_lsh_dedup's band structure: each table is an independent
+      hyperplane family; a pair is a candidate if it collides in ANY
+      table. Wider ``bits`` sharpens precision (smaller buckets),
+      more tables recover the recall that narrow single-table widths
+      bought with huge buckets. Candidates are deduplicated before the
+      cosine re-rank, so each surviving pair is scored once.
+
+    One shuffle per plan: rows explode to (table, bucket) keys, the
+    self-join shuffles on that composite key, and only colliding pairs
+    reach the cosine computation — O(n²) never materializes."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    emb = emb.withColumn("bucket", lsh_bucket_expr(F.col("v"), 64))
+    if bits is None:
+        bits = auto_lsh_bits(emb.count())
+    keyed = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket_expr(F.col("v"), dim, bits, table=t).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    )
     pairs = (
-        emb.alias("a")
-        .join(emb.alias("b"), "bucket")
+        keyed.alias("a")
+        .join(keyed.alias("b"), "tb")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            (_dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))).alias("cos"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
-        .distinct()
     )
     return pairs
 

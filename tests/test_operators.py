@@ -189,3 +189,69 @@ def test_simhash_empty_doc_signature_parity(spark, tmp_path):
     sig_cte = dedup.SIMHASH_SQL.split("SELECT a.doc_id")[0]
     duck_sigs = dict(con.sql(sig_cte + "SELECT doc_id, sig FROM sig").fetchall())
     assert duck_sigs == spark_sigs
+
+
+def test_auto_lsh_bits_scales_with_corpus():
+    from mito_spark.operators.similarity import auto_lsh_bits
+
+    assert auto_lsh_bits(10) == 4  # tiny corpus clamps to floor
+    assert auto_lsh_bits(64 * 256) == 8
+    assert auto_lsh_bits(64 * 256 * 1024) == 18
+    assert auto_lsh_bits(10**12) == 24  # ceiling clamp
+    # monotone non-decreasing in n
+    prev = 0
+    for n in [100, 10_000, 1_000_000, 10**8, 10**10]:
+        b = auto_lsh_bits(n)
+        assert b >= prev
+        prev = b
+
+
+def test_near_dup_multitable_is_superset_and_exact(spark, sf_dir):
+    """Banded multi-table LSH: table 0 keeps the legacy hyperplane
+    family, so n_tables=2 candidates are a superset of single-table
+    pairs; every emitted cosine must equal the exact value."""
+    single = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.embedding_near_dup(spark, sf_dir, threshold=0.4).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.embedding_near_dup(
+            spark, sf_dir, threshold=0.4, n_tables=2
+        ).collect()
+    }
+    assert set(single) <= set(multi)
+    for k, v in single.items():
+        assert abs(multi[k] - v) < 1e-9
+
+
+def test_near_dup_auto_bits_runs(spark, sf_dir):
+    # bits=None derives width from corpus size (500 docs → min clamp 4)
+    rows = similarity.embedding_near_dup(spark, sf_dir, threshold=0.4, bits=None).collect()
+    # wider candidate set at 4 bits than 8 → at least the 8-bit pairs
+    fixed = similarity.embedding_near_dup(spark, sf_dir, threshold=0.4).collect()
+    assert {(r.id_a, r.id_b) for r in fixed} <= {(r.id_a, r.id_b) for r in rows}
+
+
+def test_ngram_verify_matches_standalone(spark, sf_dir):
+    from mito_spark.engine import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    standalone = dedup.ngram_jaccard_pairs(spark, sf_dir, threshold=0.3).collect()
+    assert standalone, "expected some jaccard pairs at test SF"
+    cand = spark.createDataFrame(
+        [(r.id_a, r.id_b) for r in standalone], "id_a bigint, id_b bigint"
+    )
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_verify(docs, cand, n=2).collect()
+    }
+    for r in standalone:
+        assert abs(verified[(r.id_a, r.id_b)] - r.jaccard) < 1e-12
+
+
+def test_ngram_pairs_guard_refuses_large_corpus(spark, sf_dir):
+    import pytest
+
+    with pytest.raises(ValueError, match="quadratic"):
+        dedup.ngram_jaccard_pairs(spark, sf_dir, max_rows=10)
