@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mito_spark.operators import (
     asof,
+    decontam,
     dedup,
     dynamic,
     events,
@@ -70,6 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text.fingerprint,
         "text_chunking": text.chunk_documents,
         "text_tfidf_top_terms": text.tfidf_top_terms,
+        # corpus hygiene (new in r3): benchmark decontamination via
+        # 13-gram probe-set overlap; Gopher-style repetition rules
+        "decontaminate": decontam.decontaminate,
+        "repetition_quality": decontam.repetition_quality,
         # multimodal plumbing (deterministic fake decode → full oracle)
         "multimodal_features": multimodal.multimodal_features,
         # dataset assembly (splits / packing)
@@ -95,36 +100,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": asof.events_asof_latest_order,
         "events_range_join": rangejoin.events_purchase_window,
         "events_value_percentiles": events.events_value_percentiles,
-        # TPC-H shapes, most-distinct first (each adds an operator shape
-        # not exercised above): scan-agg, join-topN, CASE agg (r1 red),
-        # correlated subquery, semi, anti+semi, outer+double agg, scalar
-        # subquery, IN-subquery+HAVING, rollup, cube, grouping sets,
-        # window frames, set ops
+        # TPC-H shapes inside the window. ROTATION (VERDICT r2 #9): the
+        # window holds the shape-distinct anchors (scan-agg, join-topN,
+        # anti+semi, rollup/cube/grouping-sets, window frames) plus a
+        # rotating cohort; r3 rotates IN q5/q6/top_orders/q7/q10 (all
+        # absent from CORRECTNESS_r02) and OUT seven r2-green shapes to
+        # the tail so every query re-proves itself within ~2 rounds.
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
-        "q12_priority_case_agg": relational2.q12_priority_case_agg,
-        "q2_cheapest_supplier": relational2.q2_cheapest_supplier,
-        "q4_priority_semi": relational2.q4_priority_semi,
         "q21_sole_late_supplier": relational2.q21_sole_late_supplier,
-        "q13_order_count_distribution": relational2.q13_order_count_distribution,
-        "q17_below_avg_qty_revenue": relational2.q17_below_avg_qty_revenue,
-        "q18_large_orders": relational2.q18_large_orders,
         "revenue_rollup": relational2.revenue_rollup,
         "order_cube": relational2.order_cube,
         "sql_grouping_sets": relational2.sql_grouping_sets,
         "customer_running_totals": relational2.customer_running_totals,
-        "nation_set_ops": relational2.nation_set_ops,
-        # ---- tail: shapes redundantly covered above (join+agg+topN,
-        # disjunctive predicates, shares/ratios) — r1 driver-green ----
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "top_orders_per_customer": relational.top_orders_per_customer,
+        "q7_nation_volume": relational2.q7_nation_volume,
+        "q10_returned_top_customers": relational2.q10_returned_top_customers,
+        # ---- tail: r2-green shapes resting outside the window this
+        # round (rotate back in next round) ----
+        "q12_priority_case_agg": relational2.q12_priority_case_agg,
+        "q2_cheapest_supplier": relational2.q2_cheapest_supplier,
+        "q4_priority_semi": relational2.q4_priority_semi,
+        "q13_order_count_distribution": relational2.q13_order_count_distribution,
+        "q17_below_avg_qty_revenue": relational2.q17_below_avg_qty_revenue,
+        "q18_large_orders": relational2.q18_large_orders,
+        "nation_set_ops": relational2.nation_set_ops,
         "order_priority_distinct_customers": relational.order_priority_distinct_customers,
         "part_type_stats": relational.part_type_stats,
-        "q7_nation_volume": relational2.q7_nation_volume,
         "q8_market_share": relational2.q8_market_share,
         "q9_profit_by_nation": relational2.q9_profit_by_nation,
-        "q10_returned_top_customers": relational2.q10_returned_top_customers,
         "q11_important_parts": relational2.q11_important_parts,
         "q16_supplier_part_variety": relational2.q16_supplier_part_variety,
         "q20_heavy_shippers": relational2.q20_heavy_shippers,
@@ -197,6 +203,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": text.FINGERPRINT_SQL,
         "text_chunking": text.CHUNK_SQL,
         "text_tfidf_top_terms": text.TFIDF_SQL,
+        "decontaminate": decontam.DECONTAM_SQL,
+        "repetition_quality": decontam.REPETITION_SQL,
         "multimodal_features": multimodal.MULTIMODAL_SQL,
         "dataset_split": sampling.DATASET_SPLIT_SQL,
         "token_pack_bins": sampling.TOKEN_PACK_SQL,

@@ -1,13 +1,15 @@
 """The composed training-data pipeline: language filter → quality
-filter → fingerprint dedup → sliding-window chunking, as ONE lazy plan.
+filter → repetition filter → benchmark decontamination → fingerprint
+dedup → sliding-window chunking, as ONE lazy plan.
 
 This is the end-to-end shape the individual operators exist for
-(C4/RefinedWeb-style corpus preparation). Composition stays a single
-Catalyst plan: the filters are per-row projections that run in the
-scan stage, dedup is the only shuffle (fingerprint groupBy), chunking
+(C4/RefinedWeb/Gopher-style corpus preparation). Composition stays a
+single Catalyst plan: the per-row filters (lang, quality, repetition)
+run in the scan stage, decontamination is a broadcast-probe anti-join,
+dedup is the only keyed shuffle (fingerprint window), chunking
 explodes after the data is already minimal. At 100 TB the ordering is
-the whole game — cheap row-local filters first, the shuffle on the
-smallest surviving set, fan-out last.
+the whole game — cheap row-local filters first, the broadcast join
+next, the shuffle on the smallest surviving set, fan-out last.
 """
 
 from __future__ import annotations
@@ -16,6 +18,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mito_spark.engine import load_table
+from mito_spark.operators.decontam import (
+    CONTAM_DEN,
+    CONTAM_NUM,
+    NGRAM_N,
+    PROBE_MOD,
+    _max_run_len,
+    _ngrams,
+    _shingle_hashes,
+)
 from mito_spark.operators.text import _LANG_MARKERS, _STOPWORDS, _tokens
 
 
@@ -67,10 +78,45 @@ def training_corpus(
 
     fingerprint = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
 
+    # --- Gopher repetition flag (same arithmetic as
+    # decontam.repetition_quality; per-row, shuffle-free) -------------
+    run2 = _max_run_len(_ngrams(toks, 2))
+    run3 = _max_run_len(_ngrams(toks, 3))
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines, n_dlines = F.size(lines), F.size(F.array_distinct(lines))
+    rep_flag = (
+        ((n_lines - n_dlines) * 10 > n_lines * 3)
+        | (run2 * 5 > F.greatest(n_tok - 1, F.lit(0)))
+        | (run3 * 50 > F.greatest(n_tok - 2, F.lit(0)) * 9)
+    )
+
     kept = (
         docs.select("doc_id", "text", pred.alias("_lang"), quality.alias("_q"), fingerprint.alias("_fp"))
-        .where((F.col("_lang") == lang) & (F.col("_q") >= min_quality))
+        .where((F.col("_lang") == lang) & (F.col("_q") >= min_quality) & ~rep_flag)
     )
+
+    # --- benchmark decontamination (same shape as
+    # decontam.decontaminate): broadcast the probe shingle set, count
+    # per-doc hits, anti-join docs above the contamination threshold --
+    per_doc = docs.select("doc_id", _shingle_hashes(toks, NGRAM_N).alias("_ghs"))
+    probe = (
+        per_doc.where(F.col("doc_id") % PROBE_MOD == 0)
+        .select(F.explode("_ghs").alias("_gh"))
+        .distinct()
+    )
+    contaminated = (
+        per_doc.select("doc_id", F.size("_ghs").alias("_n"), F.explode("_ghs").alias("_gh"))
+        .join(F.broadcast(probe), "_gh")
+        .groupBy("doc_id", "_n")
+        .agg(F.count(F.lit(1)).alias("_hit"))
+        .where(F.col("_hit") * CONTAM_DEN >= F.col("_n") * CONTAM_NUM)
+        .select("doc_id")
+    )
+    kept = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
     w = Window.partitionBy("_fp").orderBy("doc_id")
     deduped = kept.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
 
@@ -132,11 +178,49 @@ WITH tok AS (
           + CASE WHEN n_alpha*100 >= n_chars*60 THEN 0.25::DOUBLE ELSE 0.0 END) AS quality,
          md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
   FROM scored
+), rep_g2 AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok WHERE len(toks) >= 2)
+), rep_a2 AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, gram, count(*) AS c FROM rep_g2 GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+), rep_g3 AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tok WHERE len(toks) >= 3)
+), rep_a3 AS (
+  SELECT doc_id, max(c) AS top3 FROM (
+    SELECT doc_id, gram, count(*) AS c FROM rep_g3 GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+), repeated AS (
+  SELECT t.doc_id FROM tok t
+  LEFT JOIN rep_a2 ON t.doc_id = rep_a2.doc_id
+  LEFT JOIN rep_a3 ON t.doc_id = rep_a3.doc_id
+  WHERE (len(list_filter(list_transform(string_split(t.text, chr(10)), x -> trim(x)), x -> x <> ''))
+         - len(list_distinct(list_filter(list_transform(string_split(t.text, chr(10)), x -> trim(x)), x -> x <> '')))) * 10
+        > len(list_filter(list_transform(string_split(t.text, chr(10)), x -> trim(x)), x -> x <> '')) * 3
+     OR coalesce(top2, 0) * 5 > greatest(len(toks) - 1, 0)
+     OR coalesce(top3, 0) * 50 > greatest(len(toks) - 2, 0) * 9
+), spans0 AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - {NGRAM_N} + 2)) AS s
+  FROM tok WHERE len(toks) >= {NGRAM_N}
+), dg AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[s:s+{NGRAM_N - 1}], ' ')) AS gh
+  FROM spans0
+), probe AS (
+  SELECT DISTINCT gh FROM dg WHERE doc_id % {PROBE_MOD} = 0
+), contaminated AS (
+  SELECT dg.doc_id FROM dg JOIN probe USING (gh)
+  JOIN (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id) tot ON dg.doc_id = tot.doc_id
+  GROUP BY dg.doc_id, tot.n_grams
+  HAVING count(*) * {CONTAM_DEN} >= tot.n_grams * {CONTAM_NUM}
 ), kept AS (
   SELECT doc_id, text,
          ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
   FROM judged
   WHERE lang_pred = '{lang}' AND quality >= {min_quality}
+    AND doc_id NOT IN (SELECT doc_id FROM repeated)
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 ), rt AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
   FROM kept WHERE rn = 1

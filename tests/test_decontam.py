@@ -1,0 +1,126 @@
+"""Decontamination + repetition-quality operators (corpus hygiene).
+
+Cross-checked against the DuckDB oracle twins the driver runs, plus
+semantic invariants (probe docs are self-contaminated; repetition flag
+fires on constructed degenerate docs).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mito_spark.operators import decontam
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con.sql(sql).df()
+
+
+def _assert_matches_oracle(sdf, sf_dir: str, sql: str) -> None:
+    sp = sdf.toPandas()
+    du = _oracle(sf_dir, sql)
+    cols = sorted(sp.columns)
+    assert cols == sorted(du.columns)
+    sp = sp[cols].sort_values(cols).reset_index(drop=True)
+    du = du[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False)
+
+
+def test_decontaminate_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(
+        decontam.decontaminate(spark, sf_dir), sf_dir, decontam.DECONTAM_SQL
+    )
+
+
+def test_repetition_matches_oracle(spark, sf_dir):
+    _assert_matches_oracle(
+        decontam.repetition_quality(spark, sf_dir), sf_dir, decontam.REPETITION_SQL
+    )
+
+
+def test_probe_docs_fully_contaminated(spark, sf_dir):
+    """Every probe-set doc overlaps itself 100% → flagged; docs with no
+    probe hits are clean."""
+    rows = decontam.decontaminate(spark, sf_dir).collect()
+    for r in rows:
+        if r.doc_id % decontam.PROBE_MOD == 0:
+            assert r.n_probe_hits == r.n_grams and r.contaminated
+        if r.n_probe_hits == 0:
+            assert not r.contaminated and r.overlap_frac == 0.0
+
+
+def test_repetition_flag_on_degenerate_docs(spark):
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam spam spam"),
+        (1, "a clean sentence with ten entirely distinct little words"),
+        (2, "one two one two one two one two one two one two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    docs.createOrReplaceTempView("_rep_docs")
+    # reuse the operator body against an in-memory table via a monkey
+    # substitution of load_table semantics: call the column program
+    # directly through a local copy of the projection
+    from mito_spark.operators.decontam import _max_run_len, _ngrams
+    from mito_spark.operators.text import _tokens
+
+    toks = _tokens(F.lower(F.col("text")))
+    n_tok = F.size(toks)
+    run2 = _max_run_len(_ngrams(toks, 2))
+    out = {
+        r.doc_id: (r.r2, r.nt)
+        for r in docs.select("doc_id", run2.alias("r2"), n_tok.alias("nt")).collect()
+    }
+    # doc 0: "spam spam" 2-gram repeats 9 times out of 9 → share 1.0
+    assert out[0] == (9, 10)
+    # doc 1: all 2-grams distinct → max run 1
+    assert out[1][0] == 1
+    # doc 2: "one two" repeats 6 times, "two one" 5 → max run 6 of 11
+    assert out[2] == (6, 12)
+
+
+def test_max_run_len_empty_and_single():
+    # pure-expression check via a literal frame
+    from mito_spark.engine import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=1)
+    df = spark.range(1).select(
+        decontam._max_run_len(F.array().cast("array<string>")).alias("e"),
+        decontam._max_run_len(F.array(F.lit("x"))).alias("s"),
+        decontam._max_run_len(
+            F.array(F.lit("x"), F.lit("y"), F.lit("x"))
+        ).alias("m"),
+    )
+    r = df.first()
+    assert (r.e, r.s, r.m) == (0, 1, 2)
+
+
+def test_pipeline_excludes_contaminated_docs(spark, sf_dir):
+    """training_corpus must not emit chunks for any contaminated or
+    repetition-flagged doc."""
+    from mito_spark.operators import pipeline
+
+    out_ids = {
+        r.doc_id
+        for r in pipeline.training_corpus(spark, sf_dir).select("doc_id").distinct().collect()
+    }
+    bad = {
+        r.doc_id
+        for r in decontam.decontaminate(spark, sf_dir)
+        .where("contaminated")
+        .collect()
+    }
+    rep = {
+        r.doc_id
+        for r in decontam.repetition_quality(spark, sf_dir)
+        .where("repetition_flag")
+        .collect()
+    }
+    assert not (out_ids & bad)
+    assert not (out_ids & rep)
