@@ -57,8 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_filtered": similarity.cosine_topk_filtered,
         "ann_cosine_topk_lsh": similarity.cosine_topk_lsh,
         "embedding_near_dup": similarity.embedding_near_dup,
-        # rows-only: distributed k-means centroid means are reduce-order
-        # sensitive in their last float bits, so no cross-engine hash
+        # oracle-checked since r3: every float reduction in the IVF
+        # pipeline is order-pinned, so DuckDB re-derives the k-means
+        # centroids (3 unrolled Lloyd iterations) bit-for-bit
         "ann_cosine_topk_ivf": similarity.cosine_topk_ivf,
         # rows-only: sketch estimates are engine-specific by design;
         # error bounds vs the exact twins are pytest-enforced
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_filtered": similarity.COSINE_FILTERED_SQL,
         "ann_cosine_topk_lsh": similarity.COSINE_LSH_SQL,
         "embedding_near_dup": similarity.NEAR_DUP_SQL,
+        "ann_cosine_topk_ivf": similarity.COSINE_IVF_SQL,
         "text_token_count": text.TOKEN_COUNT_SQL,
         "text_lang_id": text.LANG_ID_SQL,
         "text_quality": text.QUALITY_SQL,

@@ -403,39 +403,74 @@ NEAR_DUP_SQL = _near_dup_sql()
 # --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------
 
 
-def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int = 3,
-                      train_cap: int = 512) -> list[list[float]]:
+# Training sample: vectors whose md5(vec_id) hex starts with one of
+# these characters (4/16 = 25%). Hash sampling is unbiased under
+# time-ordered / sharded id assignment, where an id-range cap would
+# train the quantizer on the oldest shard only.
+_IVF_TRAIN_HEX = ("0", "1", "2", "3")
+
+
+def _ivf_train_sample(emb: DataFrame) -> DataFrame:
+    return emb.where(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(*_IVF_TRAIN_HEX)
+    )
+
+
+def _kmeans_centroids(train: DataFrame, n_cells: int, iters: int = 3) -> list[list[float]]:
     """Distributed Lloyd iterations: assignment + per-cell mean are
     DataFrame jobs (shuffle on cell id); only the centroid table
-    (n_cells × dim floats) ever reaches the driver. Seeds are
-    stride-sampled by vec_id for determinism of the starting point.
+    (n_cells × dim floats) ever reaches the driver.
 
-    Training runs on a deterministic id-capped sample (coarse
-    quantizers need cluster SHAPE, not every point — faiss trains IVF
-    on samples for the same reason); assignment of the full corpus
-    happens once, after training."""
-    emb = emb.where(F.col("vec_id") < train_cap)
-    n = emb.count()
-    stride = max(n // n_cells, 1)
+    Every step is deterministic with a PINNED evaluation order so an
+    independent engine (the DuckDB oracle) reproduces the centroids
+    bit-for-bit: seeds are the n_cells smallest rows in md5(vec_id)
+    order (TakeOrdered — no global row_number), and per-cell means
+    accumulate in vec_id order via an ordered fold rather than
+    F.avg (whose shuffle-order float sums are run-dependent).
+
+    Training runs on the hash sample (coarse quantizers need cluster
+    SHAPE, not every point — faiss trains IVF on samples for the same
+    reason); assignment of the full corpus happens once, after
+    training. The ordered-fold mean collects each cell's training
+    members into one array, so the sample fraction must keep per-cell
+    training membership bounded (at 100 TB: tighten _IVF_TRAIN_HEX,
+    not the loop)."""
     seeds = (
-        emb.where((F.col("vec_id") % stride == 0) & (F.col("vec_id") / stride < n_cells))
-        .orderBy("vec_id")
+        train.select("v", F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id")
+        .orderBy("h", "vec_id")
+        .limit(n_cells)
         .select("v")
         .collect()
     )
     centroids = [list(r.v) for r in seeds][:n_cells]
+    dim = len(centroids[0])
+
+    def dim_sum(i: int):
+        # closure factory: a 2-arg lambda per dimension (a default-arg
+        # third param would make Spark see a 3-arg HOF lambda)
+        return lambda acc, x: acc + x.getField("v")[i]
+
     for _ in range(iters):
         cell = _nearest_cell_expr(centroids)
-        means = (
-            emb.select(cell.alias("cell"), "v")
+        rows = (
+            train.select(cell.alias("cell"), "vec_id", "v")
             .groupBy("cell")
-            .agg(
-                F.array(*[F.avg(F.col("v")[i]) for i in range(len(centroids[0]))]).alias("c"),
+            .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("l"))
+            .select(
+                "cell",
+                F.size("l").alias("n"),
+                F.array(
+                    *[
+                        F.aggregate(F.col("l"), F.lit(0.0), dim_sum(i))
+                        for i in range(dim)
+                    ]
+                ).alias("s"),
             )
             .collect()
         )
-        for r in means:
-            centroids[r.cell] = list(r.c)
+        # cells that captured no training points keep their centroid
+        for r in rows:
+            centroids[r.cell] = [x / r.n for x in r.s]
     return centroids
 
 
@@ -474,7 +509,7 @@ def cosine_topk_ivf(
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    centroids = _kmeans_centroids(emb, n_cells)
+    centroids = _kmeans_centroids(_ivf_train_sample(emb), n_cells)
     tagged = emb.withColumn("cell", _nearest_cell_expr(centroids)).persist()
     # query-side: nprobe nearest cells per query
     dists = [
@@ -509,3 +544,100 @@ def cosine_topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
     )
+
+
+def _ivf_sql(
+    n_queries: int = 10,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    dim: int = 64,
+) -> str:
+    """Full re-derivation of the IVF pipeline — seeds, 3 unrolled Lloyd
+    iterations, assignment, probe, scoring — in DuckDB SQL. Bit-for-bit
+    agreement with the Spark side holds because every float reduction
+    is order-pinned on both engines: seeds sort by md5(vec_id), means
+    sum in vec_id order, distances/dots fold left-to-right over the
+    index range, and all argmins tie-break on cell id."""
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+        )
+
+    hexes = ", ".join(f"'{h}'" for h in _IVF_TRAIN_HEX)
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), train AS (
+  SELECT vec_id, v FROM e
+  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ({hexes})
+), cent0 AS (
+  SELECT cell, c FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+           v AS c
+    FROM train
+  ) WHERE cell < {n_cells}
+)"""
+    ]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f""", a{it} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT t.vec_id, t.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {dist('t.v', 'c.c')} ASC, c.cell ASC) AS rn
+    FROM train t CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), m{it} AS (
+  SELECT cell, list(v ORDER BY vec_id) AS l, count(*) AS n FROM a{it} GROUP BY cell
+), cent{it} AS (
+  SELECT p.cell,
+         CASE WHEN m{it}.cell IS NULL THEN p.c
+              ELSE list_transform(range(1, {dim + 1}),
+                                  i -> list_sum(list_transform(m{it}.l, x -> x[i])) / m{it}.n)
+         END AS c
+  FROM {prev} p LEFT JOIN m{it} ON p.cell = m{it}.cell
+)"""
+        )
+        prev = f"cent{it}"
+    cos = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> p.q[i] * g.v[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> p.q[i]*p.q[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> g.v[i]*g.v[i]))))"
+    )
+    parts.append(
+        f""", tagged AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT t.vec_id, t.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {dist('t.v', 'c.c')} ASC, c.cell ASC) AS rn
+    FROM e t CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), probe AS (
+  SELECT query_id, q, cell FROM (
+    SELECT t.vec_id AS query_id, t.v AS q, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {dist('t.v', 'c.c')} ASC, c.cell ASC) AS rn
+    FROM e t CROSS JOIN {prev} c
+    WHERE t.vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT p.query_id, g.vec_id AS neighbor_id, {cos} AS cos
+  FROM tagged g JOIN probe p ON g.cell = p.cell AND g.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+COSINE_IVF_SQL = _ivf_sql()

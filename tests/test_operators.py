@@ -151,6 +151,21 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_ivf_train_sample_is_hash_spread(spark, sf_dir):
+    """Training must hash-sample, not id-range-cap: under time-ordered
+    ids an id cap trains centroids on the oldest shard only. The md5
+    sample must cover the id range and sit near its 25% target."""
+    from mito_spark.engine import load_table
+    from mito_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr("vec_id")
+    n = emb.count()
+    ids = [r.vec_id for r in similarity._ivf_train_sample(emb).collect()]
+    assert 0.15 * n <= len(ids) <= 0.35 * n
+    # spread: both halves of the id range are represented
+    assert min(ids) < n / 2 < max(ids)
+
+
 def test_register_views_sql_surface(spark, sf_dir):
     from mito_spark.engine import register_views
 
