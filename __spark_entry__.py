@@ -61,9 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline is order-pinned, so DuckDB re-derives the k-means
         # centroids (3 unrolled Lloyd iterations) bit-for-bit
         "ann_cosine_topk_ivf": similarity.cosine_topk_ivf,
-        # rows-only: sketch estimates are engine-specific by design;
-        # error bounds vs the exact twins are pytest-enforced
-        # (tests/test_sketches.py); exact twins are oracled above
+        # oracle-checked since r3: exact twins hash-compared, estimate
+        # bound booleans pinned TRUE by the oracle (an out-of-bounds
+        # estimate flips the boolean and fails the hash)
         "sketch_distinct_profile": sketches.sketch_distinct_profile,
         # text analysis
         "text_token_count": text.token_count,
@@ -199,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_lsh": similarity.COSINE_LSH_SQL,
         "embedding_near_dup": similarity.NEAR_DUP_SQL,
         "ann_cosine_topk_ivf": similarity.COSINE_IVF_SQL,
+        "sketch_distinct_profile": sketches.SKETCH_PROFILE_SQL,
         "text_token_count": text.TOKEN_COUNT_SQL,
         "text_lang_id": text.LANG_ID_SQL,
         "text_quality": text.QUALITY_SQL,

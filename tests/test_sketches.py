@@ -29,7 +29,7 @@ def exact(spark):
 
 
 def test_sketch_estimates_within_bounds(spark, exact):
-    got = {r.event_type: r for r in sketches.sketch_distinct_profile(spark, SF_DIR).collect()}
+    got = {r.event_type: r for r in sketches.sketch_estimates(spark, SF_DIR).collect()}
     assert set(got) == set(exact)
     for et, r in got.items():
         e = exact[et]
@@ -41,6 +41,16 @@ def test_sketch_estimates_within_bounds(spark, exact):
         # gate on rank-tolerance expressed in value space (values ~ U[0,1000])
         assert abs(r.p50_approx - e.p50_exact) <= 10.0, et
         assert abs(r.p95_approx - e.p95_exact) <= 10.0, et
+
+
+def test_gated_profile_bounds_all_true(spark):
+    """The driver-gated form's bound booleans must all be TRUE (the
+    oracle pins them TRUE, so a false here is a future gate failure)."""
+    rows = sketches.sketch_distinct_profile(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.users_approx_ok and r.users_hll_ok, r.event_type
+        assert r.p50_approx_ok and r.p95_approx_ok, r.event_type
 
 
 def test_hll_sketches_merge_losslessly(spark, exact):
