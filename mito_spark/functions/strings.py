@@ -42,9 +42,43 @@ def count_substr(s, sub: str) -> Column:
     return ((F.length(s) - F.length(F.replace(s, F.lit(sub), F.lit("")))) / len(sub)).cast("bigint")
 
 
+# Unicode simple case folding (Go strings.EqualFold semantics) as
+# lower() + a per-rune fixup: the 108 codepoints that are fixed points
+# of toLowerCase but NOT of simple fold (CaseFolding.txt C+S rows),
+# derived from Python's Unicode 14 tables: µ→μ, ſ→s, final sigma ς→σ,
+# Greek symbol letters (ϐϑϕϖϰϱϵ), combining ypogegrammeni, ẛ→ṡ,
+# historic Cyrillic ᲀ-ᲈ, and the Cherokee small letters (whose fold
+# representative is the UPPERCASE block, so lower() moves AWAY from
+# the orbit representative and translate() brings it back).
+_FOLD_FROM = (
+    "\xb5ſͅςϐϑϕϖϰϱϵ"
+    "ᏸᏹᏺᏻᏼᏽ"
+    "ᲀᲁᲂᲃᲄᲅᲆᲇᲈ"
+    "ẛι"
+    + "".join(chr(c) for c in range(0xAB70, 0xABC0))
+)
+_FOLD_TO = (
+    "μsισβθφπκρε"
+    "ᏰᏱᏲᏳᏴᏵ"
+    "вдосттъѣ"
+    "ꙋṡι"
+    + "".join(chr(c) for c in range(0x13A0, 0x13F0))
+)
+
+
+def fold_case(s) -> Column:
+    """Unicode simple case fold of every rune (strings.go:636 uses Go
+    strings.EqualFold, i.e. SimpleFold orbits). lower() collapses all
+    orbits except the 108 divergent runes, which translate() remaps —
+    both are Catalyst built-ins, so folding stays in codegen."""
+    return F.translate(F.lower(_c(s)), _FOLD_FROM, _FOLD_TO)
+
+
 def equal_fold(a, b) -> Column:
-    """Case-insensitive equality (ASCII+simple fold; strings.go:636)."""
-    return F.lower(_c(a)) == F.lower(_c(b))
+    """Case-insensitive equality under Unicode simple folding
+    (strings.go:636). r2 used lower()==lower(), which diverges on the
+    Kelvin/long-s fold class; r3 matches Go rune-for-rune."""
+    return fold_case(a) == fold_case(b)
 
 
 def fields(s) -> Column:

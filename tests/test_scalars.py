@@ -155,6 +155,32 @@ def test_try_error_as_value(spark):
     assert [r.e for r in err] == [True, False]
 
 
+def test_equal_fold_unicode_simple_fold(spark):
+    """Go strings.EqualFold parity on the fold classes where
+    lower()==lower() diverges (VERDICT r2 #1): Kelvin sign K=U+212A,
+    long s ſ=U+017F, micro µ=U+00B5, final sigma ς, Cherokee. Golden
+    values = Go strings.EqualFold (lib/strings.go:636)."""
+    cases = [
+        ("K", "k", True),        # KELVIN SIGN vs k
+        ("K", "K", True),
+        ("ſ", "s", True),        # LONG S vs s
+        ("ſ", "S", True),
+        ("µ", "μ", True),   # MICRO SIGN vs GREEK MU
+        ("µ", "Μ", True),   # vs capital Mu
+        ("ς", "σ", True),   # final sigma vs sigma
+        ("ς", "Σ", True),   # vs capital Sigma
+        ("Ꭰ", "ꭰ", True),   # Cherokee A vs small a
+        ("straße", "STRAẞE", True),  # ß vs ẞ (S-fold pair)
+        ("ß", "ss", False),      # simple fold does NOT expand ß
+        ("abc", "ABD", False),
+        ("", "", True),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string, want boolean")
+    rows = df.select("a", "b", "want", strings.equal_fold("a", F.col("b")).alias("got")).collect()
+    for r in rows:
+        assert r.got == r.want, (r.a, r.b)
+
+
 def test_remaining_string_functions(spark):
     df = spark.createDataFrame(
         [("Hello World", "HELLO WORLD", b"ok\xffbad")], "a string, b string, bin binary"
