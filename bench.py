@@ -7,6 +7,12 @@ Each query is forced end-to-end with a noop-format write (computes the
 full plan including projections that a count() would prune). The
 quadratic verification form dedup_ngram_jaccard is deliberately not a
 headline (it exists as the oracle twin of the LSH path).
+
+r3: per-query times are MEDIANS over $SPARK_GRAFT_BENCH_ITERS
+round-robin passes (default 3) — r2's n<=2 runs made 0.2-0.8s of
+JVM/IO noise look like per-query regressions. "value" is the sum of
+medians; "spread" records per-query max-min across passes so genuine
+regressions are distinguishable from noise in round-over-round diffs.
 """
 
 from __future__ import annotations
@@ -103,13 +109,21 @@ def main() -> None:
     # warm the JVM + parquet footers once (not timed)
     qs["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(iters):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    times = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -117,6 +131,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf),
+        "iters": iters,
+        "spread": {name: round(max(xs) - min(xs), 3) for name, xs in samples.items()},
     }
     try:
         out["aux"] = _aux_benches(spark, sf_dir)

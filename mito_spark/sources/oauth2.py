@@ -26,7 +26,10 @@ import urllib.request
 from dataclasses import dataclass, field
 from typing import Any
 
-_AZURE_TOKEN_URL = "https://login.microsoftonline.com/{tenant}/oauth2/token"
+# endpoints.AzureAD(tenant) in golang.org/x/oauth2 (the reference's
+# derivation, mito.go:452) returns the v2.0 endpoint and substitutes
+# "common" for an empty tenant.
+_AZURE_TOKEN_URL = "https://login.microsoftonline.com/{tenant}/oauth2/v2.0/token"
 _JWT_BEARER_GRANT = "urn:ietf:params:oauth:grant-type:jwt-bearer"
 
 
@@ -54,6 +57,8 @@ class OAuth2Config:
     google_jwt_json: str = ""
     google_jwt_file: str = ""
     google_delegated_account: str = ""
+    google_credentials_json: str = ""
+    google_credentials_file: str = ""
 
 
 @dataclass
@@ -78,6 +83,9 @@ def fetch_token(cfg: OAuth2Config, timeout: float = 30.0) -> Token:
         cfg = _azure_normalize(cfg)
     elif provider not in ("",):
         raise ValueError(f"oauth2: unknown provider {cfg.provider!r}")
+    if not cfg.token_url:
+        # fail here with a named error rather than deep inside urllib
+        raise ValueError("oauth2: token_url is required for provider ''")
 
     form: dict[str, str] = {
         "client_id": cfg.client_id,
@@ -97,9 +105,12 @@ def fetch_token(cfg: OAuth2Config, timeout: float = 30.0) -> Token:
 
 def _azure_normalize(cfg: OAuth2Config) -> OAuth2Config:
     """Azure provider sugar (mito.go:447-463): token URL derived from
-    the tenant when unset; azure_resource rides as the ``resource``
+    the tenant when unset (endpoints.AzureAD → v2.0 endpoint, empty
+    tenant → "common"); azure_resource rides as the ``resource``
     endpoint param. The grant itself is plain client-credentials."""
-    token_url = cfg.token_url or _AZURE_TOKEN_URL.format(tenant=cfg.azure_tenant_id)
+    token_url = cfg.token_url or _AZURE_TOKEN_URL.format(
+        tenant=cfg.azure_tenant_id or "common"
+    )
     params = dict(cfg.endpoint_params)
     if cfg.azure_resource:
         params["resource"] = cfg.azure_resource
@@ -158,11 +169,19 @@ def google_jwt_config(cfg: OAuth2Config) -> dict[str, Any]:
     return info
 
 
-def make_jwt_assertion(cfg: OAuth2Config, now: float | None = None, lifetime: int = 3600) -> str:
+def make_jwt_assertion(
+    cfg: OAuth2Config,
+    now: float | None = None,
+    lifetime: int = 3600,
+    info: dict[str, Any] | None = None,
+) -> str:
     """Build + sign the RS256 assertion: iss = service-account email,
     scope = joined scopes, aud = token_uri, optional sub for
-    domain-wide delegation (googCfg.Subject in the reference)."""
-    info = google_jwt_config(cfg)
+    domain-wide delegation (googCfg.Subject in the reference). Pass a
+    pre-loaded ``info`` to avoid re-reading google_jwt_file on every
+    token refresh."""
+    if info is None:
+        info = google_jwt_config(cfg)
     now = time.time() if now is None else now
     header: dict[str, Any] = {"alg": "RS256", "typ": "JWT"}
     if info.get("private_key_id"):
@@ -184,9 +203,55 @@ def make_jwt_assertion(cfg: OAuth2Config, now: float | None = None, lifetime: in
 
 
 def fetch_google_jwt_token(cfg: OAuth2Config, timeout: float = 30.0) -> Token:
-    info = google_jwt_config(cfg)
-    form = {"grant_type": _JWT_BEARER_GRANT, "assertion": make_jwt_assertion(cfg)}
-    return _post_token_form(cfg.token_url or info["token_uri"], form, timeout)
+    """Google provider dispatch (mito.go:472-506): the jwt_json/file
+    JWT-bearer flow when configured, else credentials_json/file — a
+    service_account credential takes the same JWT flow (what
+    google.CredentialsFromJSON does under the hood), an
+    authorized_user credential exchanges its refresh token."""
+    if cfg.google_jwt_json or cfg.google_jwt_file:
+        info = google_jwt_config(cfg)
+        form = {
+            "grant_type": _JWT_BEARER_GRANT,
+            "assertion": make_jwt_assertion(cfg, info=info),
+        }
+        return _post_token_form(cfg.token_url or info["token_uri"], form, timeout)
+
+    raw = cfg.google_credentials_json
+    if not raw and cfg.google_credentials_file:
+        with open(cfg.google_credentials_file, encoding="utf-8") as fh:
+            raw = fh.read()
+    if not raw:
+        raise ValueError(
+            "oauth2: google provider requires google_jwt_json/google_jwt_file "
+            "or google_credentials_json/google_credentials_file"
+        )
+    try:
+        info = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"oauth2: error loading credentials: {raw[:64]}") from e
+    kind = info.get("type")
+    if kind == "service_account":
+        jwt_cfg = OAuth2Config(**{**cfg.__dict__, "google_jwt_json": raw})
+        form = {
+            "grant_type": _JWT_BEARER_GRANT,
+            "assertion": make_jwt_assertion(jwt_cfg, info=google_jwt_config(jwt_cfg)),
+        }
+        return _post_token_form(
+            cfg.token_url or info.get("token_uri", "https://oauth2.googleapis.com/token"),
+            form,
+            timeout,
+        )
+    if kind == "authorized_user":
+        form = {
+            "grant_type": "refresh_token",
+            "refresh_token": info.get("refresh_token", ""),
+            "client_id": info.get("client_id", ""),
+            "client_secret": info.get("client_secret", ""),
+        }
+        return _post_token_form(
+            cfg.token_url or "https://oauth2.googleapis.com/token", form, timeout
+        )
+    raise ValueError(f"oauth2: error loading credentials: unsupported type {kind!r}")
 
 
 def _b64url(b: bytes) -> bytes:
@@ -197,14 +262,22 @@ def _b64url(b: bytes) -> bytes:
 
 
 def _der_tlv(b: bytes, i: int) -> tuple[int, bytes, int]:
-    """Returns (tag, value, next_index) for the TLV at offset i."""
+    """Returns (tag, value, next_index) for the TLV at offset i.
+    Bounds-checked: truncated input raises ValueError, not IndexError
+    or a silently-short slice."""
+    if i + 2 > len(b):
+        raise ValueError("oauth2: malformed DER")
     tag = b[i]
     ln = b[i + 1]
     i += 2
     if ln & 0x80:
         n_bytes = ln & 0x7F
+        if n_bytes == 0 or i + n_bytes > len(b):
+            raise ValueError("oauth2: malformed DER")
         ln = int.from_bytes(b[i : i + n_bytes], "big")
         i += n_bytes
+    if i + ln > len(b):
+        raise ValueError("oauth2: malformed DER")
     return tag, b[i : i + ln], i + ln
 
 
@@ -226,6 +299,10 @@ def _rsa_key_from_pem(pem: str) -> tuple[int, int, int]:
     lines = [ln.strip() for ln in pem.strip().splitlines()]
     if not lines or "-----BEGIN" not in lines[0]:
         raise ValueError("oauth2: private_key is not PEM")
+    if "ENCRYPTED" in lines[0]:
+        # would otherwise be misdetected as plain PKCS#8 and fail deep
+        # inside the DER walk with a confusing error
+        raise ValueError("oauth2: encrypted private keys are not supported")
     pkcs8 = "RSA PRIVATE KEY" not in lines[0]
     der = base64.b64decode("".join(ln for ln in lines if "-----" not in ln))
     if pkcs8:
