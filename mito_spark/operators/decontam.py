@@ -74,19 +74,38 @@ def decontaminate(
     Plan: one broadcast of the probe shingle set, one explode-join to
     count hits, one small groupBy(doc_id) on the hit stream. Nothing
     quadratic; corpus docs never compare with each other.
+
+    Two plan subtleties matter enormously here (23s -> ~2s at sf0.1):
+
+    - ``toks`` is STAGED as a real column before any HOF references
+      it. Higher-order functions are interpreted (outside whole-stage
+      codegen), so a lambda body that embeds the tokenization
+      *expression* re-runs the regexp split once per array element;
+      an attribute reference is a free row lookup. CollapseProject
+      keeps the stage because the reference is non-cheap and used
+      more than once.
+    - ``explode_outer`` instead of ``explode``: InferFiltersFromGenerate
+      only fires for inner generates, and the filters it infers
+      (size(ghs)>0, isnotnull(ghs)) get pushed below the projection
+      with the full shingle expression inlined — recomputing the
+      tokenization per shingle position per row. The outer generate
+      emits a null gh for empty arrays, which the per_doc filter
+      already precludes.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.lower(F.col("text")))
-    per_doc = docs.where(F.size(toks) >= n).select(
-        "doc_id", _shingle_hashes(toks, n).alias("ghs")
+    per_doc = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select("doc_id", _shingle_hashes(F.col("toks"), n).alias("ghs"))
     )
     probe = (
         per_doc.where(F.col("doc_id") % probe_mod == 0)
-        .select(F.explode("ghs").alias("gh"))
+        .select(F.explode_outer("ghs").alias("gh"))
         .distinct()
     )
     hits = (
-        per_doc.select("doc_id", F.explode("ghs").alias("gh"))
+        per_doc.select("doc_id", F.explode_outer("ghs").alias("gh"))
         .join(F.broadcast(probe), "gh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
@@ -182,17 +201,30 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand in for a groupBy-count of the mode).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.lower(F.col("text")))
-    n_tok = F.size(toks)
-    n_dist = F.size(F.array_distinct(toks))
+    # Stage toks/lines as columns, then the scalar metrics as columns,
+    # THEN the derived ratios: every HOF lambda reads attributes, and
+    # the run-length folds are computed once even though two output
+    # columns reference them (see decontaminate's plan notes).
     lines = F.filter(
         F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
         lambda x: x != F.lit(""),
     )
-    n_lines = F.size(lines)
-    n_dlines = F.size(F.array_distinct(lines))
-    run2 = _max_run_len(_ngrams(toks, 2))
-    run3 = _max_run_len(_ngrams(toks, 3))
+    staged = docs.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks"), lines.alias("lines")
+    )
+    tk, ln = F.col("toks"), F.col("lines")
+    metrics = staged.select(
+        "doc_id",
+        F.size(tk).alias("n_tok"),
+        F.size(F.array_distinct(tk)).alias("n_dist"),
+        F.size(ln).alias("n_lines"),
+        F.size(F.array_distinct(ln)).alias("n_dlines"),
+        _max_run_len(_ngrams(tk, 2)).alias("run2"),
+        _max_run_len(_ngrams(tk, 3)).alias("run3"),
+    )
+    n_tok, n_dist = F.col("n_tok"), F.col("n_dist")
+    n_lines, n_dlines = F.col("n_lines"), F.col("n_dlines")
+    run2, run3 = F.col("run2"), F.col("run3")
     tot2 = F.greatest(n_tok - 1, F.lit(0))
     tot3 = F.greatest(n_tok - 2, F.lit(0))
     flag = (
@@ -200,7 +232,7 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (run2 * 5 > tot2)
         | (run3 * 50 > tot3 * 9)
     )
-    return docs.select(
+    return metrics.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round((n_tok - n_dist).cast("double") / F.greatest(n_tok, F.lit(1)), 6).alias(

@@ -42,9 +42,30 @@ def training_corpus(
     ``min_quality`` → keep the lowest doc_id per canonical fingerprint
     → chunk. Returns (doc_id, chunk_idx, chunk_text, chunk_len)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.lower(F.col("text")))
+    # Stage tokens/lines as real columns before any HOF references
+    # them: higher-order functions are interpreted, so lambdas that
+    # embed the tokenization EXPRESSION re-run the regexp split per
+    # array element, while an attribute reference is a free lookup
+    # (same plan note as decontam.decontaminate; 21s -> ~2s at sf0.1).
+    lines_expr = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    staged = docs.select(
+        "doc_id",
+        "text",
+        _tokens(F.lower(F.col("text"))).alias("toks"),
+        lines_expr.alias("lines"),
+    )
+    toks = F.col("toks")
 
-    # --- language argmax (same construction as text.lang_id) ---------
+    # Layer 2: every HOF-backed scalar metric computed ONCE into a
+    # column. HOF-bearing projections are interpreted (no whole-stage
+    # codegen, so no common-subexpression elimination): an argmax/when
+    # chain built directly over the HOF score expressions re-evaluates
+    # each score ~10x per row, and the pushed-down language/quality
+    # filter re-evaluates the lot again (9s -> <1s at sf0.1 for this
+    # stage alone).
     langs = sorted(_LANG_MARKERS)
 
     def _score(lg: str):
@@ -53,7 +74,36 @@ def training_corpus(
         markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lg]])
         return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
 
-    scores = {lg: _score(lg) for lg in langs}
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    # The _fp wrapper is a value-identity pushdown barrier:
+    # spark_partition_id() is always >= 0, but it is CLASSED
+    # nondeterministic, and a nondeterministic project list stops
+    # PushPredicateThroughNonJoin from substituting the language/
+    # quality filter's condition down through this projection — which
+    # would land the full HOF metric expressions in the parquet scan
+    # filter and re-evaluate them per row on top of this projection.
+    # (rand() >= -1 no longer works: Spark 4 constant-folds it away.)
+    metrics = staged.select(
+        "doc_id",
+        "text",
+        *[_score(lg).alias(f"_s_{lg}") for lg in langs],
+        F.size(toks).alias("_n_tok"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("_n_stop"),
+        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")).alias("_n_alpha"),
+        F.length("text").alias("_n_chars"),
+        F.when(
+            F.spark_partition_id() >= 0,
+            F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")),
+        ).alias("_fp"),
+        _max_run_len(_ngrams(toks, 2)).alias("_run2"),
+        _max_run_len(_ngrams(toks, 3)).alias("_run3"),
+        F.size("lines").alias("_n_lines"),
+        F.size(F.array_distinct("lines")).alias("_n_dlines"),
+    )
+
+    # Layer 3: verdicts from the scalar attributes — pure integer /
+    # double arithmetic, safe to duplicate under filter pushdown.
+    scores = {lg: F.col(f"_s_{lg}") for lg in langs}
     pairs = F.array(
         *[F.struct(scores[lg].alias("s"), F.lit(-i).alias("ord")) for i, lg in enumerate(langs)]
     )
@@ -62,12 +112,8 @@ def training_corpus(
     for i, lg in enumerate(langs):
         pred = pred.when(-best.getField("ord") == i, F.lit(lg))
 
-    # --- quality (same arithmetic as text.quality_score) -------------
-    n_tok = F.size(toks)
-    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
-    n_chars = F.length("text")
+    n_tok, n_stop = F.col("_n_tok"), F.col("_n_stop")
+    n_alpha, n_chars = F.col("_n_alpha"), F.col("_n_chars")
     mean_wlen = n_chars.cast("double") / n_tok
     quality = (
         F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
@@ -76,17 +122,8 @@ def training_corpus(
         + F.when(n_alpha * 100 >= n_chars * 60, F.lit(0.25)).otherwise(F.lit(0.0))
     )
 
-    fingerprint = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
-
-    # --- Gopher repetition flag (same arithmetic as
-    # decontam.repetition_quality; per-row, shuffle-free) -------------
-    run2 = _max_run_len(_ngrams(toks, 2))
-    run3 = _max_run_len(_ngrams(toks, 3))
-    lines = F.filter(
-        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
-    )
-    n_lines, n_dlines = F.size(lines), F.size(F.array_distinct(lines))
+    run2, run3 = F.col("_run2"), F.col("_run3")
+    n_lines, n_dlines = F.col("_n_lines"), F.col("_n_dlines")
     rep_flag = (
         ((n_lines - n_dlines) * 10 > n_lines * 3)
         | (run2 * 5 > F.greatest(n_tok - 1, F.lit(0)))
@@ -94,21 +131,35 @@ def training_corpus(
     )
 
     kept = (
-        docs.select("doc_id", "text", pred.alias("_lang"), quality.alias("_q"), fingerprint.alias("_fp"))
-        .where((F.col("_lang") == lang) & (F.col("_q") >= min_quality) & ~rep_flag)
+        metrics.select("doc_id", "text", pred.alias("_lang"), quality.alias("_q"), F.col("_fp"), rep_flag.alias("_rep"))
+        .where((F.col("_lang") == lang) & (F.col("_q") >= min_quality) & ~F.col("_rep"))
+        .drop("_rep")
     )
 
     # --- benchmark decontamination (same shape as
     # decontam.decontaminate): broadcast the probe shingle set, count
-    # per-doc hits, anti-join docs above the contamination threshold --
-    per_doc = docs.select("doc_id", _shingle_hashes(toks, NGRAM_N).alias("_ghs"))
+    # per-doc hits, anti-join docs above the contamination threshold.
+    # explode_outer, not explode: InferFiltersFromGenerate would push
+    # an inlined copy of the shingle expression below the projection
+    # (see decontam.py plan notes).
+    # The _ghs barrier stops InferFiltersFromConstraints: the
+    # contamination-threshold filter implies isnotnull(_n), which
+    # would otherwise push through the aggregate and projection and
+    # inline the whole shingle expression into the scan filter. The
+    # probe side pre-filters doc_id BEFORE shingling (manual pushdown,
+    # since the barrier would block the automatic one).
     probe = (
-        per_doc.where(F.col("doc_id") % PROBE_MOD == 0)
-        .select(F.explode("_ghs").alias("_gh"))
+        staged.where(F.col("doc_id") % PROBE_MOD == 0)
+        .select(_shingle_hashes(toks, NGRAM_N).alias("_ghs"))
+        .select(F.explode_outer("_ghs").alias("_gh"))
         .distinct()
     )
+    per_doc = staged.select(
+        "doc_id",
+        F.when(F.spark_partition_id() >= 0, _shingle_hashes(toks, NGRAM_N)).alias("_ghs"),
+    )
     contaminated = (
-        per_doc.select("doc_id", F.size("_ghs").alias("_n"), F.explode("_ghs").alias("_gh"))
+        per_doc.select("doc_id", F.size("_ghs").alias("_n"), F.explode_outer("_ghs").alias("_gh"))
         .join(F.broadcast(probe), "_gh")
         .groupBy("doc_id", "_n")
         .agg(F.count(F.lit(1)).alias("_hit"))
@@ -122,7 +173,8 @@ def training_corpus(
 
     # --- chunking (same construction as text.chunk_documents) --------
     stride = chunk_tokens - overlap
-    dtoks = _tokens(F.col("text"))
+    rechunk = deduped.select("doc_id", _tokens(F.col("text")).alias("_dtoks"))
+    dtoks = F.col("_dtoks")
     starts = F.sequence(F.lit(1), F.greatest(F.size(dtoks) - overlap, F.lit(1)), F.lit(stride))
     chunks = F.transform(
         starts,
@@ -132,7 +184,7 @@ def training_corpus(
             F.least(F.size(dtoks) - s + 1, F.lit(chunk_tokens)).alias("chunk_len"),
         ),
     )
-    return deduped.select("doc_id", F.explode(chunks).alias("c")).select(
+    return rechunk.select("doc_id", F.explode_outer(chunks).alias("c")).select(
         "doc_id",
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.col("c.chunk_text").alias("chunk_text"),
