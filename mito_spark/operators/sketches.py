@@ -30,17 +30,29 @@ from mito_spark.engine import load_table
 
 
 def _profile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregations joined on the (tiny) group key, NOT one mixed
+    aggregate. Mixing COUNT(DISTINCT) with object-buffer aggregates
+    (percentile, hll_sketch_agg) in a single groupBy forces the
+    Expand-based distinct rewrite through the object-hash path: 5x
+    slower at sf0.1, and the HLL estimates came back misattributed —
+    every group reported the identical estimate (the pattern
+    reproduces on a plain session; the split plan returns proper
+    per-group values). Two clean single-mode aggregates + a join on
+    5 group rows is faster AND right."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("users_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    approx = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("users_approx"),
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("users_hll"),
         F.round(F.percentile("value", 0.5), 6).alias("p50_exact"),
         F.round(F.percentile("value", 0.95), 6).alias("p95_exact"),
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
-        F.count(F.lit(1)).alias("n"),
     )
+    return exact.join(approx, "event_type")
 
 
 def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
