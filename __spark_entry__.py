@@ -21,6 +21,8 @@ from mito_spark.operators import (
     dedup,
     dynamic,
     events,
+    graph,
+    hygiene,
     multimodal,
     pipeline,
     rangejoin,
@@ -52,6 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "dedup_simhash": dedup.simhash_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # new in r4: pairs -> clusters -> canonical pick (alternating
+        # large-star/small-star CC; the keep/drop manifest)
+        "dedup_connected_components": graph.dedup_connected_components,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk_bruteforce,
         "ann_cosine_topk_filtered": similarity.cosine_topk_filtered,
@@ -76,6 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 13-gram probe-set overlap; Gopher-style repetition rules
         "decontaminate": decontam.decontaminate,
         "repetition_quality": decontam.repetition_quality,
+        # new in r4: PII scrubbing, deterministic stratified sampling,
+        # domain-mix rebalancing
+        "pii_redaction": hygiene.pii_redaction,
+        "stratified_sample": hygiene.stratified_sample,
+        "domain_mix": hygiene.domain_mix,
         # multimodal plumbing (deterministic fake decode → full oracle)
         "multimodal_features": multimodal.multimodal_features,
         # dataset assembly (splits / packing)
@@ -102,12 +112,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": rangejoin.events_purchase_window,
         "events_value_percentiles": events.events_value_percentiles,
         # TPC-H shapes inside the window. ROTATION (VERDICT r2 #9): the
-        # window holds the shape-distinct anchors (scan-agg, join-topN,
-        # anti+semi, rollup/cube/grouping-sets, window frames) plus a
-        # rotating cohort; r3 rotates IN q5/q6/top_orders/q7/q10 (all
-        # absent from CORRECTNESS_r02) and OUT seven r2-green shapes to
-        # the tail so every query re-proves itself within ~2 rounds.
+        # window holds a rotating TPC-H cohort so every query re-proves
+        # itself within ~2 rounds. r4 adds 4 new LLM-pipeline entries
+        # above, so only 8 TPC-H slots remain in-window: q1 stays as
+        # the scan-agg anchor and the seven shapes that rested in r3
+        # (q12/q2/q4/q13/q17/q18/nation_set_ops — all r2-green) rotate
+        # IN; the r3-proved cohort rests in the tail until r5.
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "q12_priority_case_agg": relational2.q12_priority_case_agg,
+        "q2_cheapest_supplier": relational2.q2_cheapest_supplier,
+        "q4_priority_semi": relational2.q4_priority_semi,
+        "q13_order_count_distribution": relational2.q13_order_count_distribution,
+        "q17_below_avg_qty_revenue": relational2.q17_below_avg_qty_revenue,
+        "q18_large_orders": relational2.q18_large_orders,
+        "nation_set_ops": relational2.nation_set_ops,
+        # ---- tail: r3-green shapes resting outside the window this
+        # round (rotate back in r5) ----
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q21_sole_late_supplier": relational2.q21_sole_late_supplier,
         "revenue_rollup": relational2.revenue_rollup,
@@ -119,15 +139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "q7_nation_volume": relational2.q7_nation_volume,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
-        # ---- tail: r2-green shapes resting outside the window this
-        # round (rotate back in next round) ----
-        "q12_priority_case_agg": relational2.q12_priority_case_agg,
-        "q2_cheapest_supplier": relational2.q2_cheapest_supplier,
-        "q4_priority_semi": relational2.q4_priority_semi,
-        "q13_order_count_distribution": relational2.q13_order_count_distribution,
-        "q17_below_avg_qty_revenue": relational2.q17_below_avg_qty_revenue,
-        "q18_large_orders": relational2.q18_large_orders,
-        "nation_set_ops": relational2.nation_set_ops,
         "order_priority_distinct_customers": relational.order_priority_distinct_customers,
         "part_type_stats": relational.part_type_stats,
         "q8_market_share": relational2.q8_market_share,
@@ -208,6 +219,10 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_top_terms": text.TFIDF_SQL,
         "decontaminate": decontam.DECONTAM_SQL,
         "repetition_quality": decontam.REPETITION_SQL,
+        "dedup_connected_components": graph.CC_SQL,
+        "pii_redaction": hygiene.PII_SQL,
+        "stratified_sample": hygiene.STRATIFIED_SQL,
+        "domain_mix": hygiene.DOMAIN_MIX_SQL,
         "multimodal_features": multimodal.MULTIMODAL_SQL,
         "dataset_split": sampling.DATASET_SPLIT_SQL,
         "token_pack_bins": sampling.TOKEN_PACK_SQL,

@@ -38,8 +38,14 @@ def stream_events_from_parquet(spark: SparkSession, sf_dir: str, schema=None) ->
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (with local-tz semantics); the
+        # parquet writer may emit tz-less micros which Spark 4 infers
+        # as NTZ. Session tz is UTC so the instant is unchanged.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

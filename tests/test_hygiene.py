@@ -1,0 +1,71 @@
+"""Corpus hygiene (operators/hygiene.py): PII redaction, stratified
+sampling, domain-mix rebalancing."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from mito_spark.engine import load_table
+from mito_spark.operators.hygiene import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    _with_synthetic_pii,
+    domain_mix,
+    pii_redaction,
+    stratified_sample,
+)
+
+
+def test_pii_counts_nonzero_and_redacted(spark, sf_dir):
+    out = pii_redaction(spark, sf_dir)
+    rows = out.collect()
+    # every doc got one synthetic email/ip/phone appended
+    assert all(r.n_emails >= 1 and r.n_ips >= 1 and r.n_phones >= 1 for r in rows)
+
+
+def test_pii_redaction_removes_all_matches(spark, sf_dir):
+    docs = _with_synthetic_pii(load_table(spark, sf_dir, "documents")).limit(50)
+    red = docs.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text_pii"), PHONE_RE, "<PHONE>"), IPV4_RE, "<IP>"
+            ),
+            EMAIL_RE,
+            "<EMAIL>",
+        ).alias("r")
+    )
+    for row in red.collect():
+        assert not re.search(EMAIL_RE, row.r)
+        assert not re.search(IPV4_RE, row.r)
+        assert not re.search(PHONE_RE, row.r)
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    a = {(r.source, r.doc_id) for r in stratified_sample(spark, sf_dir).collect()}
+    b = {(r.source, r.doc_id) for r in stratified_sample(spark, sf_dir).collect()}
+    assert a == b  # hash rank, not RAND(): identical across runs
+    per = {}
+    for s, _ in a:
+        per[s] = per.get(s, 0) + 1
+    assert all(n <= 20 for n in per.values())
+    # different salt → different sample (the salt actually salts)
+    c = {(r.source, r.doc_id) for r in stratified_sample(spark, sf_dir, salt="other").collect()}
+    assert c != a
+
+
+def test_domain_mix_rebalances_to_min_source(spark, sf_dir):
+    rows = {r.source: r for r in domain_mix(spark, sf_dir).collect()}
+    assert len(rows) > 1
+    min_tokens = min(r.src_tokens for r in rows.values())
+    for r in rows.values():
+        assert 0 < r.keep_frac <= 1.0
+        assert r.tokens_kept <= r.src_tokens
+    # the smallest source keeps everything (keep_frac == 1)
+    smallest = [r for r in rows.values() if r.src_tokens == min_tokens][0]
+    assert abs(smallest.keep_frac - 1.0) < 1e-9
+    # kept token mass is within sampling noise of the uniform target
+    for r in rows.values():
+        assert r.tokens_kept < 2.2 * min_tokens
