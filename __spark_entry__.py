@@ -30,6 +30,7 @@ from mito_spark.operators import (
     relational,
     relational2,
     scalar_showcase,
+    search,
     similarity,
     sketches,
     text,
@@ -86,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": hygiene.pii_redaction,
         "stratified_sample": hygiene.stratified_sample,
         "domain_mix": hygiene.domain_mix,
+        # new in r4: lexical retrieval beside the ANN tier — BM25
+        # top-k with single-row broadcast stats, zero wide shuffles
+        "bm25_search": search.bm25_topk,
         # multimodal plumbing (deterministic fake decode → full oracle)
         "multimodal_features": multimodal.multimodal_features,
         # dataset assembly (splits / packing)
@@ -125,9 +129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_count_distribution": relational2.q13_order_count_distribution,
         "q17_below_avg_qty_revenue": relational2.q17_below_avg_qty_revenue,
         "q18_large_orders": relational2.q18_large_orders,
-        "nation_set_ops": relational2.nation_set_ops,
         # ---- tail: r3-green shapes resting outside the window this
-        # round (rotate back in r5) ----
+        # round (rotate back in r5; nation_set_ops displaced by
+        # bm25_search) ----
+        "nation_set_ops": relational2.nation_set_ops,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q21_sole_late_supplier": relational2.q21_sole_late_supplier,
         "revenue_rollup": relational2.revenue_rollup,
@@ -223,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": hygiene.PII_SQL,
         "stratified_sample": hygiene.STRATIFIED_SQL,
         "domain_mix": hygiene.DOMAIN_MIX_SQL,
+        "bm25_search": search.BM25_SQL,
         "multimodal_features": multimodal.MULTIMODAL_SQL,
         "dataset_split": sampling.DATASET_SPLIT_SQL,
         "token_pack_bins": sampling.TOKEN_PACK_SQL,

@@ -93,6 +93,11 @@ HEADLINE = [
     "dataset_split",
     "token_pack_bins",
     "training_corpus_pipeline",
+    "dedup_connected_components",
+    "pii_redaction",
+    "stratified_sample",
+    "domain_mix",
+    "bm25_search",
 ]
 
 
@@ -133,6 +138,7 @@ def main() -> None:
     # spread/aux — BENCH_r0{1,2,3}.json all recorded "parsed": null.
     diag = {
         "iters": iters,
+        "medians": times,  # full 3dp even if the contract line degrades
         "spread": {name: round(max(xs) - min(xs), 3) for name, xs in samples.items()},
     }
     try:
@@ -148,10 +154,14 @@ def main() -> None:
         "queries": times,
         "sf": float(sf),
     }
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) >= 1900:  # stay under the driver's 2000-byte stdout tail
-        out["queries"] = {n: round(v, 2) for n, v in times.items()}
+    # stay under the driver's 2000-byte stdout tail: degrade decimal
+    # places until the line fits (full 3dp figures are always in the
+    # diagnostics line above)
+    for dp in (3, 2, 1):
+        out["queries"] = {n: round(v, dp) for n, v in times.items()}
         line = json.dumps(out, separators=(",", ":"))
+        if len(line) < 1950:
+            break
     print(line)
     spark.stop()
 

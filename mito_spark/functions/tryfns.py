@@ -76,3 +76,31 @@ def debug_observe(df, tag: str, *aggs):
         return df, None
     obs = Observation(tag)
     return df.observe(obs, *aggs), obs
+
+
+def debug_observe_result(df, tag: str, result_col):
+    """Non-strict ``debug`` argument parity (debug.go:60-64,70-91:
+    ``OverloadIsNonStrict`` — the CEL overload accepts ERROR values as
+    its argument, logs them, and returns them unperturbed; a strict
+    function would propagate the error instead of observing it).
+
+    The engine's error-as-value convention carries errors in the
+    ``{value, error}`` result struct, so the Spark twin observes a
+    result-struct column and counts BOTH sides — error rows are
+    loggable values here, never task failures — while the column flows
+    through the returned DataFrame unchanged. Returns
+    (df, observation); after an action ``observation.get`` yields
+    {n_rows, n_errors, n_values} under the tag."""
+    from pyspark.sql import Observation
+
+    c = _c(result_col)
+    obs = Observation(tag)
+    return (
+        df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(is_error(c).cast("long")).alias("n_errors"),
+            F.sum((~is_error(c)).cast("long")).alias("n_values"),
+        ),
+        obs,
+    )

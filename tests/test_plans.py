@@ -126,3 +126,38 @@ def test_minhash_reuses_persisted_signatures(spark, sf_dir):
         assert "CartesianProduct" not in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_bm25_no_wide_shuffle(spark, sf_dir):
+    """BM25's only joins are the single-row broadcast stats cross join;
+    the big side never hash-shuffles (top-k is TakeOrdered)."""
+    from mito_spark.operators.search import bm25_topk
+
+    plan = _plan(bm25_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats broadcast
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan  # zero wide shuffles
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    from mito_spark.operators.hygiene import stratified_sample
+    from mito_spark.operators.skew import explain_shuffle_count
+
+    df = stratified_sample(spark, sf_dir)
+    assert explain_shuffle_count(df) == 1  # one exchange on the stratum key
+
+
+def test_domain_mix_broadcasts_fraction_table(spark, sf_dir):
+    from mito_spark.operators.hygiene import domain_mix
+
+    plan = _plan(domain_mix(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # fracs joins back broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redaction_is_pure_map(spark, sf_dir):
+    from mito_spark.operators.hygiene import pii_redaction
+    from mito_spark.operators.skew import explain_shuffle_count
+
+    assert explain_shuffle_count(pii_redaction(spark, sf_dir)) == 0

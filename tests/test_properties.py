@@ -162,3 +162,35 @@ def test_token_pack_conserves_tokens(spark):
         rows.sort(key=lambda r: r.bin)
         for prev, nxt in zip(rows, rows[1:]):
             assert prev.last_doc < nxt.first_doc  # contiguous, non-overlapping
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=40))
+def test_connected_components_match_union_find(spark, edges):
+    from mito_spark.operators.graph import connected_components
+
+    parent = list(range(31))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    real = [(a, b) for a, b in edges if a != b]
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in real for n in e}
+    expected = {n: find(n) for n in nodes}
+    # normalize: component label must be the min member
+    mins: dict = {}
+    for n, c in expected.items():
+        mins.setdefault(c, n)
+        mins[c] = min(mins[c], n)
+    expected = {n: mins[c] for n, c in expected.items()}
+
+    df = spark.createDataFrame(real or [(0, 0)], "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == expected

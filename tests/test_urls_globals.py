@@ -107,6 +107,25 @@ def test_debug_observe_passthrough(spark):
     assert got["n"] == 100 and got["mx"] == 99
 
 
+def test_debug_observe_result_nonstrict(spark):
+    # debug's overload is non-strict (lib/debug.go:60-64): an ERROR
+    # argument is logged as a value and returned unperturbed. Feed an
+    # error-valued result-struct column through the observer: error
+    # rows must be counted, not fail the task, and rows pass through.
+    from mito_spark.functions.tryfns import debug_observe_result, try_result
+
+    df = spark.range(10).select(
+        "id", try_result(F.col("id") * 2, F.col("id") % 3 == 0, "div boom").alias("res")
+    )
+    observed, obs = debug_observe_result(df, "dbg", "res")
+    rows = observed.collect()  # action: no task failure on error rows
+    assert len(rows) == 10
+    # the result column flowed through unchanged (values + error rows)
+    assert sum(1 for r in rows if r.res.error is not None) == 4
+    got = obs.get
+    assert got["n_rows"] == 10 and got["n_errors"] == 4 and got["n_values"] == 6
+
+
 def test_optional_access_chain(spark):
     # optional_types.txt semantics: a.?b.?c yields null, never error
     df = spark.createDataFrame(
