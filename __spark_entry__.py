@@ -21,6 +21,7 @@ from mito_spark.operators import (
     dedup,
     dynamic,
     events,
+    funnel,
     graph,
     hygiene,
     multimodal,
@@ -115,23 +116,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": asof.events_asof_latest_order,
         "events_range_join": rangejoin.events_purchase_window,
         "events_value_percentiles": events.events_value_percentiles,
+        # new in r4: ordered-sequence funnel (one groupBy shuffle, no
+        # self-joins)
+        "funnel_analysis": funnel.funnel_analysis,
         # TPC-H shapes inside the window. ROTATION (VERDICT r2 #9): the
         # window holds a rotating TPC-H cohort so every query re-proves
-        # itself within ~2 rounds. r4 adds 4 new LLM-pipeline entries
-        # above, so only 8 TPC-H slots remain in-window: q1 stays as
-        # the scan-agg anchor and the seven shapes that rested in r3
-        # (q12/q2/q4/q13/q17/q18/nation_set_ops — all r2-green) rotate
-        # IN; the r3-proved cohort rests in the tail until r5.
+        # itself within ~2 rounds. r4 adds 6 new gate entries above
+        # (CC, PII, stratified, domain-mix, BM25, funnel), leaving 6
+        # TPC-H slots: q1 anchors scan-agg; q12/q2/q4/q13/q17 (rested
+        # in r3, r2-green) rotate IN; the r3-proved cohort rests in
+        # the tail until r5.
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q12_priority_case_agg": relational2.q12_priority_case_agg,
         "q2_cheapest_supplier": relational2.q2_cheapest_supplier,
         "q4_priority_semi": relational2.q4_priority_semi,
         "q13_order_count_distribution": relational2.q13_order_count_distribution,
         "q17_below_avg_qty_revenue": relational2.q17_below_avg_qty_revenue,
-        "q18_large_orders": relational2.q18_large_orders,
         # ---- tail: r3-green shapes resting outside the window this
-        # round (rotate back in r5; nation_set_ops displaced by
-        # bm25_search) ----
+        # round (rotate back in r5; nation_set_ops and q18 displaced
+        # by bm25_search and funnel_analysis) ----
+        "q18_large_orders": relational2.q18_large_orders,
         "nation_set_ops": relational2.nation_set_ops,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q21_sole_late_supplier": relational2.q21_sole_late_supplier,
@@ -200,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": asof.EVENTS_ASOF_SQL,
         "events_range_join": rangejoin.PURCHASE_WINDOW_SQL,
         "events_value_percentiles": events.PERCENTILES_SQL,
+        "funnel_analysis": funnel.FUNNEL_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,
         "crypto_showcase": scalar_showcase.CRYPTO_SQL,
         "time_showcase": scalar_showcase.TIME_SQL,

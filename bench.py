@@ -98,6 +98,7 @@ HEADLINE = [
     "stratified_sample",
     "domain_mix",
     "bm25_search",
+    "funnel_analysis",
 ]
 
 
