@@ -180,3 +180,31 @@ def streaming_dedup(events: DataFrame, keys: list[str],
     — state holds one entry per key and is evicted once the watermark
     passes, so memory is bounded by the horizon, not the stream."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_near_dup(docs: DataFrame, text_col: str = "text",
+                       ts_col: str = "ts", watermark: str = "1 hour",
+                       bits: int = 60) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: the streaming twin of
+    batch simhash dedup (operators/dedup.py). Each document's
+    ``bits``-bit SimHash signature becomes the dedup key for
+    dropDuplicatesWithinWatermark — documents whose token multisets
+    agree (signature-identical near-dups) collapse to the first
+    arrival inside the watermark horizon.
+
+    Scale/state shape: state is one entry per DISTINCT signature seen
+    within the horizon (evicted by watermark), not per document; the
+    signature itself is the same map-side JVM column program as the
+    batch path, so the stream adds zero Python and zero extra
+    shuffles beyond the dedup exchange. Hamming-adjacent (not
+    signature-identical) near-dups need the batch pigeonhole pass —
+    the streaming tier deliberately trades that recall for bounded
+    per-row state, the same trade dropDuplicatesWithinWatermark makes
+    for exact keys."""
+    from mito_spark.operators.dedup import simhash_signature
+
+    return (
+        docs.withColumn("_sig", simhash_signature(F.col(text_col), bits=bits))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_sig"])
+    )

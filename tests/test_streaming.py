@@ -258,3 +258,39 @@ def test_streaming_windowed_distinct_matches_batch_sketch(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_streaming_near_dup_collapses_signature_twins(spark, sf_dir, tmp_path):
+    """Near-duplicate texts (identical token multisets → identical
+    simhash) collapse to first arrival; distinct texts all survive."""
+    from mito_spark.operators.dedup import simhash_signature
+    from mito_spark.streaming.stream_ops import streaming_near_dup
+
+    src = tmp_path / "docs"
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "2024-01-01 10:00:00"),
+            (2, "alpha  beta   gamma", "2024-01-01 10:05:00"),  # ws-only twin
+            (3, "delta epsilon zeta", "2024-01-01 10:10:00"),
+            (4, "alpha beta gamma", "2024-01-01 10:15:00"),  # exact twin
+            (5, "eta theta iota", "2024-01-01 10:20:00"),
+        ],
+        "doc_id long, text string, ts_s string",
+    ).select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+    base.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(base.schema).parquet(str(src))
+    out = streaming_near_dup(stream, watermark="1 hour")
+    rows = []
+    sink = ChannelSink("neardup", lambda b, _i: rows.extend(b.collect()))
+    q = sink.send_to(out.select("doc_id", "_sig"), availableNow=True)
+    q.awaitTermination(120)
+    sink.close()
+
+    kept = sorted(r.doc_id for r in rows)
+    assert kept == [1, 3, 5]  # 2 and 4 collapse into 1's signature
+    # streaming signatures equal the batch column program's
+    batch_sigs = {r.doc_id: r.s for r in base.select(
+        "doc_id", simhash_signature(F.col("text")).alias("s")).collect()}
+    for r in rows:
+        assert r._sig == batch_sigs[r.doc_id]
