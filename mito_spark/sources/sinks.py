@@ -104,3 +104,62 @@ def compact(
     if pcols:
         w = w.partitionBy(*pcols)
     w.save(path)
+
+
+def _zvalue(a, b, bits: int = 16):
+    """Interleave the low ``bits`` bits of two non-negative int
+    columns into a Z-order (Morton) value — pure JVM bit arithmetic,
+    no UDF. Columns must be pre-scaled to [0, 2^bits)."""
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column & / | are LOGICAL and/or in PySpark — bitwise ops
+        # must go through bitwiseAND/bitwiseOR
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(one)
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(one)
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 8,
+    bits: int = 6,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out along a Z-order (Morton) curve of two
+    numeric columns, so per-file min/max footer statistics are tight
+    on BOTH columns and a predicate on EITHER prunes most files —
+    the multi-column answer to single-key range layout (the effect of
+    Delta/Iceberg OPTIMIZE ZORDER, from first principles on plain
+    parquet).
+
+    Scale shape: per-column equi-depth bucket boundaries come from
+    ``approxQuantile`` (the distributed Greenwald-Khanna sketch; only
+    2^bits+1 doubles reach the driver — deliberately NOT a global
+    window rank, which would single-partition the write). Bucket
+    assignment is a literal comparison chain (codegen-friendly at the
+    default 64 buckets → 4096 z-cells), bit interleave is JVM
+    arithmetic, and the only shuffle is the repartitionByRange on the
+    z-value that any sorted layout needs. Pruning granularity is the
+    z-cell; raise ``bits`` with file count."""
+    a, b = cols
+
+    def _bucket(col_name: str):
+        qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        bounds = df.stat.approxQuantile(col_name, qs, 0.001)
+        expr = F.lit(0)
+        for bd in bounds:
+            expr = expr + (F.col(col_name) > F.lit(bd)).cast("int")
+        return expr.cast("long")
+
+    with_z = df.withColumn("_z", _zvalue(_bucket(a), _bucket(b), bits))
+    (
+        with_z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
