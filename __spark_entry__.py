@@ -26,6 +26,7 @@ from mito_spark.operators import (
     hygiene,
     multimodal,
     pipeline,
+    quantize,
     rangejoin,
     sampling,
     relational,
@@ -137,6 +138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by bm25_search and funnel_analysis) ----
         "q18_large_orders": relational2.q18_large_orders,
         "nation_set_ops": relational2.nation_set_ops,
+        # new in r4, resting in the tail (window full) — oracled and
+        # pytest-covered now, rotates into the window in r5
+        "quantize_embeddings": quantize.quantize_embeddings,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q21_sole_late_supplier": relational2.q21_sole_late_supplier,
         "revenue_rollup": relational2.revenue_rollup,
@@ -205,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": rangejoin.PURCHASE_WINDOW_SQL,
         "events_value_percentiles": events.PERCENTILES_SQL,
         "funnel_analysis": funnel.FUNNEL_SQL,
+        "quantize_embeddings": quantize.QUANTIZE_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,
         "crypto_showcase": scalar_showcase.CRYPTO_SQL,
         "time_showcase": scalar_showcase.TIME_SQL,

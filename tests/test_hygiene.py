@@ -69,3 +69,21 @@ def test_domain_mix_rebalances_to_min_source(spark, sf_dir):
     # kept token mass is within sampling noise of the uniform target
     for r in rows.values():
         assert r.tokens_kept < 2.2 * min_tokens
+
+
+def test_quantize_embeddings_error_bound(spark, sf_dir):
+    """int8 symmetric quantization: reconstruction error is bounded by
+    half a quantization step (0.5/scale); checksum is deterministic."""
+    from mito_spark.operators.quantize import quantize_embeddings
+
+    rows = quantize_embeddings(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.scale > 0:
+            # both sides are 6dp-rounded in the output → tolerance
+            assert r.recon_err <= 0.5 / r.scale * (1 + 1e-3) + 1e-6
+        else:
+            assert r.q_l1 == 0  # zero vector -> all-zero codes
+    a = {r.vec_id: r.q_checksum for r in rows}
+    b = {r.vec_id: r.q_checksum for r in quantize_embeddings(spark, sf_dir).collect()}
+    assert a == b
