@@ -56,3 +56,53 @@ def explain_shuffle_count(df: DataFrame) -> int:
     excluded: they replicate a small side, they don't repartition."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def hot_keys(
+    df: DataFrame,
+    key_cols: str | list[str],
+    sample_fraction: float = 0.01,
+    top: int = 20,
+    min_share: float = 0.001,
+) -> DataFrame:
+    """Pre-flight skew diagnostic: estimate each key's share of the
+    table from a deterministic hash sample, returning the ``top`` keys
+    whose estimated share exceeds ``min_share`` — the list you feed to
+    the hot-key branch of a scoped salted_join.
+
+    Deterministic by construction (md5-threshold sampling over the
+    full row content — NOT monotonically_increasing_id, which varies
+    with partition layout): re-running the diagnostic, or running it
+    after a repartition, selects the identical sample. Rows identical
+    in every column sample together — acceptable for a share estimate.
+    One aggregation over the sample, never a full-table groupBy; the
+    output is capped at ``top`` rows."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double") / float(1 << 60)
+    sampled = df.where(u < sample_fraction)
+    n_sampled = sampled.count()
+    if n_sampled == 0:
+        return df.sparkSession.createDataFrame(
+            [], "key string, est_share double, n_sampled bigint"
+        )
+    return (
+        sampled.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .withColumn("est_share", F.round(F.col("n_sampled") / F.lit(n_sampled), 6))
+        .where(F.col("est_share") >= min_share)
+        .orderBy(F.desc("est_share"), *keys)
+        .limit(top)
+        .select(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in keys]).alias("key"),
+            "est_share",
+            "n_sampled",
+        )
+    )

@@ -87,3 +87,24 @@ def test_quantize_embeddings_error_bound(spark, sf_dir):
     a = {r.vec_id: r.q_checksum for r in rows}
     b = {r.vec_id: r.q_checksum for r in quantize_embeddings(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_hot_keys_finds_planted_skew(spark):
+    from pyspark.sql import functions as F
+
+    from mito_spark.operators.skew import hot_keys
+
+    # 50k rows: key 'hot' holds 30%, the rest spread over 1000 keys
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 10 < 3, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    out = hot_keys(df, "k", sample_fraction=0.1, top=5, min_share=0.05)
+    rows = out.collect()
+    assert rows and rows[0].key == "hot"
+    assert abs(rows[0].est_share - 0.3) < 0.05
+    # deterministic: identical output across runs and repartitionings
+    again = hot_keys(df.repartition(7), "k", sample_fraction=0.1, top=5, min_share=0.05).collect()
+    assert [(r.key, r.est_share) for r in rows] == [(r.key, r.est_share) for r in again]
