@@ -139,8 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": relational2.q18_large_orders,
         "nation_set_ops": relational2.nation_set_ops,
         # new in r4, resting in the tail (window full) — oracled and
-        # pytest-covered now, rotates into the window in r5
+        # pytest-covered now, rotate into the window in r5
         "quantize_embeddings": quantize.quantize_embeddings,
+        "text_surprisal": text.unigram_surprisal,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q21_sole_late_supplier": relational2.q21_sole_late_supplier,
         "revenue_rollup": relational2.revenue_rollup,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_percentiles": events.PERCENTILES_SQL,
         "funnel_analysis": funnel.FUNNEL_SQL,
         "quantize_embeddings": quantize.QUANTIZE_SQL,
+        "text_surprisal": text.SURPRISAL_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,
         "crypto_showcase": scalar_showcase.CRYPTO_SQL,
         "time_showcase": scalar_showcase.TIME_SQL,

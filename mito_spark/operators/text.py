@@ -323,3 +323,81 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM (
 
 
 TFIDF_SQL = _tfidf_sql()
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model quality signal: per-document mean unigram
+    surprisal, −mean_t ln p̂(t), under an add-1-smoothed unigram model
+    fit on the corpus itself — high values flag documents whose token
+    distribution the corpus doesn't explain (boilerplate, noise,
+    wrong-language), the cheap statistical cousin of LM-perplexity
+    filtering.
+
+    Plan: term-frequency table (one explode + groupBy(term)) is
+    vocabulary-sized → broadcast back onto per-(doc, term) counts; the
+    per-doc reduction sums DECIMAL(28,9)-rounded contributions — exact
+    arithmetic, so the sum is order-free and the DuckDB oracle matches
+    bit-for-bit (the repo's decimal-sum convention for float
+    aggregates). Two shuffles total (term df, per-doc sum).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    cf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    totals = cf.agg(
+        F.sum("cf").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    contrib = (
+        F.col("n")
+        * -F.log(
+            (F.col("cf") + 1).cast("double")
+            / (F.col("n_total") + F.col("vocab")).cast("double")
+        )
+    )
+    per_doc = (
+        tf.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n",
+            F.round(contrib, 9).cast("decimal(28,9)").alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("total_surprisal"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (F.col("total_surprisal").cast("double") / F.col("n_tokens")), 6
+        ).alias("mean_surprisal"),
+    )
+
+
+SURPRISAL_SQL = r"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS n FROM terms GROUP BY doc_id, term
+), cf AS (
+  SELECT term, COUNT(*) AS cf FROM terms GROUP BY term
+), totals AS (
+  SELECT CAST(SUM(cf) AS BIGINT) AS n_total, COUNT(*) AS vocab FROM cf
+), per_doc AS (
+  SELECT doc_id,
+         SUM(CAST(ROUND(n * -ln(CAST(cf + 1 AS DOUBLE) / (n_total + vocab)), 9) AS DECIMAL(28,9))) AS total_surprisal,
+         CAST(SUM(n) AS BIGINT) AS n_tokens
+  FROM tf JOIN cf USING (term) CROSS JOIN totals
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(total_surprisal AS DOUBLE) / n_tokens, 6) AS mean_surprisal
+FROM per_doc
+"""
