@@ -99,6 +99,8 @@ HEADLINE = [
     "domain_mix",
     "bm25_search",
     "funnel_analysis",
+    "quantize_embeddings",
+    "text_surprisal",
 ]
 
 
