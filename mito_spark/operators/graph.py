@@ -79,7 +79,11 @@ def connected_components(
 ) -> DataFrame:
     """Labels each node of the undirected graph ``edges`` with its
     component's minimum node id. Returns (node, component); every node
-    incident to an edge appears exactly once."""
+    incident to an edge appears exactly once AT CONVERGENCE (the
+    normal case — star contraction needs O(log n) rounds, and the loop
+    exits early on the fixed point). ``max_iter`` is a runaway cap; a
+    run that hits it returns a partially contracted labeling, so set
+    it generously, not tightly."""
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))

@@ -60,3 +60,17 @@ def test_cc_plan_bounded_driver_traffic(spark):
 
     n, h = _signature(df.select(F.col("src").alias("u"), F.col("dst").alias("v")))
     assert isinstance(n, int) and isinstance(h, int)
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    # duplicate edges and both orientations must not produce duplicate
+    # labels: at convergence every node appears exactly once
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df).collect()
+    assert sorted((r.node, r.component) for r in out) == [(1, 1), (2, 1), (3, 1)]

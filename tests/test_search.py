@@ -40,3 +40,7 @@ def test_bm25_respects_topk_and_positive_scores(spark, sf_dir):
     assert all(r.score > 0 for r in rows)
     # descending, ties broken by doc_id
     assert rows == sorted(rows, key=lambda r: (-r.score, r.doc_id))
+
+
+def test_bm25_unmatched_query_is_empty(spark, sf_dir):
+    assert bm25_topk(spark, sf_dir, query=("zzzznope",)).count() == 0
