@@ -101,6 +101,7 @@ HEADLINE = [
     "funnel_analysis",
     "quantize_embeddings",
     "text_surprisal",
+    "events_value_anomalies",
 ]
 
 

@@ -198,3 +198,76 @@ SELECT event_type,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """
+
+
+def events_value_anomalies(spark: SparkSession, sf_dir: str, z: float = 3.0) -> DataFrame:
+    """Population z-score anomaly detection per event type: events
+    whose ``value`` deviates more than ``z`` standard deviations from
+    their type's mean are anomalies; output is the per-type detection
+    manifest (n, mean, std, n_anomalies).
+
+    Determinism: moments are computed from DECIMAL-cast exact sums
+    (round-9 value, round-9 value², the repo's decimal-sum convention)
+    so mean/std are order-free and both engines agree bit-for-bit —
+    stddev_pop over doubles would be partition-order-dependent.
+
+    Plan shape: one groupBy(event_type) for the 5-row stats table,
+    broadcast back onto the scan for the anomaly count — the big side
+    shuffles once (the second groupBy re-uses the first's key)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(v, 9).cast("decimal(38,9)")).alias("_s"),
+        F.sum(F.round(v * v, 9).cast("decimal(38,9)")).alias("_sq"),
+    )
+    mean = F.col("_s").cast("double") / F.col("n_events")
+    var = F.col("_sq").cast("double") / F.col("n_events") - mean * mean
+    stats = stats.withColumn("_mean", mean).withColumn(
+        "_std", F.sqrt(F.greatest(var, F.lit(0.0)))
+    )
+    flagged = (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(v - F.col("_mean")) > F.lit(z) * F.col("_std"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+    )
+    return (
+        stats.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.round("_mean", 6).alias("mean_value"),
+            F.round("_std", 6).alias("std_value"),
+            F.coalesce("n_anomalies", F.lit(0)).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANOMALIES_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(ROUND(value, 9) AS DECIMAL(38,9))) AS s,
+         SUM(CAST(ROUND(value * value, 9) AS DECIMAL(38,9))) AS sq
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type, n_events,
+         CAST(s AS DOUBLE) / n_events AS mean,
+         sqrt(GREATEST(CAST(sq AS DOUBLE) / n_events
+              - (CAST(s AS DOUBLE) / n_events) * (CAST(s AS DOUBLE) / n_events), 0.0)) AS std
+  FROM stats
+), flagged AS (
+  SELECT e.event_type, COUNT(*) AS n_anomalies
+  FROM events e JOIN m USING (event_type)
+  WHERE abs(e.value - m.mean) > 3.0 * m.std
+  GROUP BY e.event_type
+)
+SELECT m.event_type, m.n_events,
+       ROUND(m.mean, 6) AS mean_value,
+       ROUND(m.std, 6) AS std_value,
+       COALESCE(f.n_anomalies, 0) AS n_anomalies
+FROM m LEFT JOIN flagged f USING (event_type)
+ORDER BY m.event_type
+"""

@@ -48,3 +48,25 @@ def test_funnel_single_shuffle(spark, sf_dir):
     # groupBy(user_id) is the only exchange; the roll-up is a
     # single-partition aggregate over per-user rows
     assert explain_shuffle_count(funnel_analysis(spark, sf_dir)) <= 2
+
+
+def test_events_value_anomalies_matches_python(spark, sf_dir):
+    from mito_spark.engine import load_table
+    from mito_spark.operators.events import events_value_anomalies
+
+    got = {r.event_type: r for r in events_value_anomalies(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vals in by_type.items():
+        n = len(vals)
+        mean = sum(round(v, 9) for v in vals) / n
+        var = max(sum(round(v * v, 9) for v in vals) / n - mean * mean, 0.0)
+        std = var**0.5
+        anom = sum(1 for v in vals if abs(v - mean) > 3.0 * std)
+        g = got[t]
+        assert g.n_events == n
+        assert abs(g.mean_value - mean) < 1e-5
+        assert abs(g.std_value - std) < 1e-5
+        assert g.n_anomalies == anom
