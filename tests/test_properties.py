@@ -194,3 +194,46 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(real or [(0, 0)], "src long, dst long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from(
+                [
+                    "bob@x.io",
+                    "a.b-c%d@mail.example.org",
+                    "10.0.0.1",
+                    "255.255.255.255",
+                    "555-123-4567",
+                    "not an email @ nope",
+                    "1.2.3",
+                    "12-34-56",
+                    "x@y",
+                    "plain words here",
+                ]
+            ),
+            st.text(alphabet="abc@.-0123456789 ", max_size=12),
+        ),
+        max_size=8,
+    )
+)
+def test_pii_regexes_match_python_re(spark, parts):
+    """The PII patterns must mean the same thing in java.util.regex
+    (Spark), RE2 (DuckDB oracle), and Python re — count matches on
+    adversarial concatenations and compare Spark vs Python."""
+    import re as pyre
+
+    from mito_spark.operators.hygiene import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    s = " ".join(parts)
+    df = spark.createDataFrame([(s,)], "t string")
+    row = df.select(
+        F.regexp_count("t", F.lit(EMAIL_RE)).alias("e"),
+        F.regexp_count("t", F.lit(IPV4_RE)).alias("i"),
+        F.regexp_count("t", F.lit(PHONE_RE)).alias("p"),
+    ).first()
+    assert row.e == len(pyre.findall(EMAIL_RE, s))
+    assert row.i == len(pyre.findall(IPV4_RE, s))
+    assert row.p == len(pyre.findall(PHONE_RE, s))
