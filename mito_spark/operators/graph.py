@@ -158,3 +158,55 @@ ORDER BY c.cluster_id, c.doc_id
 
 
 CC_SQL = _cc_sql()
+
+
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: the embedding-space sibling of
+    dedup_connected_components — LSH-blocked cosine near-dup pairs
+    (similarity.embedding_near_dup) → connected components → canonical
+    pick per cluster. Same star-contraction core, different pair
+    generator: one CC implementation serves every dedup signal."""
+    from mito_spark.operators.similarity import embedding_near_dup
+
+    pairs = embedding_near_dup(spark, sf_dir)
+    cc = connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("node").alias("vec_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "vec_id")
+    )
+
+
+def _embedding_cc_sql() -> str:
+    from mito_spark.operators.similarity import NEAR_DUP_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({NEAR_DUP_SQL}) nd
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+), comp AS (
+  SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT c.cluster_id, c.vec_id, s.cluster_size,
+       c.vec_id = c.cluster_id AS is_canonical
+FROM comp c
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id) s
+  USING (cluster_id)
+ORDER BY c.cluster_id, c.vec_id
+"""
+
+
+EMBEDDING_CC_SQL = _embedding_cc_sql()
