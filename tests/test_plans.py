@@ -161,3 +161,27 @@ def test_pii_redaction_is_pure_map(spark, sf_dir):
     from mito_spark.operators.skew import explain_shuffle_count
 
     assert explain_shuffle_count(pii_redaction(spark, sf_dir)) == 0
+
+
+def test_anomalies_broadcasts_stats(spark, sf_dir):
+    from mito_spark.operators.events import events_value_anomalies
+
+    plan = _plan(events_value_anomalies(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # 5-row stats table never shuffles the scan
+    assert "CartesianProduct" not in plan
+
+
+def test_surprisal_broadcasts_frequency_table(spark, sf_dir):
+    from mito_spark.operators.text import unigram_surprisal
+
+    plan = _plan(unigram_surprisal(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # vocab-sized cf table broadcast
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross join
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_is_pure_map(spark, sf_dir):
+    from mito_spark.operators.quantize import quantize_embeddings
+    from mito_spark.operators.skew import explain_shuffle_count
+
+    assert explain_shuffle_count(quantize_embeddings(spark, sf_dir)) == 0
