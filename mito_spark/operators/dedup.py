@@ -424,3 +424,112 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 
 NGRAM_JACCARD_SQL = _ngram_sql()
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    split_at: int = 400,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """Rolling-corpus dedup: flag NEW documents (doc_id >= split_at
+    stands in for "this batch") that near-duplicate the EXISTING
+    corpus (doc_id < split_at) — the incremental shape a daily crawl
+    ingest runs, where yesterday's canon is fixed and only the new
+    batch may be dropped.
+
+    Scale shape vs the batch self-join: the band join is new×existing
+    (|batch| band keys probing the corpus band index — at scale, the
+    existing side's (band, key) table is a pre-built, bucketed
+    artifact reused every ingest; here both sides derive from one
+    scan). No new-vs-new comparison and no existing-vs-existing
+    re-verification — the batch can't invalidate the canon.
+
+    Output: one row per new doc: (doc_id, dup_of, jaccard) with
+    dup_of = the existing doc it collapses into (lowest id among
+    matches), or NULL when the doc is genuinely new."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = _shingles(F.col("text"), shingle)
+    sigd = docs.select(
+        "doc_id", sh.alias("sh"), minhash_signature(F.col("text"), shingle=shingle).alias("sig")
+    ).persist()
+    band_cols = []
+    for b in range(BANDS):
+        parts = [
+            F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1).cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *parts)).alias("key")))
+    bands = sigd.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    new_bands = bands.where(F.col("doc_id") >= split_at)
+    old_bands = bands.where(F.col("doc_id") < split_at)
+    cand = (
+        new_bands.alias("n")
+        .join(old_bands.alias("o"), ["band", "key"])
+        .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id"))
+        .distinct()
+    )
+    sh_only = sigd.select("doc_id", "sh")
+    verified = (
+        cand.join(sh_only.withColumnRenamed("doc_id", "new_id").withColumnRenamed("sh", "sh_n"), "new_id")
+        .join(sh_only.withColumnRenamed("doc_id", "old_id").withColumnRenamed("sh", "sh_o"), "old_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_n", "sh_o")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_n") + F.size("sh_o") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    best = (
+        verified.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("new_id").orderBy(F.asc("old_id")))
+        )
+        .where(F.col("rk") == 1)
+        .select("new_id", F.col("old_id").alias("dup_of"), F.round("jaccard", 6).alias("jaccard"))
+    )
+    new_docs = docs.where(F.col("doc_id") >= split_at).select(F.col("doc_id").alias("new_id"))
+    return (
+        new_docs.join(best, "new_id", "left")
+        .select(F.col("new_id").alias("doc_id"), "dup_of", "jaccard")
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_sql(split_at: int = 400, threshold: float = 0.5, shingle: int = 3) -> str:
+    base = _minhash_sql(threshold, shingle)
+    # reuse the shared pipeline up to band keys: regenerate with the
+    # new-vs-old candidate join in place of the self-join
+    head, _, _ = base.partition("), cand AS (")
+    return rf"""{head}), cand AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM keyed n JOIN keyed o ON n.band = o.band AND n.key = o.key
+  WHERE n.doc_id >= {split_at} AND o.doc_id < {split_at}
+  GROUP BY 1, 2
+), verified AS (
+  SELECT new_id, old_id,
+         CAST(len(list_intersect(tn.sh, tt.sh)) AS DOUBLE)
+           / (len(tn.sh) + len(tt.sh) - len(list_intersect(tn.sh, tt.sh))) AS jaccard
+  FROM cand JOIN tok tn ON cand.new_id = tn.doc_id
+            JOIN tok tt ON cand.old_id = tt.doc_id
+  WHERE CAST(len(list_intersect(tn.sh, tt.sh)) AS DOUBLE)
+           / (len(tn.sh) + len(tt.sh) - len(list_intersect(tn.sh, tt.sh))) >= {threshold}
+), best AS (
+  SELECT new_id, old_id AS dup_of, ROUND(jaccard, 6) AS jaccard,
+         ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY old_id ASC) AS rk
+  FROM verified
+)
+SELECT d.doc_id, b.dup_of, b.jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {split_at}) d
+LEFT JOIN (SELECT new_id, dup_of, jaccard FROM best WHERE rk = 1) b
+  ON d.doc_id = b.new_id
+ORDER BY d.doc_id
+"""
+
+
+INCREMENTAL_DEDUP_SQL = _incremental_sql()

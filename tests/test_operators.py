@@ -270,3 +270,19 @@ def test_ngram_pairs_guard_refuses_large_corpus(spark, sf_dir):
 
     with pytest.raises(ValueError, match="quadratic"):
         dedup.ngram_jaccard_pairs(spark, sf_dir, max_rows=10)
+
+
+def test_incremental_dedup_respects_batch_boundary(spark, sf_dir):
+    """Incremental dedup may only collapse NEW docs into the EXISTING
+    canon: dup_of always references the existing side, never the
+    batch; existing docs never appear as output rows."""
+    from mito_spark.operators.dedup import incremental_dedup
+
+    split = 400
+    rows = incremental_dedup(spark, sf_dir, split_at=split).collect()
+    assert all(r.doc_id >= split for r in rows)
+    flagged = [r for r in rows if r.dup_of is not None]
+    assert flagged, "synthetic corpus plants cross-boundary near-dups"
+    for r in flagged:
+        assert r.dup_of < split
+        assert 0.5 <= r.jaccard <= 1.0
