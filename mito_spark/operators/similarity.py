@@ -641,3 +641,118 @@ FROM ranked WHERE rank <= {k}"""
 
 
 COSINE_IVF_SQL = _ivf_sql()
+
+
+def cosine_topk_sq8(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN: candidate generation on 4x-smaller
+    codes, exact re-rank on floats — the memory-bound scale path where
+    the corpus's int8 codes fit in a fraction of the float footprint
+    (the same two-phase shape FAISS SQ8 / ScaNN use).
+
+    Phase 1 scores every (query, corpus) pair with an INTEGER dot
+    product over the int8 codes (symmetric per-vector quantization
+    from operators/quantize.py) — integer arithmetic, so candidate
+    scores are exact and engine-portable, no float-order concerns;
+    per-query top k·rerank_factor survive. Phase 2 re-ranks the
+    survivors with the exact float cosine. Recall < 1 only when
+    quantization reorders neighbors across the candidate boundary —
+    rerank_factor buys it back (pytest measures recall vs brute
+    force; the ORACLE reproduces this entire pipeline, so the gate
+    checks exactness of the implementation, not recall).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    amax = F.array_max(F.transform(F.col("v"), F.abs))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    coded = emb.withColumn("scale", scale).withColumn(
+        "code",
+        F.transform(F.col("v"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("long")),
+    )
+    queries = coded.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("code").alias("qcode"),
+    )
+    # phase 1: exact-integer candidate scores on codes
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qcode"), F.col("code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        coded.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            int_dot.alias("iscore"),
+            F.col("q"),
+            F.col("v"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("iscore"), F.asc("neighbor_id"))
+    survivors = cand.withColumn("crank", F.row_number().over(w1)).where(
+        F.col("crank") <= k * rerank_factor
+    )
+    # phase 2: exact float re-rank of the survivors
+    rerank = survivors.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _sq8_sql(n_queries: int = 10, k: int = 10, rerank_factor: int = 4) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), coded AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 0.0 END AS scale
+  FROM e
+), codes AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS code
+  FROM coded
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, code AS qcode FROM codes WHERE vec_id < {n_queries}
+), cand AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qcode)+1), i -> qcode[i] * code[i])) AS BIGINT) AS iscore,
+         qv, v
+  FROM codes c, q WHERE c.vec_id <> q.query_id
+), survivors AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS crank
+    FROM cand
+  ) WHERE crank <= {k * rerank_factor}
+), rerank AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * v[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))
+              * sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])))) AS cos
+  FROM survivors
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rerank
+) WHERE rank <= {k}
+"""
+
+
+COSINE_SQ8_SQL = _sq8_sql()

@@ -286,3 +286,21 @@ def test_incremental_dedup_respects_batch_boundary(spark, sf_dir):
     for r in flagged:
         assert r.dup_of < split
         assert 0.5 <= r.jaccard <= 1.0
+
+
+def test_sq8_ann_recall_vs_bruteforce(spark, sf_dir):
+    """int8 candidate generation + float re-rank must recover nearly
+    all exact neighbors at rerank_factor=4 (quantization reordering
+    only bites across the candidate boundary)."""
+    from mito_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_sq8
+
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(spark, sf_dir).collect()}
+    sq8 = {(r.query_id, r.neighbor_id) for r in cosine_topk_sq8(spark, sf_dir).collect()}
+    recall = len(exact & sq8) / len(exact)
+    assert recall >= 0.9
+    # returned scores are the EXACT float cosine (re-ranked), so any
+    # overlapping pair carries the identical similarity
+    ex = {(r.query_id, r.neighbor_id): r.cos_sim for r in cosine_topk_bruteforce(spark, sf_dir).collect()}
+    got = {(r.query_id, r.neighbor_id): r.cos_sim for r in cosine_topk_sq8(spark, sf_dir).collect()}
+    for pair in exact & sq8:
+        assert ex[pair] == got[pair]
