@@ -102,6 +102,9 @@ HEADLINE = [
     "quantize_embeddings",
     "text_surprisal",
     "events_value_anomalies",
+    "embedding_dedup_clusters",
+    "incremental_dedup",
+    "ann_cosine_topk_sq8",
 ]
 
 

@@ -210,3 +210,88 @@ SELECT f.source, f.src_tokens, ROUND(f.keep_frac, 6) AS keep_frac,
 FROM fracs f LEFT JOIN kept k USING (source)
 ORDER BY f.source
 """
+
+
+def domain_mix_temperature(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.5, salt: str = "mixT:v1"
+) -> DataFrame:
+    """Temperature-flattened domain mixing — the standard LLM
+    data-mixing rule: target share of source i ∝ share_i^alpha
+    (alpha=1 keeps natural proportions, alpha→0 approaches uniform;
+    0.5 is the multilingual-sampling convention). The realized-token
+    budget is set by the binding source (the one whose natural mass
+    runs out first at the target ratios), so every keep_frac ≤ 1 and
+    at least one source keeps everything — no oversampling.
+
+    Same plan shape as domain_mix: one corpus aggregate (|sources|
+    rows), window math on that tiny table, deterministic md5-threshold
+    keep, broadcast back. Output: per-source manifest (natural tokens,
+    target share, keep fraction, kept tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != F.lit(""))
+    )
+    with_toks = docs.select("source", "doc_id", toks.alias("n_tokens"))
+    totals = with_toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    w = Window.partitionBy()
+    powed = totals.withColumn(
+        "_p", F.pow(F.col("src_tokens").cast("double"), F.lit(alpha))
+    ).withColumn("target_share", F.col("_p") / F.sum("_p").over(w))
+    # budget B s.t. max_i(B * share_i / tokens_i) == 1
+    budget = F.min(F.col("src_tokens") / F.col("target_share")).over(w)
+    fracs = powed.withColumn(
+        "keep_frac", budget * F.col("target_share") / F.col("src_tokens")
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("double") / float(1 << 60)
+    kept = (
+        with_toks.join(F.broadcast(fracs.select("source", "keep_frac")), "source")
+        .where(u < F.col("keep_frac"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("tokens_kept"))
+    )
+    return (
+        fracs.join(kept, "source", "left")
+        .select(
+            "source",
+            "src_tokens",
+            F.round("target_share", 6).alias("target_share"),
+            F.round("keep_frac", 6).alias("keep_frac"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_MIX_T_SQL = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+), totals AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY source
+), powed AS (
+  SELECT source, src_tokens,
+         pow(CAST(src_tokens AS DOUBLE), 0.5) / SUM(pow(CAST(src_tokens AS DOUBLE), 0.5)) OVER () AS target_share
+  FROM totals
+), fracs AS (
+  SELECT source, src_tokens, target_share,
+         MIN(src_tokens / target_share) OVER () * target_share / src_tokens AS keep_frac
+  FROM powed
+), kept AS (
+  SELECT t.source, CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_kept
+  FROM t JOIN fracs USING (source)
+  WHERE CAST('0x' || substr(md5('mixT:v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          / 1152921504606846976.0 < keep_frac
+  GROUP BY t.source
+)
+SELECT f.source, f.src_tokens,
+       ROUND(f.target_share, 6) AS target_share,
+       ROUND(f.keep_frac, 6) AS keep_frac,
+       COALESCE(k.tokens_kept, 0) AS tokens_kept
+FROM fracs f LEFT JOIN kept k USING (source)
+ORDER BY f.source
+"""

@@ -108,3 +108,23 @@ def test_hot_keys_finds_planted_skew(spark):
     # deterministic: identical output across runs and repartitionings
     again = hot_keys(df.repartition(7), "k", sample_fraction=0.1, top=5, min_share=0.05).collect()
     assert [(r.key, r.est_share) for r in rows] == [(r.key, r.est_share) for r in again]
+
+
+def test_domain_mix_temperature_flattens_toward_uniform(spark, sf_dir):
+    from mito_spark.operators.hygiene import domain_mix_temperature
+
+    rows = {r.source: r for r in domain_mix_temperature(spark, sf_dir).collect()}
+    shares = {s: r.target_share for s, r in rows.items()}
+    naturals = {s: r.src_tokens for s, r in rows.items()}
+    tot = sum(naturals.values())
+    # alpha<1 compresses the range: big sources' target share below
+    # natural share, small sources' above
+    big = max(naturals, key=naturals.get)
+    small = min(naturals, key=naturals.get)
+    assert shares[big] < naturals[big] / tot
+    assert shares[small] > naturals[small] / tot
+    # shares are 6dp-rounded; 20 sources accumulate up to ~1e-5
+    assert abs(sum(shares.values()) - 1.0) < 2e-5
+    # feasibility: no source oversampled, the binding source keeps all
+    assert all(0 < r.keep_frac <= 1.0 + 1e-9 for r in rows.values())
+    assert any(abs(r.keep_frac - 1.0) < 1e-6 for r in rows.values())
