@@ -50,7 +50,9 @@ def funnel_analysis(
         ]
     )
 
-    t0 = F.element_at(F.col("ts_0"), 1)
+    # try_element_at: a user may reach later step types without ever
+    # entering the funnel (empty ts_0) — ANSI element_at would throw
+    t0 = F.try_element_at(F.col("ts_0"), F.lit(1))
     cur = per_user.withColumn("t_0", t0).withColumn(
         "deadline", t0 + F.expr(f"INTERVAL {within}")
     )
@@ -76,7 +78,9 @@ def funnel_analysis(
                 F.lit(i).alias("step_idx"),
                 F.lit(s).alias("step"),
                 F.col(f"n_{i}").alias("n_users"),
-                F.round(F.col(f"n_{i}") / F.col("n_0"), 6).alias("conversion"),
+                # try_divide: an empty funnel (n_0 = 0) reports NULL
+                # conversion, not a task failure
+                F.round(F.try_divide(F.col(f"n_{i}"), F.col("n_0")), 6).alias("conversion"),
             )
             for i, s in enumerate(steps)
         ]

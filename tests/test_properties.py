@@ -237,3 +237,66 @@ def test_pii_regexes_match_python_re(spark, parts):
     assert row.e == len(pyre.findall(EMAIL_RE, s))
     assert row.i == len(pyre.findall(IPV4_RE, s))
     assert row.p == len(pyre.findall(PHONE_RE, s))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),          # user
+            st.sampled_from(["view", "click", "purchase", "other"]),
+            st.integers(0, 3_000_000),  # seconds offset
+        ),
+        max_size=60,
+    )
+)
+def test_funnel_semantics_match_python_on_random_streams(spark, events):
+    """Fuzz the ordered-within-horizon rule: random event streams,
+    Spark funnel core vs a direct Python replay."""
+    import datetime
+
+    from mito_spark.operators import funnel as fn
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, t, base + datetime.timedelta(seconds=s)) for u, t, s in events
+    ]
+    steps = ("view", "click", "purchase")
+    within = datetime.timedelta(days=7)
+
+    # python replay
+    by_user: dict = {}
+    for u, t, ts in rows:
+        if t in steps:
+            by_user.setdefault(u, []).append((ts, t))
+    counts = [0, 0, 0]
+    for evs in by_user.values():
+        evs.sort()
+        t0 = next((ts for ts, e in evs if e == steps[0]), None)
+        if t0 is None:
+            continue
+        counts[0] += 1
+        deadline, prev = t0 + within, t0
+        for i, s in enumerate(steps[1:], start=1):
+            nxt = next((ts for ts, e in evs if e == s and prev < ts <= deadline), None)
+            if nxt is None:
+                break
+            counts[i] += 1
+            prev = nxt
+
+    # spark: drive the same core through a temp parquet dir the
+    # operator's loader contract expects
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            [(i, ts, u, t, 0.0, "{}") for i, (u, t, ts) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{td}/events.parquet")
+        got = {r.step: r.n_users for r in fn.funnel_analysis(spark, td).collect()}
+
+    if counts[0] == 0:
+        assert got == {} or all(v == 0 for v in got.values())
+    else:
+        assert [got.get(s, 0) for s in steps] == counts
