@@ -294,3 +294,40 @@ def test_streaming_near_dup_collapses_signature_twins(spark, sf_dir, tmp_path):
         "doc_id", simhash_signature(F.col("text")).alias("s")).collect()}
     for r in rows:
         assert r._sig == batch_sigs[r.doc_id]
+
+
+def test_streaming_anomalies_match_python_welford(spark, sf_dir, tmp_path):
+    """Prefix-moments anomaly stream vs an exact Python replay of the
+    same Welford rule over the same per-user event order."""
+    from mito_spark.engine import load_table
+    from mito_spark.streaming.stateful import streaming_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    src = tmp_path / "src"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    rows = []
+    sink = ChannelSink("anom", lambda b, _i: rows.extend(b.collect()))
+    q = sink.send_to(streaming_anomalies(stream), output_mode="append", availableNow=True)
+    q.awaitTermination(120)
+    sink.close()
+    got = {(r.user_id, r.event_id) for r in rows}
+
+    # python replay (same order: event_id within each user)
+    by_user: dict = {}
+    for r in sorted(ev.collect(), key=lambda r: r.event_id):
+        by_user.setdefault(r.user_id, []).append((r.event_id, r.value))
+    want = set()
+    for uid, evs in by_user.items():
+        n, mean, m2 = 0, 0.0, 0.0
+        for ev_id, v in evs:
+            if n >= 10:
+                std = (m2 / n) ** 0.5
+                if std > 0 and abs(v - mean) > 3.0 * std:
+                    want.add((uid, ev_id))
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+    assert got == want
