@@ -41,6 +41,13 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine with error-as-value semantics: a zero-norm vector yields
+    NULL (try_divide), never a task failure; desc ordering ranks NULL
+    last, so degenerate vectors can't crowd out real neighbors."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
 def cosine_topk_bruteforce(
     spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 10
 ) -> DataFrame:
@@ -58,8 +65,9 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cos"),
+            _cosine(F.col("q"), F.col("v")).alias("cos"),
         )
+        .where(F.col("cos").isNotNull())  # zero-norm vectors: no similarity defined
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -120,8 +128,8 @@ def cosine_topk_filtered(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         "label",
-        (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cos"),
-    )
+        _cosine(F.col("q"), F.col("v")).alias("cos"),
+    ).where(F.col("cos").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         joined.withColumn("rank", F.row_number().over(w))
@@ -248,8 +256,9 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cos"),
+            _cosine(F.col("q"), F.col("v")).alias("cos"),
         )
+        .where(F.col("cos").isNotNull())  # zero-norm vectors: no similarity defined
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -324,7 +333,7 @@ def embedding_near_dup(
         .select(
             "id_a",
             "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cos"),
+            _cosine(F.col("va"), F.col("vb")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
@@ -535,8 +544,9 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cos"),
+            _cosine(F.col("q"), F.col("v")).alias("cos"),
         )
+        .where(F.col("cos").isNotNull())  # zero-norm vectors: no similarity defined
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -704,8 +714,8 @@ def cosine_topk_sq8(
     rerank = survivors.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cos"),
-    )
+        _cosine(F.col("q"), F.col("v")).alias("cos"),
+    ).where(F.col("cos").isNotNull())
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         rerank.withColumn("rank", F.row_number().over(w2))

@@ -304,3 +304,19 @@ def test_sq8_ann_recall_vs_bruteforce(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id): r.cos_sim for r in cosine_topk_sq8(spark, sf_dir).collect()}
     for pair in exact & sq8:
         assert ex[pair] == got[pair]
+
+
+def test_ann_tiers_tolerate_zero_vectors(spark, tmp_path):
+    """A zero-norm embedding must yield NULL cosine (error-as-value),
+    never a task failure, and must not appear among ranked neighbors."""
+    from mito_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_sq8
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 8, 0), (1, [1.0] + [0.0] * 7, 1), (2, [0.5] * 8, 0), (3, [0.2] * 8, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+    for fn in (cosine_topk_bruteforce, cosine_topk_sq8):
+        rows = fn(spark, str(tmp_path)).collect()
+        assert rows, fn.__name__
+        assert all(r.cos_sim is not None for r in rows)
