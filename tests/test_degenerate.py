@@ -1,0 +1,65 @@
+"""Degenerate-corpus robustness: every documents/embeddings operator
+must run (error-as-value, never task failure) on adversarial inputs —
+empty text, whitespace-only text, single-char docs, zero vectors.
+This probe found the funnel ANSI bugs and the zero-norm cosine
+failures; it stays as the regression net."""
+
+from __future__ import annotations
+
+import pytest
+
+DOC_OPS = [
+    "text_token_count",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint",
+    "text_chunking",
+    "text_tfidf_top_terms",
+    "text_surprisal",
+    "repetition_quality",
+    "decontaminate",
+    "pii_redaction",
+    "stratified_sample",
+    "domain_mix",
+    "domain_mix_temperature",
+    "bm25_search",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "training_corpus_pipeline",
+]
+EMB_OPS = [
+    "quantize_embeddings",
+    "ann_cosine_topk",
+    "ann_cosine_topk_sq8",
+    "ann_cosine_topk_filtered",
+    "embedding_near_dup",
+]
+
+
+@pytest.fixture(scope="module")
+def degen_dir(spark, tmp_path_factory):
+    td = str(tmp_path_factory.mktemp("degen"))
+    spark.createDataFrame(
+        [
+            (0, "", "en", "src0", 0),
+            (1, "   ", "en", "src0", 3),
+            (2, "x", "en", "src1", 1),
+            (3, "a b c d e f g h i j k l", "en", "src1", 23),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{td}/documents.parquet")
+    spark.createDataFrame(
+        [(0, [0.0] * 8, 0), (1, [1.0] + [0.0] * 7, 1), (2, [0.5] * 8, 0), (3, [0.2] * 8, 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{td}/embeddings.parquet")
+    return td
+
+
+@pytest.mark.parametrize("name", DOC_OPS + EMB_OPS)
+def test_operator_survives_degenerate_corpus(spark, degen_dir, name):
+    import __spark_entry__ as entry
+
+    n = entry.queries()[name](spark, degen_dir).count()
+    assert n >= 0  # completed without task failure
