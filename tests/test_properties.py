@@ -338,3 +338,56 @@ def test_asof_join_matches_naive(spark, lefts, rights):
             assert got[i] in best_vals, (i, k, s, got[i], best_vals)
         else:
             assert got[i] is None
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from([0, 1, 5, 1800, 1801, 3600, 3599, 7200])),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sessionize_gap_boundary_matches_replay(spark, events):
+    """session_window boundary rule (verified by this fuzz): an event
+    EXACTLY gap seconds after the previous one MERGES into the session
+    — a new session starts only when the difference is strictly
+    greater than the gap. This matches the lag/cumsum oracle's
+    `> INTERVAL 30 MINUTE`; planted exact-boundary offsets exercise
+    the tie the synthetic corpus never produces."""
+    import datetime
+    import tempfile
+
+    from mito_spark.operators.events import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=sum(s for _, s in events[: j + 1])), u, "view", 1.0, "{}")
+        for j, (i, (u, _)) in enumerate(zip(range(len(events)), events))
+    ]
+    gap = 1800
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{td}/events.parquet")
+        got = sorted(
+            (r.user_id, r.session_start, r.n_events)
+            for r in sessionize(spark, td, gap_minutes=30).collect()
+        )
+
+    by_user: dict = {}
+    for _, ts, u, *_ in rows:
+        by_user.setdefault(u, []).append(ts)
+    want = []
+    for u, tss in by_user.items():
+        tss.sort()
+        start, last, n = tss[0], tss[0], 1
+        for t in tss[1:]:
+            if (t - last).total_seconds() > gap:
+                want.append((u, start, n))
+                start, n = t, 0
+            n += 1
+            last = t
+        want.append((u, start, n))
+    assert got == sorted(want)
