@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": graph.embedding_dedup_clusters,
         "incremental_dedup": dedup.incremental_dedup,
         "ann_cosine_topk_sq8": similarity.cosine_topk_sq8,
+        "dedup_containment": dedup.dedup_containment,
         "domain_mix_temperature": hygiene.domain_mix_temperature,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q21_sole_late_supplier": relational2.q21_sole_late_supplier,
@@ -221,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup_clusters": graph.EMBEDDING_CC_SQL,
         "incremental_dedup": dedup.INCREMENTAL_DEDUP_SQL,
         "ann_cosine_topk_sq8": similarity.COSINE_SQ8_SQL,
+        "dedup_containment": dedup.CONTAINMENT_SQL,
         "domain_mix_temperature": hygiene.DOMAIN_MIX_T_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,
         "crypto_showcase": scalar_showcase.CRYPTO_SQL,

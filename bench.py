@@ -106,6 +106,7 @@ HEADLINE = [
     "incremental_dedup",
     "ann_cosine_topk_sq8",
     "domain_mix_temperature",
+    "dedup_containment",
 ]
 
 

@@ -533,3 +533,108 @@ ORDER BY d.doc_id
 
 
 INCREMENTAL_DEDUP_SQL = _incremental_sql()
+
+
+def dedup_containment(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    shingle: int = 3,
+) -> DataFrame:
+    """Asymmetric containment dedup: flag pairs where one document's
+    shingle set is mostly CONTAINED in the other's —
+    containment(A→B) = |A∩B| / |A|. Catches a snippet embedded in a
+    longer page, which symmetric Jaccard misses (a 10-token quote
+    inside a 1000-token page has Jaccard ≈ 0.01 but containment ≈ 1).
+
+    Candidate generation reuses the MinHash band index (banding is
+    symmetric, and high containment of a SMALL doc still collides with
+    useful probability on its bands); verification computes both
+    directed containments exactly on the colliding pairs only. Same
+    scale shape as minhash_lsh_dedup: map-side signatures, band
+    equi-join, O(|candidates|) verification.
+
+    Output: (id_small, id_big, containment, jaccard) for pairs whose
+    max-direction containment ≥ threshold, id_small = the more-contained
+    side."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = _shingles(F.col("text"), shingle)
+    sigd = docs.select(
+        "doc_id", sh.alias("sh"), minhash_signature(F.col("text"), shingle=shingle).alias("sig")
+    ).persist()
+    band_cols = []
+    for b in range(BANDS):
+        parts = [
+            F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1).cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *parts)).alias("key")))
+    bands = sigd.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh_only = sigd.select("doc_id", "sh")
+    inter = (
+        cand.join(sh_only.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh_only.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_a", F.size("sh_a"))
+        .withColumn("n_b", F.size("sh_b"))
+    )
+    # directed containments; the reported pair orients (small, big) by
+    # which side is more contained (ties -> lower id first)
+    c_a = F.try_divide(F.col("n_inter").cast("double"), F.col("n_a"))
+    c_b = F.try_divide(F.col("n_inter").cast("double"), F.col("n_b"))
+    jac = F.try_divide(
+        F.col("n_inter").cast("double"), F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.withColumn("c_a", c_a)
+        .withColumn("c_b", c_b)
+        .where(F.greatest(F.col("c_a"), F.col("c_b")) >= threshold)
+        .select(
+            F.when(F.col("c_a") >= F.col("c_b"), F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
+            F.when(F.col("c_a") >= F.col("c_b"), F.col("id_b")).otherwise(F.col("id_a")).alias("id_big"),
+            F.round(F.greatest(F.col("c_a"), F.col("c_b")), 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("id_small", "id_big")
+    )
+
+
+def _containment_sql(threshold: float = 0.8, shingle: int = 3) -> str:
+    base = _minhash_sql(0.0, shingle)
+    head, _, _ = base.partition("), cand AS (")
+    return rf"""{head}), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ta.sh, tb.sh)) AS n_inter,
+         len(ta.sh) AS n_a, len(tb.sh) AS n_b
+  FROM cand JOIN tok ta ON cand.id_a = ta.doc_id
+            JOIN tok tb ON cand.id_b = tb.doc_id
+), scored AS (
+  SELECT id_a, id_b, n_inter, n_a, n_b,
+         CAST(n_inter AS DOUBLE) / n_a AS c_a,
+         CAST(n_inter AS DOUBLE) / n_b AS c_b,
+         CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jac
+  FROM inter
+)
+SELECT CASE WHEN c_a >= c_b THEN id_a ELSE id_b END AS id_small,
+       CASE WHEN c_a >= c_b THEN id_b ELSE id_a END AS id_big,
+       ROUND(GREATEST(c_a, c_b), 6) AS containment,
+       ROUND(jac, 6) AS jaccard
+FROM scored
+WHERE GREATEST(c_a, c_b) >= {threshold}
+ORDER BY id_small, id_big
+"""
+
+
+CONTAINMENT_SQL = _containment_sql()

@@ -27,6 +27,7 @@ DOC_OPS = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_connected_components",
+    "dedup_containment",
     "training_corpus_pipeline",
 ]
 EMB_OPS = [
