@@ -1,0 +1,111 @@
+"""Recall property test for containment dedup (VERDICT r4 wrong#1).
+
+Plants k-token snippets (k = 8..32) inside pages ~100× longer and
+measures candidate-generation recall two ways:
+
+- the OLD symmetric MinHash band path (collision probability tracks
+  Jaccard ≈ k/|page| ≈ 0.01 → per-band collision ≈ 1e-4): asserted to
+  MISS most planted pairs, demonstrating why it was replaced;
+- the NEW hash-sampled shingle inverted index (collision probability
+  1 − (1 − 1/sample_mod)^|A∩B|, a function of shared-shingle count,
+  not Jaccard): asserted ≥ 0.9 recall at the operator's defaults.
+
+Tokens are drawn from a seeded RNG over a 5000-word vocabulary so the
+corpus is deterministic and shingles are effectively unique (no df-cap
+interference; the cap is exercised separately below).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mito_spark.operators import dedup
+
+
+def _build_corpus(seed: int = 7, n_pages: int = 40):
+    rng = random.Random(seed)
+    vocab = [f"w{i:04d}" for i in range(5000)]
+    rows, planted = [], []
+    doc_id = 0
+    for p in range(n_pages):
+        k = 8 + (p % 25)  # snippet lengths 8..32
+        page_len = k * 100  # pages ~100× longer than the snippet
+        page_toks = [rng.choice(vocab) for _ in range(page_len)]
+        start = rng.randrange(10, page_len - k - 10)
+        snippet_toks = page_toks[start : start + k]
+        page_id, snip_id = doc_id, doc_id + 1
+        doc_id += 2
+        rows.append((page_id, " ".join(page_toks)))
+        rows.append((snip_id, " ".join(snippet_toks)))
+        planted.append((snip_id, page_id))
+    return rows, planted
+
+
+def test_band_path_misses_small_in_big(spark):
+    """The r4 band-based candidate generator provably misses the
+    small-in-big case: Jaccard ≈ 0.01 → essentially zero band
+    collisions. This is the failure the r5 rewrite fixes."""
+    rows, planted = _build_corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigd = docs.select(
+        "doc_id",
+        dedup._shingles(F.col("text"), 3).alias("sh"),
+        dedup.minhash_signature(F.col("text"), shingle=3).alias("sig"),
+    )
+    bands = dedup._band_keys(sigd)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    got = {(min(a, b), max(a, b)) for a, b in cand.collect()}
+    hits = sum(1 for s, p in planted if (min(s, p), max(s, p)) in got)
+    band_recall = hits / len(planted)
+    assert band_recall < 0.5, f"band path unexpectedly found {band_recall:.0%}"
+
+
+def test_sampled_index_recall_at_least_090(spark):
+    rows, planted = _build_corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.containment_pairs(docs, threshold=0.8)
+    got = {(r["id_small"], r["id_big"]) for r in pairs.collect()}
+    hits = sum(1 for s, p in planted if (s, p) in got)
+    recall = hits / len(planted)
+    assert recall >= 0.9, f"sampled-index recall {recall:.0%} < 90%"
+    # and every reported planted pair is truly >= 0.8 contained
+    for r in pairs.collect():
+        assert r["containment"] >= 0.8
+
+
+def test_df_cap_bounds_stop_shingles(spark):
+    """Shingles appearing in more than max_df docs are dropped from the
+    index: a corpus where every doc shares one boilerplate sentence
+    must not pair everything with everything."""
+    boiler = "all rights reserved by the example corporation of example city"
+    rng = random.Random(11)
+    vocab = [f"v{i:03d}" for i in range(500)]
+    rows = [
+        (i, boiler + " " + " ".join(rng.choice(vocab) for _ in range(60)))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.containment_pairs(docs, threshold=0.8, max_df=16)
+    # 80 docs sharing only the 9-shingle boilerplate: containment of a
+    # 60-token doc is ~9/67 << 0.8, so nothing should be reported; the
+    # df cap (16 < 80) also keeps the boilerplate out of the index.
+    assert pairs.count() == 0
+
+
+def test_exact_duplicate_still_found(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "completely different text about other things entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_small"], r["id_big"]) for r in dedup.containment_pairs(docs).collect()}
+    assert (0, 1) in got
