@@ -172,8 +172,11 @@ def main() -> None:
         line = json.dumps(out, separators=(",", ":"))
         if len(line) < 1950:
             break
+    # same 1950 threshold as the dp-degrade loop above: a line in
+    # [1950, 1990) used to ship with only ~10 bytes of margin against
+    # the driver's ~2000-byte stdout tail (ADVICE r4)
     by_cost = sorted(times, key=times.get)
-    while len(line) > 1990 and by_cost:
+    while len(line) >= 1950 and by_cost:
         out["queries"].pop(by_cost.pop(0), None)
         line = json.dumps(out, separators=(",", ":"))
     print(line)

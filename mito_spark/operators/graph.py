@@ -79,11 +79,13 @@ def connected_components(
 ) -> DataFrame:
     """Labels each node of the undirected graph ``edges`` with its
     component's minimum node id. Returns (node, component); every node
-    incident to an edge appears exactly once AT CONVERGENCE (the
-    normal case — star contraction needs O(log n) rounds, and the loop
-    exits early on the fixed point). ``max_iter`` is a runaway cap; a
-    run that hits it returns a partially contracted labeling, so set
-    it generously, not tightly."""
+    incident to an edge appears exactly once at convergence. Star
+    contraction converges in O(log n) rounds, so ``max_iter`` is a
+    runaway cap that legitimate inputs never hit; exhausting it
+    RAISES rather than returning a partially contracted labeling —
+    downstream is a destructive dedup manifest, and a silent partial
+    result would emit duplicate rows per doc and wrong canonical
+    picks (ADVICE r4)."""
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -94,12 +96,20 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig = _signature(e)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "star contraction is O(log n), so this indicates a pathological "
+            "edge stream — refusing to emit a partial labeling"
+        )
     # converged: e is (node → component-min) for every non-root node
     roots = e.select(F.col("v").alias("u"), F.col("v")).distinct()
     return (

@@ -47,7 +47,7 @@ def test_zorder_tightens_both_columns(spark, sf_dir, tmp_path):
 
     # the single-key layout is tight on its key and useless on value
     naive_user = _coverage(_file_ranges(naive, "user_id"))
-    naive_value = _coverage(_file_ranges(z if False else naive, "value"))
+    naive_value = _coverage(_file_ranges(naive, "value"))
     z_user = _coverage(_file_ranges(z, "user_id"))
     z_value = _coverage(_file_ranges(z, "value"))
 
