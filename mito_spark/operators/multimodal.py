@@ -90,26 +90,41 @@ def _fake_features(content: bytes) -> list[int]:
 def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 256) -> DataFrame:
     """Decode/feature-extract media payloads via mapInPandas.
 
-    Real decoders (PIL/torchaudio/pyav) are not installed in this
-    environment — pass fake=True for the deterministic stand-in, or
-    swap ``_fake_features`` for a real codec in deployment. The
-    iterator contract (stream of pandas batches in, stream out) is
-    the production shape: payloads never accumulate per-task.
+    ``image/png`` payloads are decoded FOR REAL with the stdlib codec
+    (functions/png.py: zlib inflate + full scanline unfilter) —
+    features = [width, height, channels, n_pixel_bytes, sum(pixels)].
+    Other codecs (JPEG/audio/video libs are not in this container)
+    still require ``fake=True`` for the deterministic md5 stand-in;
+    with fake=False a non-PNG payload raises NotImplementedError at
+    decode time. The iterator contract (stream of pandas batches in,
+    stream out) is the production shape: payloads never accumulate
+    per-task.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media codecs are not available in this container; pass fake=True "
-            "for the deterministic stand-in featureizer"
-        )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mito_spark.functions.png import png_features
+
+        def _features(mime: str, content: bytes) -> list[int]:
+            if mime == "image/png":
+                return png_features(content)
+            if fake:
+                return _fake_features(content)
+            raise NotImplementedError(
+                f"no codec for {mime!r} in this container; pass fake=True "
+                "for the deterministic stand-in featureizer (PNG decodes "
+                "for real either way)"
+            )
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "features": [_fake_features(bytes(c)) for c in pdf["content"]],
+                    "features": [
+                        _features(m["mime"], bytes(c))
+                        for m, c in zip(pdf["meta"], pdf["content"])
+                    ],
                 }
             )
 

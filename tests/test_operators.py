@@ -93,11 +93,13 @@ def test_fingerprint_is_permutation_invariant(spark):
 
 
 def test_multimodal_decode_requires_fake_flag(spark, sf_dir):
+    """Non-PNG payloads without fake=True still hit the codec guard —
+    now at decode time, since PNG decodes for real (r5)."""
     import pytest
 
     media = multimodal.media_from_documents(spark, sf_dir)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(media, fake=False)
+    with pytest.raises(Exception, match="no codec for 'text/plain'"):
+        multimodal.decode_media(media.limit(1), fake=False).collect()
     out = multimodal.decode_media(media.limit(5), fake=True).collect()
     assert len(out) == 5
     for r in out:
