@@ -16,6 +16,17 @@ this container lacks — ``tws_available()`` reports it; the test skips
 when false. The applyInPandasWithState backend (streaming.stateful) is
 the dependency-free path with the same state-store semantics.
 
+Probe evidence (r5, pyspark 4.1.2, do-not-install policy): the JVM
+side fully supports the operator — ``GroupedData`` exposes
+``transformWithStateInPandas`` and a submitted query plans
+``~TransformWithStateInPySpark transformWithStateUDF(...)`` — but the
+query then fails with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+whose root cause is ``ImportError: cannot import name 'descriptor'
+from 'google.protobuf'`` raised by the Python state-server worker at
+startup. The code below is therefore complete and exercised the
+moment protobuf is present; tests/test_streaming.py records the same
+probe as an always-run assertion instead of a silent skip.
+
 ``SessionEmitter`` re-expresses streaming sessionization imperatively:
 events extend the open session's end; when the watermark passes
 end+gap the timer fires and the closed session is emitted. The
