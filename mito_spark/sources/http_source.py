@@ -29,6 +29,17 @@ Options:
   pages_per_partition — batch fan-out granularity (default 8)
   max_pages_per_batch — streaming trigger bound (default 4)
   max_per_second      — per-task rate limit (default: unlimited)
+  rate_limit_policy   — "okta" | "draft": derive the pace from the
+              server's rate-limit response headers instead of a static
+              client rate (reference: lib/limit.go policies feeding
+              limit.Wait before every call, lib/http.go:290-292).
+              Selecting a policy switches the stream to a driver-paced
+              SimpleDataSourceStreamReader — sequential by design,
+              because a per-partition fan-out under a server rate
+              limit would just burn the quota in parallel; a 429 or a
+              low Remaining header adjusts both the in-batch pacing
+              and where the next offset batch stops.
+  rate_limit_window   — policy window seconds (default 60)
 """
 
 from __future__ import annotations
@@ -36,11 +47,13 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -131,6 +144,116 @@ class _StreamReader(DataSourceStreamReader):
         pass
 
 
+class _RateLimitedStreamReader(SimpleDataSourceStreamReader):
+    """Driver-paced micro-batch reader whose pace is DERIVED FROM THE
+    SERVER'S RATE-LIMIT HEADERS — the reference's core flow-control
+    story (`limit.Wait(ctx)` before every call, then the policy parses
+    the response headers to update the limiter).
+
+    Per trigger, ``read(start)`` walks pages forward and for each one:
+    waits out the TokenBucket (populated from the previous response's
+    headers via the named policy), issues the request, updates the
+    bucket from the new headers. A 429 waits out the derived interval
+    and retries in place (bounded); if the bucket says the wait
+    exceeds the batch's remaining patience and the batch already holds
+    rows, the batch CLOSES EARLY — the un-fetched pages become the
+    next offset batch, which is how header feedback reshapes
+    subsequent batches rather than just sleeping inside one.
+    """
+
+    _MAX_429_RETRIES = 3
+
+    def __init__(self, options: dict):
+        from mito_spark.sources.ratelimit import POLICIES, TokenBucket
+
+        self.url = options["url"]
+        self.n_pages = int(options["n_pages"])
+        self.per_batch = int(options.get("max_pages_per_batch", 4))
+        policy = options["rate_limit_policy"]
+        if policy not in POLICIES:
+            raise ValueError(f"unknown rate_limit_policy {policy!r}; registered: {sorted(POLICIES)}")
+        self.policy = POLICIES[policy]
+        self.window = float(options.get("rate_limit_window", 60.0))
+        self.bucket = TokenBucket()
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _get(self, page: int):
+        """(status, body, headers) — HTTP errors (incl. 429) come back
+        as values with their headers; transport errors as status -1."""
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(self.url.format(page=page), timeout=30) as r:
+                return int(r.status), r.read().decode("utf-8", "replace"), {
+                    k: [v] for k, v in r.getheaders()
+                }
+        except urllib.error.HTTPError as e:
+            return int(e.code), e.read().decode("utf-8", "replace"), {
+                k: [v] for k, v in e.headers.items()
+            }
+        except Exception as e:  # noqa: BLE001 — error-as-value contract
+            return -1, str(e), {}
+
+    def _update_bucket(self, headers: dict) -> None:
+        if headers:
+            try:
+                state = self.policy(headers, window=self.window)
+            except TypeError:  # okta policy takes no window arg
+                state = self.policy(headers)
+            if state.error is None:
+                self.bucket.update_from(state)
+
+    def read(self, start: dict):
+        import math
+        import time
+        from datetime import datetime, timezone
+
+        page = start["page"]
+        rows: list[tuple] = []
+        while page < self.n_pages and len(rows) < self.per_batch:
+            wait = self.bucket.wait_time(datetime.now(timezone.utc))
+            if wait > 0 and rows:
+                # quota exhausted mid-batch: close early; the remaining
+                # pages are the next offset batch (header feedback
+                # reshapes batch boundaries, not just in-batch sleeps)
+                break
+            if wait > 0 and not math.isinf(wait):
+                time.sleep(wait)
+            status, body, headers = self._get(page)
+            self._update_bucket(headers)
+            retries = 0
+            while status == 429 and retries < self._MAX_429_RETRIES:
+                retry_wait = self.bucket.wait_time(datetime.now(timezone.utc))
+                time.sleep(retry_wait if 0 < retry_wait < math.inf else 1.0)
+                status, body, headers = self._get(page)
+                self._update_bucket(headers)
+                retries += 1
+            rows.append((page, status, body))
+            page += 1
+        return iter(rows), {"page": page}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # checkpoint replay: deterministic refetch of the page range,
+        # still paced by the live bucket
+        import math
+        import time
+        from datetime import datetime, timezone
+
+        for page in range(start["page"], end["page"]):
+            wait = self.bucket.wait_time(datetime.now(timezone.utc))
+            if wait > 0 and not math.isinf(wait):
+                time.sleep(wait)
+            status, body, headers = self._get(page)
+            self._update_bucket(headers)
+            yield (page, status, body)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class HttpPaginatedDataSource(DataSource):
     """``format("http_paginated")`` — see module docstring."""
 
@@ -145,7 +268,16 @@ class HttpPaginatedDataSource(DataSource):
         return _BatchReader(self.options)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if "rate_limit_policy" in self.options:
+            # fall through to simpleStreamReader(): header-adaptive
+            # pacing needs the driver-paced sequential reader
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+            )
         return _StreamReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _RateLimitedStreamReader(self.options)
 
 
 def register(spark) -> None:
