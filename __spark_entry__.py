@@ -19,6 +19,7 @@ from mito_spark.operators import (
     asof,
     decontam,
     dedup,
+    dsir,
     dynamic,
     events,
     funnel,
@@ -51,7 +52,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operators, 52-59 in the r4 ordering) plus the r1-stale TPC-H
     # cohort (q8 q9 q11 q14 q15 q16 q19 q20 q22 part_type_stats
     # order_priority_distinct_customers) and the r3-green shapes that
-    # rested in the r4 tail — 32 rotations in total. 18 r4-green
+    # rested in the r4 tail — plus the two r5-new operators
+    # (semdedup, dsir_importance_weights): 34 never-gated entries in
+    # the window. 16 r4-green
     # anchors stay in the window, chosen because their code paths are
     # touched this round (band-key refactor, persist lifecycle, CC
     # convergence guard, containment rewrite, PNG decode) or they
@@ -65,6 +68,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": graph.embedding_dedup_clusters,
         "incremental_dedup": dedup.incremental_dedup,
         "ann_cosine_topk_sq8": similarity.cosine_topk_sq8,
+        # new in r5: SemDeDup — k-means cells + intra-cluster cosine
+        # prune (semantic dedup tier beside the shingle/simhash tiers)
+        "semdedup": similarity.semdedup,
+        # new in r5: DSIR hashed-unigram importance weights (data
+        # selection for LM training, arXiv:2302.03169)
+        "dsir_importance_weights": dsir.dsir_importance_weights,
         # rewritten this round: asymmetric hash-sampled shingle
         # candidates (VERDICT r4 "What's wrong" #1)
         "dedup_containment": dedup.dedup_containment,
@@ -95,7 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "q7_nation_volume": relational2.q7_nation_volume,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
-        # ---- 18 r4-green anchors kept in the window (code touched
+        # ---- r4-green anchors kept in the window (code touched
         # this round or family anchors) ----
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
@@ -115,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": hygiene.domain_mix,
         "decontaminate": decontam.decontaminate,
         "dataset_split": sampling.dataset_split,
-        # ---- tail: 32 r4-green rows resting this round (driver
+        # ---- tail: r4-green rows resting this round (driver
         # CORRECTNESS_r04 green; rotate back into the window in r6) ----
         "dedup_simhash": dedup.simhash_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -201,6 +210,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup_clusters": graph.EMBEDDING_CC_SQL,
         "incremental_dedup": dedup.INCREMENTAL_DEDUP_SQL,
         "ann_cosine_topk_sq8": similarity.COSINE_SQ8_SQL,
+        "semdedup": similarity.SEMDEDUP_SQL,
+        "dsir_importance_weights": dsir.DSIR_SQL,
         "dedup_containment": dedup.CONTAINMENT_SQL,
         "domain_mix_temperature": hygiene.DOMAIN_MIX_T_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,

@@ -107,6 +107,10 @@ HEADLINE = [
     "ann_cosine_topk_sq8",
     "domain_mix_temperature",
     "dedup_containment",
+    # new in r5 (semdedup excluded like IVF: its cost is dominated by
+    # the same k-means training step; behavior covered by its oracle
+    # row + tests/test_semdedup_dsir.py)
+    "dsir_importance_weights",
 ]
 
 

@@ -560,20 +560,11 @@ def cosine_topk_ivf(
     )
 
 
-def _ivf_sql(
-    n_queries: int = 10,
-    k: int = 10,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    iters: int = 3,
-    dim: int = 64,
-) -> str:
-    """Full re-derivation of the IVF pipeline — seeds, 3 unrolled Lloyd
-    iterations, assignment, probe, scoring — in DuckDB SQL. Bit-for-bit
-    agreement with the Spark side holds because every float reduction
-    is order-pinned on both engines: seeds sort by md5(vec_id), means
-    sum in vec_id order, distances/dots fold left-to-right over the
-    index range, and all argmins tie-break on cell id."""
+def _kmeans_tagged_sql(n_cells: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """Shared oracle head: seeds → unrolled Lloyd iterations → full-
+    corpus cell assignment, ending with the ``tagged`` CTE open for a
+    caller-appended continuation. Used by the IVF oracle and the
+    semdedup oracle — one definition of the order-pinned k-means."""
 
     def dist(v: str, c: str) -> str:
         return (
@@ -619,11 +610,6 @@ WITH e AS (
 )"""
         )
         prev = f"cent{it}"
-    cos = (
-        f"list_sum(list_transform(range(1, {dim + 1}), i -> p.q[i] * g.v[i]))"
-        f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> p.q[i]*p.q[i])))"
-        f" * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> g.v[i]*g.v[i]))))"
-    )
     parts.append(
         f""", tagged AS (
   SELECT vec_id, v, cell FROM (
@@ -632,7 +618,41 @@ WITH e AS (
                               ORDER BY {dist('t.v', 'c.c')} ASC, c.cell ASC) AS rn
     FROM e t CROSS JOIN {prev} c
   ) WHERE rn = 1
-), probe AS (
+)"""
+    )
+    return "".join(parts)
+
+
+def _ivf_sql(
+    n_queries: int = 10,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    dim: int = 64,
+) -> str:
+    """Full re-derivation of the IVF pipeline — seeds, 3 unrolled Lloyd
+    iterations, assignment, probe, scoring — in DuckDB SQL. Bit-for-bit
+    agreement with the Spark side holds because every float reduction
+    is order-pinned on both engines: seeds sort by md5(vec_id), means
+    sum in vec_id order, distances/dots fold left-to-right over the
+    index range, and all argmins tie-break on cell id."""
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+        )
+
+    prev = f"cent{iters}"
+    cos = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> p.q[i] * g.v[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> p.q[i]*p.q[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> g.v[i]*g.v[i]))))"
+    )
+    parts = [_kmeans_tagged_sql(n_cells, iters, dim)]
+    parts.append(
+        f""", probe AS (
   SELECT query_id, q, cell FROM (
     SELECT t.vec_id AS query_id, t.v AS q, c.cell,
            ROW_NUMBER() OVER (PARTITION BY t.vec_id
@@ -770,3 +790,84 @@ FROM (
 
 
 COSINE_SQ8_SQL = _sq8_sql()
+
+
+# --- SemDeDup: semantic dedup via k-means + intra-cluster cosine ------
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic deduplication, the SemDeDup recipe (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then
+    within each cluster drop vectors whose cosine similarity to an
+    earlier cluster member exceeds ``threshold`` — catching semantic
+    duplicates (same content re-rendered, translations, templated
+    spam) that shingle-based dedup can't see.
+
+    Keep rule (deterministic, engine-portable): a vector is DROPPED
+    iff some SAME-CELL vector with a LOWER vec_id is >= threshold
+    similar; its ``dup_of`` is the lowest such id. No transitive
+    chasing — the paper's per-cluster pruning, not CC (for full
+    transitive clusters compose with operators.graph).
+
+    100 TB shape: clustering bounds the quadratic — the pairwise pass
+    runs per cell, so cost is Σ|cell|², controlled by scaling n_cells
+    with the corpus (the paper uses ~0.1% of N); the centroid table is
+    tiny and rides in the plan (same _kmeans_centroids as IVF), and
+    the per-cell self-join shuffles on cell id only. Reuses the
+    order-pinned k-means so the DuckDB oracle re-derives identical
+    cells, then identical pairs."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = _kmeans_centroids(_ivf_train_sample(emb), n_cells)
+    tagged = emb.withColumn(
+        "cell", _nearest_cell_expr(centroids).cast("bigint")
+    ).localCheckpoint()
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cos = _cosine(F.col("a.v"), F.col("b.v"))
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= threshold)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    return (
+        tagged.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNotNull().alias("dropped"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql(n_cells: int = 16, threshold: float = 0.95, iters: int = 3, dim: int = 64) -> str:
+    cos = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> a.v[i] * b.v[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> a.v[i]*a.v[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> b.v[i]*b.v[i]))))"
+    )
+    return (
+        _kmeans_tagged_sql(n_cells, iters, dim)
+        + f""", dups AS (
+  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+  FROM tagged a JOIN tagged b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+  GROUP BY b.vec_id
+)
+SELECT t.vec_id, t.cell, d.dup_of IS NOT NULL AS dropped, d.dup_of
+FROM tagged t LEFT JOIN dups d ON t.vec_id = d.vec_id
+ORDER BY t.vec_id
+"""
+    )
+
+
+SEMDEDUP_SQL = _semdedup_sql()

@@ -1,0 +1,88 @@
+"""Behavioral tests for the r5 beyond-parity operators: SemDeDup and
+DSIR importance weights (the oracle rows check engine-equivalence;
+these check the semantics are the intended ones)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mito_spark.engine import load_table
+from mito_spark.operators.dsir import dsir_importance_weights
+from mito_spark.operators.similarity import semdedup
+
+THRESHOLD = 0.95
+
+
+@pytest.fixture(scope="module")
+def sem_rows(spark, sf_dir):
+    return semdedup(spark, sf_dir, threshold=THRESHOLD).collect()
+
+
+def _vectors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return {r.vec_id: np.array(r.v) for r in emb.collect()}
+
+
+def test_semdedup_is_a_total_manifest(spark, sf_dir, sem_rows):
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert len(sem_rows) == n_emb  # one verdict per vector, none lost
+    assert len({r.vec_id for r in sem_rows}) == n_emb
+
+
+def test_semdedup_matches_brute_force_within_cells(spark, sf_dir, sem_rows):
+    """The keep/drop rule re-derived with numpy must agree exactly:
+    dropped iff an earlier same-cell vector is >= threshold similar,
+    dup_of = the lowest such id."""
+    vecs = _vectors(spark, sf_dir)
+    cells: dict[int, list[int]] = {}
+    for r in sorted(sem_rows, key=lambda r: r.vec_id):
+        cells.setdefault(r.cell, []).append(r.vec_id)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b) / (na * nb) if na and nb else math.nan
+
+    expected: dict[int, int | None] = {}
+    for members in cells.values():
+        for i, x in enumerate(members):
+            dup = None
+            for y in members[:i]:
+                if cos(vecs[x], vecs[y]) >= THRESHOLD:
+                    dup = y
+                    break  # members sorted ascending: first hit is min
+            expected[x] = dup
+    got = {r.vec_id: r.dup_of for r in sem_rows}
+    assert got == expected
+    for r in sem_rows:
+        assert r.dropped == (r.dup_of is not None)
+
+
+def test_dsir_prefers_target_language(spark, sf_dir):
+    """Mean log-weight of target-lang (en) docs must exceed the mean of
+    every other language — the model was fit to prefer them."""
+    rows = dsir_importance_weights(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    # one row per doc that has tokens
+    n_docs_with_tokens = docs.where(F.trim(F.col("text")) != "").count()
+    assert len(rows) == n_docs_with_tokens
+    by_lang: dict[str, list[float]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.log_weight)
+    mean_en = sum(by_lang["en"]) / len(by_lang["en"])
+    for lang, ws in by_lang.items():
+        if lang != "en":
+            assert mean_en > sum(ws) / len(ws), f"en not preferred over {lang}"
+
+
+def test_dsir_plan_broadcasts_model_and_has_no_window(spark, sf_dir):
+    """The hashed model table must broadcast (fixed n_buckets width)
+    and the plan must be window-free — the scale contract."""
+    plan = dsir_importance_weights(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
