@@ -109,10 +109,31 @@ def basic_authentication(request: dict[str, Any], user: str, password: str) -> d
     return out
 
 
-def do_request(request: dict[str, Any], timeout: float = 30.0) -> dict[str, Any]:
+def do_request(
+    request: dict[str, Any],
+    timeout: float = 30.0,
+    insecure: bool = False,
+    ca_file: str | None = None,
+) -> dict[str, Any]:
     """``do_request()`` (http.go:826-854): execute one request map →
     response map. Errors are values (Error field), never exceptions —
-    the error-as-value convention."""
+    the error-as-value convention.
+
+    TLS (the reference's ``serve_tls`` scenario + ``-insecure`` CLI
+    flag, mito.go): HTTPS URLs verify against the system trust store
+    by default, so a self-signed server yields an Error value (the
+    x509 unknown-authority case the scenario asserts); ``insecure``
+    skips verification, ``ca_file`` pins a CA bundle instead —
+    verified trust without touching the system store."""
+    import ssl
+
+    ctx: ssl.SSLContext | None = None
+    if insecure:
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    elif ca_file is not None:
+        ctx = ssl.create_default_context(cafile=ca_file)
     req = urllib.request.Request(
         request["URL"],
         data=request.get("Body"),
@@ -122,7 +143,7 @@ def do_request(request: dict[str, Any], timeout: float = 30.0) -> dict[str, Any]
         for v in vs:
             req.add_header(k, v)
     try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
+        with urllib.request.urlopen(req, timeout=timeout, context=ctx) as resp:
             body = resp.read()
             headers: dict[str, list[str]] = {}
             for k, v in resp.headers.items():

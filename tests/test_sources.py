@@ -636,3 +636,63 @@ def test_google_credentials_json_dispatch(monkeypatch):
 
     with pytest.raises(ValueError, match="requires google_jwt"):
         o2.fetch_google_jwt_token(o2.OAuth2Config(provider="google"))
+
+
+def test_serve_tls_scenario(tmp_path):
+    """Executes the reference's serve_tls scenario (testdata/
+    serve_tls.txt) for real: a hermetic HTTPS server with a runtime
+    self-signed cert. Default verification fails with an error VALUE
+    (the scenario's x509 unknown-authority stderr check), -insecure
+    succeeds (want_insecure.txt), and — beyond the reference — pinning
+    the server cert as a CA bundle gives verified trust."""
+    import http.server
+    import ssl
+    import subprocess
+    import threading
+
+    from mito_spark.sources.http import do_request, get_request
+
+    cert = tmp_path / "cert.pem"
+    key = tmp_path / "key.pem"
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", str(key), "-out", str(cert), "-days", "1",
+            "-subj", "/CN=127.0.0.1",
+            "-addext", "subjectAltName=IP:127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = b"hello\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(str(cert), str(key))
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"https://127.0.0.1:{srv.server_address[1]}/"
+        # 1) default trust store: error-as-value, unknown authority
+        resp = do_request(get_request(url))
+        assert resp["Error"] is not None
+        assert "certificate" in resp["Error"].lower()
+        # 2) -insecure: succeeds, body matches want_insecure.txt
+        resp = do_request(get_request(url), insecure=True)
+        assert resp["Error"] is None and resp["StatusCode"] == 200
+        assert resp["Body"] == b"hello\n"
+        # 3) CA-pinned: verified trust on the same self-signed cert
+        resp = do_request(get_request(url), ca_file=str(cert))
+        assert resp["Error"] is None and resp["Body"] == b"hello\n"
+    finally:
+        srv.shutdown()
