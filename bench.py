@@ -111,6 +111,9 @@ HEADLINE = [
     # the same k-means training step; behavior covered by its oracle
     # row + tests/test_semdedup_dsir.py)
     "dsir_importance_weights",
+    "dsir_resample",
+    # embedding_cluster_profile excluded like IVF/semdedup: k-means
+    # training dominates; oracle row + tests cover behavior
 ]
 
 

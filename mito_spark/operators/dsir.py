@@ -128,3 +128,58 @@ GROUP BY doc_id, lang
 
 
 DSIR_SQL = _dsir_sql()
+
+
+# 2^60 + 1: hash60 yields [0, 2^60), so (h+1)/DENOM is uniform on
+# (0, 1) exclusive at both ends — safe for the double log-log below
+_GUMBEL_DENOM = (1 << 60) + 1
+
+
+def dsir_resample(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 100,
+    seed: str = "r5",
+    target_lang: str = "en",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Importance RESAMPLING on the DSIR weights: the Gumbel-top-k
+    trick draws m documents without replacement with probability
+    ∝ softmax(log w) by ranking log w(x) + Gumbel noise. The noise is
+    SEEDED AND ENGINE-PORTABLE — u = (hash60(seed:doc_id)+1) / (2^60+1)
+    uniform on (0,1), g = −ln(−ln u) — so the "random" sample is
+    reproducible bit-for-bit across engines and runs (the repo-wide
+    determinism convention; swap the seed to draw a fresh sample).
+
+    Scale shape: the noise is a map-side expression; selection is a
+    global top-m = TakeOrdered (never a full sort) of key-only rows."""
+    w = dsir_importance_weights(spark, sf_dir, target_lang=target_lang, n_buckets=n_buckets)
+    u = (
+        _hash60(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))) + 1
+    ).cast("double") / F.lit(float(_GUMBEL_DENOM))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.withColumn("sel_key", F.round(F.col("log_weight") + gumbel, 6))
+        .orderBy(F.desc("sel_key"), F.asc("doc_id"))
+        .limit(m)
+        .select("doc_id", "lang", "log_weight", "sel_key")
+    )
+
+
+def _dsir_resample_sql(
+    m: int = 100, seed: str = "r5", target_lang: str = "en", n_buckets: int = N_BUCKETS
+) -> str:
+    base = _dsir_sql(target_lang, n_buckets)
+    return rf"""
+WITH dsir AS ({base})
+SELECT doc_id, lang, log_weight,
+       ROUND(log_weight + -ln(-ln(
+         CAST(CAST('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1 AS DOUBLE)
+           / {float(_GUMBEL_DENOM)!r})), 6) AS sel_key
+FROM dsir
+ORDER BY sel_key DESC, doc_id ASC
+LIMIT {m}
+"""
+
+
+DSIR_RESAMPLE_SQL = _dsir_resample_sql()

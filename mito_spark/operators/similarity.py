@@ -871,3 +871,100 @@ ORDER BY t.vec_id
 
 
 SEMDEDUP_SQL = _semdedup_sql()
+
+
+def embedding_cluster_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 16,
+) -> DataFrame:
+    """Corpus-shape diagnostics over the k-means cells: per cell the
+    member count, the mean distance to the centroid (cluster
+    tightness), and the dominant label with its share — the report a
+    curation pipeline reads before deciding cluster-level actions
+    (drop a spam-dominated cell, upsample a sparse one; the cluster
+    inspection step of SemDeDup-style curation).
+
+    Scale shape: one pass to tag + one groupBy(cell); the per-cell
+    mean accumulates 9dp-decimal contributions (order-free, oracle-
+    exact). Output is n_cells rows."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = _kmeans_centroids(_ivf_train_sample(emb), n_cells)
+    dists = [
+        F.aggregate(
+            F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    # assigned-cell distance = the argmin's distance (ties share d²)
+    tagged = emb.select(
+        "vec_id",
+        "label",
+        _nearest_cell_expr(centroids).cast("bigint").alias("cell"),
+        F.round(F.sqrt(F.array_min(F.array(*dists))), 9).cast("decimal(28,9)").alias("dist"),
+    )
+    per_cell = tagged.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist").alias("dist_sum"),
+    )
+    label_counts = tagged.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("n"))
+    dominant = label_counts.groupBy("cell").agg(
+        F.max_by(
+            F.struct("label", "n"),
+            # deterministic argmax: count first, label as tie-break
+            F.struct(F.col("n"), F.col("label")),
+        ).alias("top")
+    )
+    return (
+        per_cell.join(dominant, "cell")
+        .select(
+            "cell",
+            "n_members",
+            F.round(F.col("dist_sum").cast("double") / F.col("n_members"), 6).alias("mean_dist"),
+            F.col("top.label").alias("dominant_label"),
+            F.round(F.col("top.n").cast("double") / F.col("n_members"), 6).alias("dominant_share"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _cluster_profile_sql(n_cells: int = 16, iters: int = 3, dim: int = 64) -> str:
+    dist = (
+        f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (t.v[i]-c.c[i])*(t.v[i]-c.c[i]))))"
+    )
+    return (
+        _kmeans_tagged_sql(n_cells, iters, dim).replace(
+            "WITH e AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+            "WITH e AS (\n  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        )
+        + f""", tagged_l AS (
+  SELECT t.vec_id, e.label, t.cell,
+         CAST(ROUND({dist}, 9) AS DECIMAL(28,9)) AS dist
+  FROM tagged t JOIN e ON t.vec_id = e.vec_id JOIN cent{iters} c ON t.cell = c.cell
+), per_cell AS (
+  SELECT cell, COUNT(*) AS n_members, SUM(dist) AS dist_sum FROM tagged_l GROUP BY cell
+), lc AS (
+  SELECT cell, label, COUNT(*) AS n FROM tagged_l GROUP BY cell, label
+), dom AS (
+  SELECT cell, label, n FROM (
+    SELECT cell, label, n,
+           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, label DESC) AS rn
+    FROM lc
+  ) WHERE rn = 1
+)
+SELECT p.cell, p.n_members,
+       ROUND(CAST(p.dist_sum AS DOUBLE) / p.n_members, 6) AS mean_dist,
+       d.label AS dominant_label,
+       ROUND(CAST(d.n AS DOUBLE) / p.n_members, 6) AS dominant_share
+FROM per_cell p JOIN dom d ON p.cell = d.cell
+ORDER BY p.cell
+"""
+    )
+
+
+CLUSTER_PROFILE_SQL = _cluster_profile_sql()

@@ -86,3 +86,30 @@ def test_dsir_plan_broadcasts_model_and_has_no_window(spark, sf_dir):
     plan = dsir_importance_weights(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_dsir_resample_is_seeded_deterministic(spark, sf_dir):
+    from mito_spark.operators.dsir import dsir_resample
+
+    a = dsir_resample(spark, sf_dir, m=30, seed="s1").collect()
+    b = dsir_resample(spark, sf_dir, m=30, seed="s1").collect()
+    assert a == b  # same seed -> identical sample
+    c = {r.doc_id for r in dsir_resample(spark, sf_dir, m=30, seed="s2").collect()}
+    assert c != {r.doc_id for r in a}  # fresh seed -> different draw
+    assert len(a) == 30
+    # keys are sorted descending (top-m semantics)
+    keys = [r.sel_key for r in a]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_cluster_profile_partitions_the_corpus(spark, sf_dir):
+    from mito_spark.operators.similarity import embedding_cluster_profile
+
+    rows = embedding_cluster_profile(spark, sf_dir).collect()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_emb  # total partition
+    assert len(rows) <= 16
+    for r in rows:
+        assert r.mean_dist > 0
+        assert 0 < r.dominant_share <= 1
+        assert r.dominant_label is not None
