@@ -52,9 +52,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operators, 52-59 in the r4 ordering) plus the r1-stale TPC-H
     # cohort (q8 q9 q11 q14 q15 q16 q19 q20 q22 part_type_stats
     # order_priority_distinct_customers) and the r3-green shapes that
-    # rested in the r4 tail — plus the four r5-new operators
+    # rested in the r4 tail — plus the five r5-new operators
     # (semdedup, dsir_importance_weights, dsir_resample,
-    # embedding_cluster_profile): 36 never-gated entries in the window. 16 r4-green
+    # embedding_cluster_profile, knn_graph): 37 never-gated entries
+    # in the window. 16 r4-green
     # anchors stay in the window, chosen because their code paths are
     # touched this round (band-key refactor, persist lifecycle, CC
     # convergence guard, containment rewrite, PNG decode) or they
@@ -78,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weights; per-cell curation diagnostics over the k-means cells
         "dsir_resample": dsir.dsir_resample,
         "embedding_cluster_profile": similarity.embedding_cluster_profile,
+        # new in r5: per-node top-k neighbor graph (LSH-blocked)
+        "knn_graph": similarity.knn_graph,
         # rewritten this round: asymmetric hash-sampled shingle
         # candidates (VERDICT r4 "What's wrong" #1)
         "dedup_containment": dedup.dedup_containment,
@@ -218,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance_weights": dsir.DSIR_SQL,
         "dsir_resample": dsir.DSIR_RESAMPLE_SQL,
         "embedding_cluster_profile": similarity.CLUSTER_PROFILE_SQL,
+        "knn_graph": similarity.KNN_GRAPH_SQL,
         "dedup_containment": dedup.CONTAINMENT_SQL,
         "domain_mix_temperature": hygiene.DOMAIN_MIX_T_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,

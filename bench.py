@@ -112,6 +112,7 @@ HEADLINE = [
     # row + tests/test_semdedup_dsir.py)
     "dsir_importance_weights",
     "dsir_resample",
+    "knn_graph",
     # embedding_cluster_profile excluded like IVF/semdedup: k-means
     # training dominates; oracle row + tests cover behavior
 ]

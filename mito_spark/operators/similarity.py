@@ -352,10 +352,10 @@ def _dot_sql(a: str, b: str, dim: int = 64) -> str:
     return f"list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i]))"
 
 
-def _bucket_sql(vcol: str = "v", dim: int = 64, bits: int = _LSH_BITS) -> str:
+def _bucket_sql(vcol: str = "v", dim: int = 64, bits: int = _LSH_BITS, table: int = 0) -> str:
     terms = []
     for h in range(bits):
-        plane = "[" + ", ".join(repr(x) for x in _hyperplane(dim, h)) + "]"
+        plane = "[" + ", ".join(repr(x) for x in _hyperplane(dim, h, table)) + "]"
         terms.append(
             f"(CASE WHEN {_dot_sql(vcol, f'({plane})', dim)} >= 0 THEN {1 << h} ELSE 0 END)"
         )
@@ -968,3 +968,98 @@ ORDER BY p.cell
 
 
 CLUSTER_PROFILE_SQL = _cluster_profile_sql()
+
+
+def knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    bits: int = _LSH_BITS,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH construction: for EVERY corpus vector,
+    its top-k cosine neighbors among LSH-bucket candidates — the
+    all-nodes sibling of the query-set top-k tiers, and the input
+    shape for kNN-graph clustering / label propagation / graph-based
+    dedup over a training corpus.
+
+    Scale shape: candidates come from ``n_tables`` independent
+    hyperplane families (a pair is considered if it collides in ANY
+    table — multi-table recall without widening buckets); per-node
+    ranking shuffles on vec_id, which is inherent to "top-k PER NODE"
+    and uniform (no skew). O(n²) never materializes — per-node
+    candidate count is bounded by bucket population × n_tables, held
+    constant at scale via auto_lsh_bits. Deterministic rank tie-break
+    on neighbor id keeps the graph engine-portable."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    keyed = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket_expr(F.col("v"), dim, bits, table=t).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    )
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "tb")
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()  # collides-in-any-table: score each pair once
+        .select("vec_id", "neighbor_id", _cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _knn_graph_sql(k: int = 5, bits: int = _LSH_BITS, n_tables: int = 2, dim: int = 64) -> str:
+    cos = (
+        f"{_dot_sql('x.v', 'y.v', dim)} / "
+        f"(sqrt({_dot_sql('x.v', 'x.v', dim)}) * sqrt({_dot_sql('y.v', 'y.v', dim)}))"
+    )
+    tables = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {t} AS t, {_bucket_sql('v', dim, bits, table=t)} AS b FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), keyed AS (
+  {tables}
+), cand AS (
+  SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS neighbor_id
+  FROM keyed x JOIN keyed y ON x.t = y.t AND x.b = y.b AND x.vec_id <> y.vec_id
+), scored AS (
+  SELECT c.vec_id, c.neighbor_id, {cos} AS cos
+  FROM cand c JOIN e x ON c.vec_id = x.vec_id JOIN e y ON c.neighbor_id = y.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+KNN_GRAPH_SQL = _knn_graph_sql()

@@ -113,3 +113,22 @@ def test_cluster_profile_partitions_the_corpus(spark, sf_dir):
         assert r.mean_dist > 0
         assert 0 < r.dominant_share <= 1
         assert r.dominant_label is not None
+
+
+def test_knn_graph_properties(spark, sf_dir):
+    """Every node has <= k neighbors with contiguous ranks; ranks
+    order by descending cosine; no self-edges."""
+    from mito_spark.operators.similarity import knn_graph
+
+    rows = knn_graph(spark, sf_dir, k=5).collect()
+    by_node: dict[int, list] = {}
+    for r in rows:
+        assert r.vec_id != r.neighbor_id
+        by_node.setdefault(r.vec_id, []).append(r)
+    assert by_node  # graph is non-empty
+    for node, nbrs in by_node.items():
+        nbrs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in nbrs] == list(range(1, len(nbrs) + 1))
+        assert len(nbrs) <= 5
+        cs = [r.cos_sim for r in nbrs]
+        assert cs == sorted(cs, reverse=True)
