@@ -113,19 +113,18 @@ def test_q21_exists_pair_shuffles_on_orderkey_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_minhash_reuses_persisted_signatures(spark, sf_dir):
+def test_minhash_reuses_checkpointed_signatures(spark, sf_dir):
     """The signature frame feeds the band self-join AND both
-    verification joins; the plan must reuse the persisted scan rather
-    than recompute the signature fold per consumer."""
+    verification joins; since r5 it is localCheckpoint-ed (GC-cleaned
+    blocks instead of session-cache pins), so every consumer must scan
+    the checkpointed RDD and the minhash fold must NOT be recomputed
+    anywhere in the final plan."""
     from mito_spark.operators import dedup
 
-    df = dedup.minhash_lsh_dedup(spark, sf_dir)
-    try:
-        plan = _plan(df)
-        assert "InMemoryTableScan" in plan
-        assert "CartesianProduct" not in plan
-    finally:
-        spark.catalog.clearCache()
+    plan = _plan(dedup.minhash_lsh_dedup(spark, sf_dir))
+    assert "ExistingRDD" in plan  # checkpointed signature scan reused
+    assert "aggregate(" not in plan  # the signature fold ran once, at checkpoint
+    assert "CartesianProduct" not in plan
 
 
 def test_bm25_no_wide_shuffle(spark, sf_dir):
