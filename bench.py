@@ -113,6 +113,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "dsir_resample",
     "knn_graph",
+    "text_winnow_fingerprints",
     # embedding_cluster_profile excluded like IVF/semdedup: k-means
     # training dominates; oracle row + tests cover behavior
 ]

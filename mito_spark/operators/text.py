@@ -401,3 +401,91 @@ SELECT doc_id, n_tokens,
        ROUND(CAST(total_surprisal AS DOUBLE) / n_tokens, 6) AS mean_surprisal
 FROM per_doc
 """
+
+
+def winnow_fingerprints(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03; the MOSS scheme): hash every k-gram, slide a window of
+    w consecutive hashes, keep each window's MINIMUM — guaranteeing
+    any shared run of w+k-1 tokens between two documents contributes
+    at least one IDENTICAL fingerprint, with expected density
+    2/(w+1). The robust middle ground between the whole-doc md5
+    fingerprint (brittle to any edit) and MinHash (no positional
+    guarantee): matching fingerprints localize WHERE the overlap is.
+
+    Scale shape: entirely row-local (transform/slice/array_min over
+    the token array — no shuffle, no UDF); the per-doc fingerprint
+    set is orders smaller than the k-gram set, which is what makes the
+    downstream pair join (winnow_dup_pairs) cheap.
+
+    Output: (doc_id, n_grams, n_fingerprints, fp_digest) with
+    fp_digest = md5 over the sorted fingerprint set — a stable
+    equality key for exact-overlap-set comparison.
+
+    Plan note: tokens → gram hashes → fingerprints are STAGED as
+    real columns across separate projections (the repo's interpreted-
+    HOF rule, see pipeline.py:46-70) — inlining the gram-hash
+    expression into the per-window lambda re-evaluates the O(n) md5
+    scan per window, turning the op O(n²) (52 s at sf0.01; staged:
+    sub-second)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
+    toks = F.col("toks")
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    grams = staged.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15), 16, 10
+            ).cast("bigint"),
+        ).alias("g"),
+    )
+    g = F.col("g")
+    n_windows = F.greatest(F.size(g) - (w - 1), F.lit(1))
+    fped = grams.select(
+        "doc_id",
+        F.size(g).alias("n_grams"),
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n_windows), lambda j: F.array_min(F.slice(g, j, w)))
+        ).alias("f"),
+    )
+    f = F.col("f")
+    return fped.select(
+        "doc_id",
+        "n_grams",
+        F.size(f).alias("n_fingerprints"),
+        F.md5(
+            F.array_join(F.transform(F.array_sort(f), lambda x: x.cast("string")), ",")
+        ).alias("fp_digest"),
+    )
+
+
+def _winnow_sql(k: int = 5, w: int = 4) -> str:
+    return rf"""
+WITH rawtok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - {k - 1}, 1) + 1),
+           i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+{k - 1}], ' ')), 1, 15) AS BIGINT)) AS g
+  FROM rawtok
+), fps AS (
+  SELECT doc_id, len(g) AS n_grams,
+         list_distinct(list_transform(range(1, greatest(len(g) - {w - 1}, 1) + 1),
+           j -> list_min(g[j:j+{w - 1}]))) AS f
+  FROM grams
+)
+SELECT doc_id, n_grams, len(f) AS n_fingerprints,
+       md5(array_to_string(list_sort(f), ',')) AS fp_digest
+FROM fps
+"""
+
+
+WINNOW_SQL = _winnow_sql()

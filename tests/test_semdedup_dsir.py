@@ -132,3 +132,55 @@ def test_knn_graph_properties(spark, sf_dir):
         assert len(nbrs) <= 5
         cs = [r.cos_sim for r in nbrs]
         assert cs == sorted(cs, reverse=True)
+
+
+def test_winnowing_guarantee(spark):
+    """The winnowing invariant: two docs sharing a run of >= w+k-1
+    tokens MUST share at least one fingerprint; density is ~2/(w+1)."""
+    from mito_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    k, w = 5, 4
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"t{i:03d}" for i in range(400)]
+    shared = [rng.choice(vocab) for _ in range(w + k - 1)]  # minimal guaranteed run
+    doc_a = [rng.choice(vocab) for _ in range(60)] + shared + [rng.choice(vocab) for _ in range(60)]
+    doc_b = [rng.choice(vocab) for _ in range(80)] + shared + [rng.choice(vocab) for _ in range(40)]
+    doc_c = [rng.choice(vocab) for _ in range(120)]  # unrelated
+    docs = spark.createDataFrame(
+        [(0, " ".join(doc_a)), (1, " ".join(doc_b)), (2, " ".join(doc_c))],
+        "doc_id long, text string",
+    )
+    # reuse the operator's internals on a custom frame via temp view +
+    # the oracle SQL shape is engine-checked; here check the guarantee
+    # with the Spark expressions directly
+    staged = docs.select("doc_id", T._tokens(F.lower(F.col("text"))).alias("toks"))
+    toks = F.col("toks")
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    grams = staged.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15), 16, 10
+            ).cast("bigint"),
+        ).alias("g"),
+    )
+    g = F.col("g")
+    n_windows = F.greatest(F.size(g) - (w - 1), F.lit(1))
+    rows = {
+        r.doc_id: set(r.f)
+        for r in grams.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), n_windows), lambda j: F.array_min(F.slice(g, j, w)))
+            ).alias("f"),
+        ).collect()
+    }
+    assert rows[0] & rows[1], "shared w+k-1 run must share a fingerprint"
+    assert not (rows[0] & rows[2]) or len(rows[0] & rows[2]) < len(rows[0] & rows[1])
+    # density sanity: fingerprints are a small fraction of grams
+    n_doc_a_grams = len(doc_a) - k + 1
+    assert len(rows[0]) < 0.6 * n_doc_a_grams
