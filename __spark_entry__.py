@@ -52,15 +52,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operators, 52-59 in the r4 ordering) plus the r1-stale TPC-H
     # cohort (q8 q9 q11 q14 q15 q16 q19 q20 q22 part_type_stats
     # order_priority_distinct_customers) and the r3-green shapes that
-    # rested in the r4 tail — plus the five r5-new operators
+    # rested in the r4 tail — plus the six r5-new operators
     # (semdedup, dsir_importance_weights, dsir_resample,
     # embedding_cluster_profile, knn_graph, text_winnow_fingerprints):
-    # 38 never-gated entries in the window. 16 r4-green
-    # anchors stay in the window, chosen because their code paths are
-    # touched this round (band-key refactor, persist lifecycle, CC
-    # convergence guard, containment rewrite, PNG decode) or they
-    # anchor a family (q1 scan-agg, sessionize, as-of/range joins).
-    # The 32 r4-green rows displaced to the tail rotate back in r6.
+    # 38 never-gated entries in the window. 12 r4-green anchors stay,
+    # chosen because their code paths are touched this round (band-key
+    # refactor, persist lifecycle, CC convergence guard, containment
+    # rewrite, PNG decode) or they anchor a family (q1 scan-agg,
+    # sessionize, as-of/range joins, bm25). The r4-green rows
+    # displaced to the tail rotate back in r6.
     return {
         # ---- never driver-gated: the 8 r4-new operators ----
         "quantize_embeddings": quantize.quantize_embeddings,
