@@ -184,3 +184,30 @@ def test_quantize_is_pure_map(spark, sf_dir):
     from mito_spark.operators.skew import explain_shuffle_count
 
     assert explain_shuffle_count(quantize_embeddings(spark, sf_dir)) == 0
+
+
+def test_winnowing_is_shuffle_free(spark, sf_dir):
+    """Winnowing fingerprints are row-local by contract: zero
+    exchanges in the executed plan (tokens -> gram hashes -> window
+    minima all map-side)."""
+    from mito_spark.operators import text
+
+    plan = _plan(text.winnow_fingerprints(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_candidates_never_cartesian(spark, sf_dir):
+    """The sampled inverted-index candidate join and the prefilter
+    must stay equi-join shaped — no cartesian fallback."""
+    from mito_spark.operators import dedup
+
+    plan = _plan(dedup.dedup_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_bucket_join_only(spark, sf_dir):
+    from mito_spark.operators.similarity import knn_graph
+
+    plan = _plan(knn_graph(spark, sf_dir))
+    assert "CartesianProduct" not in plan
