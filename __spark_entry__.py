@@ -54,8 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order_priority_distinct_customers) and the r3-green shapes that
     # rested in the r4 tail — plus the six r5-new operators
     # (semdedup, dsir_importance_weights, dsir_resample,
-    # embedding_cluster_profile, knn_graph, text_winnow_fingerprints):
-    # 38 never-gated entries in the window. 12 r4-green anchors stay,
+    # embedding_cluster_profile, knn_graph, text_winnow_fingerprints,
+    # winnow_dup_pairs): 39 never-gated entries in the window. 12 r4-green anchors stay,
     # chosen because their code paths are touched this round (band-key
     # refactor, persist lifecycle, CC convergence guard, containment
     # rewrite, PNG decode) or they anchor a family (q1 scan-agg,
@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": similarity.knn_graph,
         # new in r5: winnowing fingerprints (SIGMOD'03 MOSS scheme)
         "text_winnow_fingerprints": text.winnow_fingerprints,
+        "winnow_dup_pairs": text.winnow_dup_pairs,
         # rewritten this round: asymmetric hash-sampled shingle
         # candidates (VERDICT r4 "What's wrong" #1)
         "dedup_containment": dedup.dedup_containment,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cluster_profile": similarity.CLUSTER_PROFILE_SQL,
         "knn_graph": similarity.KNN_GRAPH_SQL,
         "text_winnow_fingerprints": text.WINNOW_SQL,
+        "winnow_dup_pairs": text.WINNOW_PAIRS_SQL,
         "dedup_containment": dedup.CONTAINMENT_SQL,
         "domain_mix_temperature": hygiene.DOMAIN_MIX_T_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,

@@ -114,6 +114,7 @@ HEADLINE = [
     "dsir_resample",
     "knn_graph",
     "text_winnow_fingerprints",
+    "winnow_dup_pairs",
     # embedding_cluster_profile excluded like IVF/semdedup: k-means
     # training dominates; oracle row + tests cover behavior
 ]

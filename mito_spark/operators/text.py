@@ -403,6 +403,33 @@ FROM per_doc
 """
 
 
+def _winnow_fps(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """(doc_id, n_grams, f) with f = the winnowed fingerprint set.
+    Tokens -> gram hashes -> window minima staged as separate
+    projections (interpreted-HOF rule, see winnow_fingerprints)."""
+    staged = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
+    toks = F.col("toks")
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    grams = staged.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15), 16, 10
+            ).cast("bigint"),
+        ).alias("g"),
+    )
+    g = F.col("g")
+    n_windows = F.greatest(F.size(g) - (w - 1), F.lit(1))
+    return grams.select(
+        "doc_id",
+        F.size(g).alias("n_grams"),
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n_windows), lambda j: F.array_min(F.slice(g, j, w)))
+        ).alias("f"),
+    )
+
+
 def winnow_fingerprints(
     spark: SparkSession,
     sf_dir: str,
@@ -433,28 +460,7 @@ def winnow_fingerprints(
     expression into the per-window lambda re-evaluates the O(n) md5
     scan per window, turning the op O(n²) (52 s at sf0.01; staged:
     sub-second)."""
-    docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
-    toks = F.col("toks")
-    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    grams = staged.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.conv(
-                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15), 16, 10
-            ).cast("bigint"),
-        ).alias("g"),
-    )
-    g = F.col("g")
-    n_windows = F.greatest(F.size(g) - (w - 1), F.lit(1))
-    fped = grams.select(
-        "doc_id",
-        F.size(g).alias("n_grams"),
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n_windows), lambda j: F.array_min(F.slice(g, j, w)))
-        ).alias("f"),
-    )
+    fped = _winnow_fps(load_table(spark, sf_dir, "documents"), k, w)
     f = F.col("f")
     return fped.select(
         "doc_id",
@@ -489,3 +495,69 @@ FROM fps
 
 
 WINNOW_SQL = _winnow_sql()
+
+
+def winnow_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowed fingerprints: the
+    downstream half of the winnowing scheme — docs sharing >=
+    ``min_shared`` fingerprints share (with the winnowing guarantee)
+    that many distinct token runs, localizing plagiarism-style overlap
+    that whole-doc hashing misses and MinHash only detects
+    probabilistically.
+
+    Scale shape: identical to the containment index — explode the
+    (small, ~2/(w+1)-dense) fingerprint sets, df-cap boilerplate
+    fingerprints so no inverted-list bucket exceeds max_df, equi-join
+    on fingerprint, count shared per pair. Output:
+    (id_a, id_b, n_shared) ordered pairs."""
+    # checkpoint BEFORE the explode: generating directly over the
+    # winnow HOF chain re-evaluates the interpreted gram/min pipeline
+    # per emitted fingerprint (25 s for 10k rows at sf0.01 observed);
+    # materialized first, the explode is a free attribute fan-out and
+    # the frame feeds the df cap + both sides of the self-join once
+    fped = _winnow_fps(load_table(spark, sf_dir, "documents"), k, w).localCheckpoint()
+    exploded = fped.select("doc_id", F.explode("f").alias("fp"))
+    rare = (
+        exploded.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp")
+    )
+    idx = exploded.join(rare, "fp")
+    return (
+        idx.alias("a")
+        .join(idx.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _winnow_pairs_sql(k: int = 5, w: int = 4, min_shared: int = 2, max_df: int = 64) -> str:
+    base = _winnow_sql(k, w)
+    head, _, _ = base.partition(")\nSELECT doc_id, n_grams")
+    return rf"""{head}), exploded AS (
+  SELECT doc_id, unnest(f) AS fp FROM fps
+), rare AS (
+  SELECT fp FROM exploded GROUP BY fp HAVING COUNT(*) <= {max_df}
+), idx AS (
+  SELECT e.doc_id, e.fp FROM exploded e JOIN rare r ON e.fp = r.fp
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {min_shared}
+ORDER BY id_a, id_b
+"""
+
+
+WINNOW_PAIRS_SQL = _winnow_pairs_sql()

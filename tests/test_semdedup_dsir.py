@@ -184,3 +184,30 @@ def test_winnowing_guarantee(spark):
     # density sanity: fingerprints are a small fraction of grams
     n_doc_a_grams = len(doc_a) - k + 1
     assert len(rows[0]) < 0.6 * n_doc_a_grams
+
+
+def test_winnow_dup_pairs_finds_planted_overlap(spark, sf_dir, tmp_path):
+    """Two docs sharing a long run must appear as a pair; the pair
+    join must not explode on boilerplate (df cap)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mito_spark.operators import text as T
+
+    rng = random.Random(17)
+    vocab = [f"u{i:03d}" for i in range(300)]
+    shared = [rng.choice(vocab) for _ in range(30)]
+    rows = [
+        (0, " ".join([rng.choice(vocab) for _ in range(50)] + shared)),
+        (1, " ".join(shared + [rng.choice(vocab) for _ in range(50)])),
+    ] + [(i, " ".join(rng.choice(vocab) for _ in range(80))) for i in range(2, 30)]
+    # write a mini documents table so the (spark, sf_dir) operator runs on it
+    p = str(tmp_path / "minidocs")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("bigint")
+    ).write.mode("overwrite").parquet(p + "/documents.parquet")
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in T.winnow_dup_pairs(spark, p).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
