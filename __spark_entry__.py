@@ -55,11 +55,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rested in the r4 tail — plus the six r5-new operators
     # (semdedup, dsir_importance_weights, dsir_resample,
     # embedding_cluster_profile, knn_graph, text_winnow_fingerprints,
-    # winnow_dup_pairs): 39 never-gated entries in the window. 12 r4-green anchors stay,
+    # winnow_dup_pairs): 39 never-gated entries in the window. 11 r4-green anchors stay,
     # chosen because their code paths are touched this round (band-key
     # refactor, persist lifecycle, CC convergence guard, containment
     # rewrite, PNG decode) or they anchor a family (q1 scan-agg,
-    # sessionize, as-of/range joins, bm25). The r4-green rows
+    # sessionize, as-of/range joins). The r4-green rows
     # displaced to the tail rotate back in r6.
     return {
         # ---- never driver-gated: the 8 r4-new operators ----
