@@ -391,3 +391,31 @@ def test_sessionize_gap_boundary_matches_replay(spark, events):
             last = t
         want.append((u, start, n))
     assert got == sorted(want)
+
+
+def test_winnowing_guarantee_property(spark):
+    """Property form of the winnowing invariant (SIGMOD'03): for
+    random corpora and random shared-run lengths >= w+k-1, the two
+    docs embedding the run ALWAYS share a fingerprint."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mito_spark.operators import text as T
+
+    k, w = 5, 4
+    cases = []
+    for trial in range(12):
+        rng = random.Random(100 + trial)
+        vocab = [f"p{i:03d}" for i in range(200 + trial * 37)]
+        run_len = (w + k - 1) + rng.randrange(0, 20)
+        shared = [rng.choice(vocab) for _ in range(run_len)]
+        pre_a = [rng.choice(vocab) for _ in range(rng.randrange(5, 120))]
+        post_b = [rng.choice(vocab) for _ in range(rng.randrange(5, 120))]
+        cases.append((trial * 2, " ".join(pre_a + shared)))
+        cases.append((trial * 2 + 1, " ".join(shared + post_b)))
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    fps = {r.doc_id: set(r.f) for r in T._winnow_fps(docs, k, w).collect()}
+    for trial in range(12):
+        a, b = fps[trial * 2], fps[trial * 2 + 1]
+        assert a & b, f"trial {trial}: shared run produced no common fingerprint"
