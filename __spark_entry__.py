@@ -55,7 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rested in the r4 tail — plus the six r5-new operators
     # (semdedup, dsir_importance_weights, dsir_resample,
     # embedding_cluster_profile, knn_graph, text_winnow_fingerprints,
-    # winnow_dup_pairs): 39 never-gated entries in the window. 11 r4-green anchors stay,
+    # winnow_dup_pairs, jaccard_prefix_join): 40 never-gated entries
+    # in the window. 10 r4-green anchors stay,
     # chosen because their code paths are touched this round (band-key
     # refactor, persist lifecycle, CC convergence guard, containment
     # rewrite, PNG decode) or they anchor a family (q1 scan-agg,
@@ -84,6 +85,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5: winnowing fingerprints (SIGMOD'03 MOSS scheme)
         "text_winnow_fingerprints": text.winnow_fingerprints,
         "winnow_dup_pairs": text.winnow_dup_pairs,
+        # new in r5: EXACT Jaccard self-join via PPJoin-style prefix
+        # filtering; its oracle is the INDEPENDENT brute-force
+        # quadratic, so the hash gate proves zero lost pairs
+        "jaccard_prefix_join": dedup.jaccard_prefix_join,
         # rewritten this round: asymmetric hash-sampled shingle
         # candidates (VERDICT r4 "What's wrong" #1)
         "dedup_containment": dedup.dedup_containment,
@@ -227,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": similarity.KNN_GRAPH_SQL,
         "text_winnow_fingerprints": text.WINNOW_SQL,
         "winnow_dup_pairs": text.WINNOW_PAIRS_SQL,
+        "jaccard_prefix_join": dedup.JACCARD_PREFIX_SQL,
         "dedup_containment": dedup.CONTAINMENT_SQL,
         "domain_mix_temperature": hygiene.DOMAIN_MIX_T_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,

@@ -115,6 +115,7 @@ HEADLINE = [
     "knn_graph",
     "text_winnow_fingerprints",
     "winnow_dup_pairs",
+    "jaccard_prefix_join",
     # embedding_cluster_profile excluded like IVF/semdedup: k-means
     # training dominates; oracle row + tests cover behavior
 ]

@@ -710,3 +710,103 @@ ORDER BY id_small, id_big
 
 
 CONTAINMENT_SQL = _containment_sql()
+
+
+def jaccard_prefix_join(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    shingle: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    ICDE'08): returns EVERY pair with shingle-set Jaccard >= threshold
+    — recall 1.0 by construction, unlike the MinHash tier's
+    probabilistic banding.
+
+    Prefix filter: order each doc's shingles by ascending global
+    document frequency (rarest first, ties by value); if two sets have
+    J >= t their overlap is >= t*max(|A|,|B|), so the first
+    |X| - floor(t*|X|) + 1 shingles of each set (its PREFIX) must
+    share at least one element — sets whose rare-shingle prefixes are
+    disjoint cannot reach the threshold and are never paired. floor
+    (not ceil) guards the float product: it can only LENGTHEN the
+    prefix by one, preserving completeness.
+
+    Scale shape: one df-count shuffle, one regroup, then the candidate
+    equi-join runs on PREFIX shingles only — by construction each
+    doc's rarest, so inverted-list buckets are the smallest available
+    and stop-shingles never enter the index (the frequency ordering is
+    what PPJoin contributes over a naive token join). Exact verify on
+    candidates only.
+
+    The ORACLE is the independent brute-force quadratic (not a mirror
+    of this pipeline), so the gate checks the algorithm's exactness,
+    not just engine agreement."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    shd = docs.select(
+        "doc_id", _shingles(F.col("text"), shingle).alias("sh")
+    ).where(F.size("sh") > 0).localCheckpoint()
+    ex = shd.select("doc_id", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sortd = (
+        ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ss"))
+        .withColumn("n", F.size("ss"))
+        .withColumn("plen", (F.col("n") - F.floor(threshold * F.col("n")) + 1).cast("int"))
+    )
+    pref = sortd.select(
+        "doc_id",
+        F.explode(F.transform(F.slice(F.col("ss"), F.lit(1), F.col("plen")), lambda x: x.getField("s"))).alias("s"),
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(shd.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(shd.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+    return verified
+
+
+def _jaccard_exact_sql(threshold: float = 0.8, shingle: int = 3) -> str:
+    """Brute-force quadratic twin — deliberately NOT a mirror of the
+    prefix-filter pipeline, so a hash match proves the prefix filter
+    loses no pair."""
+    return rf"""
+WITH rawtok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {shingle - 1}, 1) + 1),
+           i -> array_to_string(toks[i:i+{shingle - 1}], ' '))) AS sh
+  FROM rawtok
+), t AS (
+  SELECT doc_id, sh FROM tok WHERE len(sh) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+JACCARD_PREFIX_SQL = _jaccard_exact_sql()

@@ -109,3 +109,45 @@ def test_exact_duplicate_still_found(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r["id_small"], r["id_big"]) for r in dedup.containment_pairs(docs).collect()}
     assert (0, 1) in got
+
+
+def test_jaccard_prefix_join_is_exact(spark, tmp_path):
+    """The prefix filter must lose NO pair: compare against numpy
+    brute force on a corpus with planted near-dups at varying J."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mito_spark.operators.dedup import _shingles, jaccard_prefix_join
+
+    rng = random.Random(23)
+    vocab = [f"j{i:03d}" for i in range(400)]
+    base = [rng.choice(vocab) for _ in range(60)]
+    rows = [(0, " ".join(base))]
+    # variants at decreasing overlap with doc 0
+    for i, keep in enumerate([0.95, 0.9, 0.8, 0.6, 0.4], start=1):
+        toks = [t if rng.random() < keep else rng.choice(vocab) for t in base]
+        rows.append((i, " ".join(toks)))
+    rows += [(i, " ".join(rng.choice(vocab) for _ in range(60))) for i in range(6, 40)]
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("bigint")
+    ).write.mode("overwrite").parquet(p + "/documents.parquet")
+    t = 0.5  # low threshold = weakest prefix filter = hardest case
+    got = {(r.id_a, r.id_b) for r in jaccard_prefix_join(spark, p, threshold=t).collect()}
+    sets = {
+        r.doc_id: set(r.sh)
+        for r in spark.read.parquet(p + "/documents.parquet")
+        .select("doc_id", _shingles(F.col("text"), 3).alias("sh"))
+        .collect()
+    }
+    expected = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if sets[a] | sets[b] and inter / len(sets[a] | sets[b]) >= t:
+            expected.add((a, b))
+    assert got == expected  # exactness: nothing lost, nothing extra
+    assert expected  # the planted near-dups actually exercise it
