@@ -1,5 +1,7 @@
 """Deduplication operators for training-data pipelines: exact,
-MinHash+LSH, SimHash (banded Hamming), and n-gram Jaccard.
+MinHash+LSH, SimHash (banded Hamming), n-gram Jaccard, incremental
+batch-vs-canon, asymmetric containment (hash-sampled inverted index),
+and the exact prefix-filter Jaccard join (PPJoin family).
 
 Scale design notes (the whole point of these implementations):
 
