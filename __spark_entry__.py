@@ -48,20 +48,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver gates the FIRST 50 entries.
     # ROTATION (VERDICT r4 #1): the r5 window rotates IN every entry
-    # that has never produced a driver CORRECTNESS row (the 8 r4-new
-    # operators, 52-59 in the r4 ordering) plus the r1-stale TPC-H
-    # cohort (q8 q9 q11 q14 q15 q16 q19 q20 q22 part_type_stats
-    # order_priority_distinct_customers) and the r3-green shapes that
-    # rested in the r4 tail — plus the six r5-new operators
+    # that has never produced a driver CORRECTNESS row — the 8 r4-new
+    # operators, the 11-query r1-stale TPC-H cohort, the 13 r3-green
+    # shapes that rested in the r4 tail, and the 8 r5-new operators
     # (semdedup, dsir_importance_weights, dsir_resample,
     # embedding_cluster_profile, knn_graph, text_winnow_fingerprints,
     # winnow_dup_pairs, jaccard_prefix_join): 40 never-gated entries
-    # in the window. 10 r4-green anchors stay,
-    # chosen because their code paths are touched this round (band-key
-    # refactor, persist lifecycle, CC convergence guard, containment
-    # rewrite, PNG decode) or they anchor a family (q1 scan-agg,
-    # sessionize, as-of/range joins). The r4-green rows
-    # displaced to the tail rotate back in r6.
+    # in the window. The remaining 10 slots hold r4-green anchors
+    # whose code paths are touched this round (band-key refactor,
+    # persist lifecycle, CC convergence guard, containment rewrite,
+    # PNG decode) or that anchor a family (q1 scan-agg, sessionize,
+    # as-of join). Everything after position 50 is tail: r4-green rows
+    # resting this round, rotating back in r6.
     return {
         # ---- never driver-gated: the 8 r4-new operators ----
         "quantize_embeddings": quantize.quantize_embeddings,
@@ -119,8 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "q7_nation_volume": relational2.q7_nation_volume,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
-        # ---- r4-green anchors kept in the window (code touched
-        # this round or family anchors) ----
+        # ---- 10 r4-green anchors completing the 50-entry window ----
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "dedup_connected_components": graph.dedup_connected_components,
@@ -131,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "sessionize": events.sessionize,
         "events_asof_join": asof.events_asof_latest_order,
+        # ---- tail (position 51+): r4-green rows resting this round
+        # (driver CORRECTNESS_r04 green; rotate back in r6) ----
         "events_range_join": rangejoin.events_purchase_window,
         "bm25_search": search.bm25_topk,
         "funnel_analysis": funnel.funnel_analysis,
@@ -139,8 +138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": hygiene.domain_mix,
         "decontaminate": decontam.decontaminate,
         "dataset_split": sampling.dataset_split,
-        # ---- tail: r4-green rows resting this round (driver
-        # CORRECTNESS_r04 green; rotate back into the window in r6) ----
         "dedup_simhash": dedup.simhash_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "ann_cosine_topk": similarity.cosine_topk_bruteforce,

@@ -596,7 +596,10 @@ def containment_pairs(
     # prefilter on the SAMPLED containment estimate before the exact
     # verify: s = shared sampled shingles per pair (same shuffle the
     # plain distinct would cost), ns = per-doc sampled index size
-    # (tiny, broadcast). max directed containment is estimated by
+    # (one row per doc — equi-joined, NOT broadcast-hinted: at corpus
+    # scale it is O(n_docs) and AQE picks the strategy; the pair table
+    # it joins is already id-keyed). max directed containment is
+    # estimated by
     # s / min(ns_a, ns_b); a truly >= threshold pair concentrates
     # around threshold (all of a contained snippet's sampled shingles
     # are shared — consistent sampling), so half-threshold prunes only
@@ -612,8 +615,8 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("s"))
     )
     cand = (
-        pair_s.join(F.broadcast(ns.withColumnRenamed("doc_id", "id_a").withColumnRenamed("ns", "ns_a")), "id_a")
-        .join(F.broadcast(ns.withColumnRenamed("doc_id", "id_b").withColumnRenamed("ns", "ns_b")), "id_b")
+        pair_s.join(ns.withColumnRenamed("doc_id", "id_a").withColumnRenamed("ns", "ns_a"), "id_a")
+        .join(ns.withColumnRenamed("doc_id", "id_b").withColumnRenamed("ns", "ns_b"), "id_b")
         .where(F.col("s") >= F.least("ns_a", "ns_b") * (threshold / 2.0))
         .select("id_a", "id_b")
     )

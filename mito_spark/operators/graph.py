@@ -97,7 +97,11 @@ def connected_components(
     )
     prev_sig = None
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1: convergence is detected by two consecutive equal
+    # signatures, so a graph needing exactly max_iter contraction
+    # rounds still gets its (no-op) confirmation round instead of a
+    # spurious raise
+    for _ in range(max_iter + 1):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig = _signature(e)
         if sig == prev_sig:

@@ -106,7 +106,16 @@ def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 256) -> Da
 
         def _features(mime: str, content: bytes) -> list[int]:
             if mime == "image/png":
-                return png_features(content)
+                try:
+                    return png_features(content)
+                except ValueError:
+                    # corrupt/placeholder payload tagged as PNG: in fake
+                    # mode honor the stand-in contract (fake=True exists
+                    # precisely for tables without real media); in real
+                    # mode a bad payload is a real error
+                    if fake:
+                        return _fake_features(content)
+                    raise
             if fake:
                 return _fake_features(content)
             raise NotImplementedError(

@@ -860,7 +860,7 @@ def _semdedup_sql(n_cells: int = 16, threshold: float = 0.95, iters: int = 3, di
         + f""", dups AS (
   SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
   FROM tagged a JOIN tagged b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE {cos} >= {threshold}
+  WHERE NOT isnan({cos}) AND {cos} >= {threshold}
   GROUP BY b.vec_id
 )
 SELECT t.vec_id, t.cell, d.dup_of IS NOT NULL AS dropped, d.dup_of
@@ -1010,17 +1010,22 @@ def knn_graph(
             )
         ).alias("tb"),
     )
-    cand = (
+    ids = (
         keyed.alias("a")
         .join(keyed.alias("b"), "tb")
         .where(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
-        .distinct()  # collides-in-any-table: score each pair once
+        .distinct()  # collides-in-any-table: dedup on the 2-id key ONLY
+        # — shuffling the two 64-dim vectors through the distinct would
+        # widen its exchange ~16x; they rejoin below (as the SQL twin does)
+    )
+    cand = (
+        ids.join(emb.withColumnRenamed("vec_id", "nb_").withColumnRenamed("v", "vb"),
+                 F.col("neighbor_id") == F.col("nb_"))
+        .join(emb.withColumnRenamed("v", "va"), "vec_id")
         .select("vec_id", "neighbor_id", _cosine(F.col("va"), F.col("vb")).alias("cos"))
         .where(F.col("cos").isNotNull())
     )
@@ -1055,7 +1060,7 @@ WITH e AS (
 ), ranked AS (
   SELECT vec_id, neighbor_id, cos,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored
+  FROM scored WHERE NOT isnan(cos)
 )
 SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rank
 FROM ranked WHERE rank <= {k}

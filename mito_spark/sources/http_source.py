@@ -218,26 +218,46 @@ class _RateLimitedStreamReader(SimpleDataSourceStreamReader):
             if wait > 0 and rows:
                 # quota exhausted mid-batch: close early; the remaining
                 # pages are the next offset batch (header feedback
-                # reshapes batch boundaries, not just in-batch sleeps)
+                # reshapes batch boundaries, not just in-batch sleeps).
+                # wait_time() zeroed the fractional balance as a
+                # reservation for a request we now won't make — restore
+                # it so the next trigger isn't over-throttled
+                if not math.isinf(wait):
+                    self.bucket.tokens = min(
+                        float(self.bucket.burst), 1.0 - wait * self.bucket.rate
+                    )
                 break
             if wait > 0 and not math.isinf(wait):
                 time.sleep(wait)
-            status, body, headers = self._get(page)
-            self._update_bucket(headers)
-            retries = 0
-            while status == 429 and retries < self._MAX_429_RETRIES:
-                retry_wait = self.bucket.wait_time(datetime.now(timezone.utc))
-                time.sleep(retry_wait if 0 < retry_wait < math.inf else 1.0)
-                status, body, headers = self._get(page)
-                self._update_bucket(headers)
-                retries += 1
-            rows.append((page, status, body))
+            rows.append(self._fetch_with_retry(page))
             page += 1
         return iter(rows), {"page": page}
 
+    def _fetch_with_retry(self, page: int) -> tuple:
+        """One paced fetch with the bounded 429 retry loop — shared by
+        read() and checkpoint replay so both return the same rows."""
+        import math
+        import time
+        from datetime import datetime, timezone
+
+        status, body, headers = self._get(page)
+        self._update_bucket(headers)
+        retries = 0
+        while status == 429 and retries < self._MAX_429_RETRIES:
+            retry_wait = self.bucket.wait_time(datetime.now(timezone.utc))
+            time.sleep(retry_wait if 0 < retry_wait < math.inf else 1.0)
+            status, body, headers = self._get(page)
+            self._update_bucket(headers)
+            retries += 1
+        return (page, status, body)
+
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # checkpoint replay: deterministic refetch of the page range,
-        # still paced by the live bucket
+        # checkpoint replay: refetch of the committed page range, paced
+        # by the live bucket WITH the same 429 retry loop as read() —
+        # a replay right after restart hits a fresh bucket and a still-
+        # hot server, exactly when a 429 is most likely, and a replayed
+        # (page, 429) row where the original run recorded 200 would
+        # break exactly-once semantics
         import math
         import time
         from datetime import datetime, timezone
@@ -246,9 +266,7 @@ class _RateLimitedStreamReader(SimpleDataSourceStreamReader):
             wait = self.bucket.wait_time(datetime.now(timezone.utc))
             if wait > 0 and not math.isinf(wait):
                 time.sleep(wait)
-            status, body, headers = self._get(page)
-            self._update_bucket(headers)
-            yield (page, status, body)
+            yield self._fetch_with_retry(page)
 
     def commit(self, end: dict) -> None:
         pass

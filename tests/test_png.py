@@ -88,3 +88,33 @@ def test_spark_decode_media_real_png_path(spark):
     for i, _, w, h, ch, px_sum in rows:
         assert out[i].features == [w, h, ch, w * h * ch, px_sum]
         assert out[i].mime == "image/png"
+
+
+def test_fake_mode_tolerates_corrupt_png_payloads(spark):
+    """fake=True exists for tables WITHOUT real media: a placeholder
+    payload mislabeled image/png must fall back to the deterministic
+    stand-in, not crash the task (r5 review fix)."""
+    from pyspark.sql import functions as F
+
+    from mito_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"not a real png")), (1, bytearray(encode_png(2, 2, 1, bytes(4))))],
+        "media_id long, content binary",
+    ).select(
+        "media_id",
+        "content",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+            F.lit("t").alias("source"),
+        ).alias("meta"),
+    )
+    out = {r.media_id: r for r in multimodal.decode_media(df, fake=True).collect()}
+    assert out[0].features == multimodal._fake_features(b"not a real png")
+    assert out[1].features == [2, 2, 1, 4, 0]  # the valid PNG still decodes for real
+    # and in real mode the corrupt payload is a real error
+    import pytest
+
+    with pytest.raises(Exception, match="(?i)png|signature"):
+        multimodal.decode_media(df, fake=False).collect()
