@@ -20,6 +20,7 @@ from mito_spark.operators import (
     decontam,
     dedup,
     dsir,
+    mmr,
     dynamic,
     events,
     funnel,
@@ -53,13 +54,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # shapes that rested in the r4 tail, and the 8 r5-new operators
     # (semdedup, dsir_importance_weights, dsir_resample,
     # embedding_cluster_profile, knn_graph, text_winnow_fingerprints,
-    # winnow_dup_pairs, jaccard_prefix_join): 40 never-gated entries
-    # in the window. The remaining 10 slots hold r4-green anchors
+    # winnow_dup_pairs, jaccard_prefix_join, mmr_rerank): 41
+    # never-gated entries in the window. The remaining 9 slots hold
+    # r4-green anchors
     # whose code paths are touched this round (band-key refactor,
     # persist lifecycle, CC convergence guard, containment rewrite,
-    # PNG decode) or that anchor a family (q1 scan-agg, sessionize,
-    # as-of join). Everything after position 50 is tail: r4-green rows
-    # resting this round, rotating back in r6.
+    # PNG decode) or that anchor a family (q1 scan-agg, sessionize).
+    # Everything after position 50 is tail: r4-green rows resting
+    # this round, rotating back in r6.
     return {
         # ---- never driver-gated: the 8 r4-new operators ----
         "quantize_embeddings": quantize.quantize_embeddings,
@@ -87,6 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filtering; its oracle is the INDEPENDENT brute-force
         # quadratic, so the hash gate proves zero lost pairs
         "jaccard_prefix_join": dedup.jaccard_prefix_join,
+        # new in r5: MMR diversification over the ANN candidates
+        # (greedy unrolled into k deterministic stages, fully oracled)
+        "mmr_rerank": mmr.mmr_rerank,
         # rewritten this round: asymmetric hash-sampled shingle
         # candidates (VERDICT r4 "What's wrong" #1)
         "dedup_containment": dedup.dedup_containment,
@@ -117,7 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "q7_nation_volume": relational2.q7_nation_volume,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
-        # ---- 10 r4-green anchors completing the 50-entry window ----
+        # ---- 9 r4-green anchors completing the 50-entry window ----
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "dedup_connected_components": graph.dedup_connected_components,
@@ -127,9 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_pipeline": pipeline.training_corpus,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "sessionize": events.sessionize,
-        "events_asof_join": asof.events_asof_latest_order,
         # ---- tail (position 51+): r4-green rows resting this round
         # (driver CORRECTNESS_r04 green; rotate back in r6) ----
+        "events_asof_join": asof.events_asof_latest_order,
         "events_range_join": rangejoin.events_purchase_window,
         "bm25_search": search.bm25_topk,
         "funnel_analysis": funnel.funnel_analysis,
@@ -230,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow_fingerprints": text.WINNOW_SQL,
         "winnow_dup_pairs": text.WINNOW_PAIRS_SQL,
         "jaccard_prefix_join": dedup.JACCARD_PREFIX_SQL,
+        "mmr_rerank": mmr.MMR_SQL,
         "dedup_containment": dedup.CONTAINMENT_SQL,
         "domain_mix_temperature": hygiene.DOMAIN_MIX_T_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,

@@ -116,6 +116,7 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "winnow_dup_pairs",
     "jaccard_prefix_join",
+    "mmr_rerank",
     # embedding_cluster_profile excluded like IVF/semdedup: k-means
     # training dominates; oracle row + tests cover behavior
 ]
