@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mito_spark.operators import (
     asof,
+    contrastive,
     decontam,
     dedup,
     dsir,
@@ -28,6 +29,7 @@ from mito_spark.operators import (
     hygiene,
     multimodal,
     pipeline,
+    quality,
     quantize,
     rangejoin,
     sampling,
@@ -37,6 +39,7 @@ from mito_spark.operators import (
     search,
     similarity,
     sketches,
+    spans,
     text,
 )
 
@@ -54,14 +57,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # shapes that rested in the r4 tail, and the 8 r5-new operators
     # (semdedup, dsir_importance_weights, dsir_resample,
     # embedding_cluster_profile, knn_graph, text_winnow_fingerprints,
-    # winnow_dup_pairs, jaccard_prefix_join, mmr_rerank): 41
-    # never-gated entries in the window. The remaining 9 slots hold
-    # r4-green anchors
-    # whose code paths are touched this round (band-key refactor,
-    # persist lifecycle, CC convergence guard, containment rewrite,
-    # PNG decode) or that anchor a family (q1 scan-agg, sessionize).
-    # Everything after position 50 is tail: r4-green rows resting
-    # this round, rotating back in r6.
+    # winnow_dup_pairs, jaccard_prefix_join, mmr_rerank), and the 5
+    # second-wave r5 operators (exact_substring_spans,
+    # c4_quality_filters, surprisal_buckets, contrastive_pairs,
+    # events_retransmit_dedup): 46 never-gated entries in the window.
+    # The remaining 4 slots hold r4-green anchors whose code paths are
+    # touched this round (band-key refactor + persist lifecycle:
+    # minhash; CC convergence guard; PNG decode: multimodal) or that
+    # anchor a family (sessionize). Everything after position 50 is
+    # tail: r4-green rows resting this round, rotating back in r6.
     return {
         # ---- never driver-gated: the 8 r4-new operators ----
         "quantize_embeddings": quantize.quantize_embeddings,
@@ -92,6 +96,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5: MMR diversification over the ANN candidates
         # (greedy unrolled into k deterministic stages, fully oracled)
         "mmr_rerank": mmr.mmr_rerank,
+        # new in r5 wave 2: exact-substring span dedup (Lee et al.
+        # 2107.06499, sliding-window-hash form), C4 heuristic filters,
+        # CCNet-style surprisal deciles, contrastive pair mining, and
+        # at-least-once retransmission dedup
+        "exact_substring_spans": spans.exact_substring_spans,
+        "c4_quality_filters": quality.c4_quality_filters,
+        "surprisal_buckets": quality.surprisal_buckets,
+        "contrastive_pairs": contrastive.contrastive_pairs,
+        "events_retransmit_dedup": events.events_retransmit_dedup,
         # rewritten this round: asymmetric hash-sampled shingle
         # candidates (VERDICT r4 "What's wrong" #1)
         "dedup_containment": dedup.dedup_containment,
@@ -122,18 +135,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "q7_nation_volume": relational2.q7_nation_volume,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
-        # ---- 9 r4-green anchors completing the 50-entry window ----
-        "dedup_exact": dedup.exact_dedup,
+        # ---- 4 r4-green anchors completing the 50-entry window ----
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "dedup_connected_components": graph.dedup_connected_components,
-        "ann_cosine_topk_lsh": similarity.cosine_topk_lsh,
-        "ann_cosine_topk_ivf": similarity.cosine_topk_ivf,
         "multimodal_features": multimodal.multimodal_features,
-        "training_corpus_pipeline": pipeline.training_corpus,
-        "q1_pricing_summary": relational.q1_pricing_summary,
         "sessionize": events.sessionize,
         # ---- tail (position 51+): r4-green rows resting this round
         # (driver CORRECTNESS_r04 green; rotate back in r6) ----
+        "dedup_exact": dedup.exact_dedup,
+        "ann_cosine_topk_lsh": similarity.cosine_topk_lsh,
+        "ann_cosine_topk_ivf": similarity.cosine_topk_ivf,
+        "training_corpus_pipeline": pipeline.training_corpus,
+        "q1_pricing_summary": relational.q1_pricing_summary,
         "events_asof_join": asof.events_asof_latest_order,
         "events_range_join": rangejoin.events_purchase_window,
         "bm25_search": search.bm25_topk,
@@ -236,6 +249,11 @@ def oracle_sql() -> dict[str, str]:
         "winnow_dup_pairs": text.WINNOW_PAIRS_SQL,
         "jaccard_prefix_join": dedup.JACCARD_PREFIX_SQL,
         "mmr_rerank": mmr.MMR_SQL,
+        "exact_substring_spans": spans.SPANS_SQL,
+        "c4_quality_filters": quality.C4_SQL,
+        "surprisal_buckets": quality.SURPRISAL_BUCKETS_SQL,
+        "contrastive_pairs": contrastive.CONTRASTIVE_SQL,
+        "events_retransmit_dedup": events.RETRANSMIT_SQL,
         "dedup_containment": dedup.CONTAINMENT_SQL,
         "domain_mix_temperature": hygiene.DOMAIN_MIX_T_SQL,
         "strings_showcase": scalar_showcase.STRINGS_SQL,

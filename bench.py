@@ -119,6 +119,12 @@ HEADLINE = [
     "mmr_rerank",
     # embedding_cluster_profile excluded like IVF/semdedup: k-means
     # training dominates; oracle row + tests cover behavior
+    # new in r5 wave 2
+    "exact_substring_spans",
+    "c4_quality_filters",
+    "surprisal_buckets",
+    "contrastive_pairs",
+    "events_retransmit_dedup",
 ]
 
 

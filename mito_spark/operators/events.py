@@ -271,3 +271,66 @@ SELECT m.event_type, m.n_events,
 FROM m LEFT JOIN flagged f USING (event_type)
 ORDER BY m.event_type
 """
+
+
+RETRANSMIT_EPS_S = 900
+
+
+def events_retransmit_dedup(
+    spark: SparkSession, sf_dir: str, eps_s: int = RETRANSMIT_EPS_S
+) -> DataFrame:
+    """Retransmission dedup: flag events of the same (user_id,
+    event_type) arriving within ``eps_s`` seconds of the previous raw
+    occurrence — the at-least-once-delivery cleanup every event
+    pipeline runs before aggregation (the reference's streaming inputs
+    are explicitly at-least-once; its dedup story is the user's
+    fingerprint filter, SURVEY.md §2.11).
+
+    Semantics: LAG-based — the gap is measured to the previous RAW
+    event, not the previous kept one (true debounce is iterative; the
+    LAG form is the standard one-pass approximation and is what the
+    streaming twin's per-key state implements with one timestamp of
+    state). One shuffle on (user_id, event_type); the window never
+    leaves the key partition, so the plan scales with keys, not rows.
+
+    Output: the DROPPED rows (the retransmission manifest) with the
+    offending gap in seconds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # timestampdiff, not unix_micros: ts is TIMESTAMP_NTZ (nanos
+    # truncated to micros in load_table) and unix_micros rejects NTZ.
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").cast("double")
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("gap_s"),
+        )
+        .where(F.col("gap_s") <= eps_s)
+    )
+
+
+RETRANSMIT_SQL = f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type,
+         ROUND(CAST(epoch(ts - LAG(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS DOUBLE), 6) AS gap_s
+  FROM events
+)
+SELECT event_id, user_id, event_type, gap_s
+FROM g WHERE gap_s <= {RETRANSMIT_EPS_S}
+"""

@@ -1,0 +1,239 @@
+"""Corpus quality filtering beyond the Gopher repetition rules
+(decontam.repetition_quality): C4-style heuristic filters and
+surprisal-based quality bucketing — the two standard pre-training
+curation passes that sit between dedup and sampling.
+
+Both are scan-shaped: per-document metrics are computed in one
+codegen'd projection (no Python, no explode for the cheap metrics),
+and the only shuffles are the per-doc term rollup (top-word ratio)
+and the final aggregate. At 100 TB this is the cheapest pass in the
+pipeline — it should never dominate, and this shape guarantees it.
+
+Reference anchor: the reference exposes string/regexp predicates the
+user composes into such filters by hand (lib/strings.go, processor
+chains); these operators package the published filter sets
+(C4, arXiv:1910.10683 §2.2; Gopher, arXiv:2112.11446 A.1.1) as
+first-class operators the way a training-data team actually ships
+them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mito_spark.engine import load_table, spread
+from mito_spark.operators.text import _tokens
+
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_WLEN, MAX_MEAN_WLEN = 3.0, 10.0
+MAX_SYMBOL_RATIO = 0.1
+MAX_TOP_WORD_RATIO = 0.2
+
+
+def c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document C4-style filter flags: word count bounds, mean
+    word length bounds, symbol ratio, top-word concentration, plus the
+    C4 blocklist checks (lorem ipsum, curly braces), and the combined
+    ``keep`` verdict.
+
+    All metrics except top_word_ratio are single-projection column
+    expressions over the scan (regexp_replace length arithmetic — no
+    explode); top_word_ratio needs one explode + (doc_id, term) rollup
+    and a (doc_id) max, both keyed on doc_id so they share one
+    shuffle's partitioning.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    low = F.lower(F.col("text"))
+    toks = _tokens(low)
+    n_words = F.size(toks).cast("bigint")
+    nonspace = F.length(F.regexp_replace(low, r"\s", ""))
+    symbols = F.length(F.regexp_replace(low, r"[a-z0-9\s]", ""))
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.try_divide(nonspace.cast("double"), n_words.cast("double")), 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.try_divide(symbols.cast("double"), F.length(low).cast("double")), 6
+        ).alias("symbol_ratio"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        (low.contains("{") | low.contains("}")).alias("has_brace"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("tot"))
+        .select(
+            "doc_id",
+            F.round(
+                F.try_divide(F.col("top_n").cast("double"), F.col("tot").cast("double")),
+                6,
+            ).alias("top_word_ratio"),
+        )
+    )
+    joined = base.join(top, "doc_id", "left")
+    keep = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mean_word_len").between(MIN_MEAN_WLEN, MAX_MEAN_WLEN)
+        & (F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
+        & (F.col("top_word_ratio") <= MAX_TOP_WORD_RATIO)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+    )
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "top_word_ratio",
+        "has_lorem",
+        "has_brace",
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+C4_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS low,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+         len(regexp_replace(lower(text), '\s', '', 'g')) AS nonspace,
+         len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS symbols,
+         len(lower(text)) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN NULL
+              ELSE ROUND(CAST(nonspace AS DOUBLE) / n_words, 6) END AS mean_word_len,
+         CASE WHEN n_chars = 0 THEN NULL
+              ELSE ROUND(CAST(symbols AS DOUBLE) / n_chars, 6) END AS symbol_ratio,
+         contains(low, 'lorem ipsum') AS has_lorem,
+         (contains(low, '{{') OR contains(low, '}}')) AS has_brace
+  FROM base
+), terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS n FROM terms GROUP BY doc_id, term
+), top AS (
+  SELECT doc_id, ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_word_ratio
+  FROM tf GROUP BY doc_id
+)
+SELECT m.doc_id, n_words, mean_word_len, symbol_ratio, top_word_ratio,
+       has_lorem, has_brace,
+       COALESCE(
+         n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+         AND mean_word_len BETWEEN {MIN_MEAN_WLEN} AND {MAX_MEAN_WLEN}
+         AND symbol_ratio <= {MAX_SYMBOL_RATIO}
+         AND top_word_ratio <= {MAX_TOP_WORD_RATIO}
+         AND NOT has_lorem AND NOT has_brace, FALSE) AS keep
+FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+"""
+
+N_BUCKETS = 10
+
+
+def surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile quality-bucketing over per-document mean unigram
+    surprisal (the CCNet head/middle/tail pattern, arXiv:1911.00359,
+    generalized to 10 buckets): bucket 1 = lowest surprisal
+    (most corpus-typical), bucket 10 = highest (noise/outliers).
+
+    Scale design: NO global NTILE over documents (that is a
+    single-partition sort of the whole corpus). Instead the 9 decile
+    cutoffs are computed as ONE aggregate row, broadcast back, and the
+    bucket id is a pure column expression (count of cutoffs below the
+    doc's score). Here the cutoff aggregate is exact
+    ``percentile`` so the DuckDB twin (quantile_cont — same linear
+    interpolation) matches bit-for-bit; at 100 TB swap in
+    ``percentile_approx`` — a mergeable sketch, same plan shape, no
+    other change.
+
+    Per-bucket sums follow the repo's decimal-sum convention so the
+    float aggregation is order-free.
+    """
+    from mito_spark.operators.text import unigram_surprisal
+
+    per_doc = unigram_surprisal(spark, sf_dir).localCheckpoint()
+    qs = [i / N_BUCKETS for i in range(1, N_BUCKETS)]
+    cutoffs = per_doc.agg(
+        F.expr(
+            f"percentile(mean_surprisal, array({', '.join(str(q) for q in qs)}))"
+        ).alias("cuts")
+    )
+    bucketed = per_doc.crossJoin(F.broadcast(cutoffs)).select(
+        "doc_id",
+        "n_tokens",
+        "mean_surprisal",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("cuts"),
+                F.lit(0),
+                lambda acc, c: acc
+                + F.when(F.col("mean_surprisal") > c, 1).otherwise(0),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.min("mean_surprisal"), 6).alias("min_surprisal"),
+            F.round(F.max("mean_surprisal"), 6).alias("max_surprisal"),
+            F.round(
+                F.sum(
+                    F.round(F.col("mean_surprisal"), 9).cast("decimal(28,9)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SURPRISAL_PER_DOC = r"""
+  terms AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+    FROM documents
+  ), tf AS (
+    SELECT doc_id, term, COUNT(*) AS n FROM terms GROUP BY doc_id, term
+  ), cf AS (
+    SELECT term, COUNT(*) AS cf FROM terms GROUP BY term
+  ), totals AS (
+    SELECT CAST(SUM(cf) AS BIGINT) AS n_total, COUNT(*) AS vocab FROM cf
+  ), per_doc AS (
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(n * -ln(CAST(cf + 1 AS DOUBLE) / (n_total + vocab)), 9) AS DECIMAL(28,9))) AS DOUBLE) / SUM(n), 6) AS mean_surprisal
+    FROM tf JOIN cf USING (term) CROSS JOIN totals
+    GROUP BY doc_id
+  )
+"""
+
+SURPRISAL_BUCKETS_SQL = (
+    "WITH "
+    + _SURPRISAL_PER_DOC
+    + f""", cuts AS (
+  SELECT quantile_cont(mean_surprisal,
+    [{', '.join(str(i / N_BUCKETS) for i in range(1, N_BUCKETS))}]) AS cuts
+  FROM per_doc
+), bucketed AS (
+  SELECT doc_id, n_tokens, mean_surprisal,
+         1 + len(list_filter(cuts, c -> mean_surprisal > c)) AS bucket
+  FROM per_doc CROSS JOIN cuts
+)
+SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(MIN(mean_surprisal), 6) AS min_surprisal,
+       ROUND(MAX(mean_surprisal), 6) AS max_surprisal,
+       ROUND(CAST(SUM(CAST(ROUND(mean_surprisal, 9) AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+)

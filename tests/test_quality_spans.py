@@ -1,0 +1,200 @@
+"""Tests for the r5 wave-2 operators: exact-substring span dedup,
+C4 quality filters, surprisal bucketing, contrastive pair mining, and
+retransmission dedup — semantics against hand-built frames plus the
+plan-shape properties their docstrings promise."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mito_spark.operators import contrastive, events, quality, spans
+
+
+# ---------- exact_substring_spans ----------
+
+
+def test_spans_finds_planted_duplicate_run(spark, tmp_path):
+    """Two docs sharing a 12-token run must both be flagged; the
+    window count must be exact (n_tokens - w + 1)."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta {shared} gamma"),
+            (1, f"{shared} delta epsilon zeta"),
+            (2, "totally unrelated words only here nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "spans")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(d + "/documents.parquet")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in spans.exact_substring_spans(spark, d, w=8).collect()
+    }
+    # doc 0: 15 tokens -> 8 windows; the shared 12-token run yields
+    # 12-8+1 = 5 shared windows
+    assert out[0]["n_windows"] == 8
+    assert out[0]["dup_windows"] == 5
+    assert out[1]["dup_windows"] == 5
+    assert out[2]["dup_windows"] == 0
+    assert out[2]["dup_fraction"] == 0.0
+
+
+def test_spans_short_doc_zero_windows(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(0, "one two three"), (1, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "short")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in spans.exact_substring_spans(spark, d).collect()}
+    assert out[0]["n_windows"] == 0
+    assert out[0]["dup_fraction"] is None  # 0/0: error-as-value NULL
+    assert out[1]["n_windows"] == 2
+
+
+def test_spans_plan_no_python_and_exchange_reuse(spark, sf_dir):
+    plan = spans.exact_substring_spans(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan.lower()
+
+
+# ---------- c4_quality_filters ----------
+
+
+def test_c4_flags(spark, tmp_path):
+    good = " ".join(f"word{i % 17}xy" for i in range(60))  # 60 words, len 6-8
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "short doc"),  # under MIN_WORDS
+            (2, good + " lorem ipsum"),  # blocklist
+            (3, good.replace("word1xy", "{brace}")),  # brace + symbols
+            (4, " ".join(["same"] * 80)),  # top-word ratio 1.0
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "c4")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in quality.c4_quality_filters(spark, d).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[1]["n_words"] == 2
+    assert out[2]["keep"] is False and out[2]["has_lorem"] is True
+    assert out[3]["keep"] is False and out[3]["has_brace"] is True
+    assert out[4]["keep"] is False and out[4]["top_word_ratio"] == 1.0
+
+
+def test_c4_empty_text_null_metrics(spark, tmp_path):
+    docs = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    d = str(tmp_path / "c4e")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(d + "/documents.parquet")
+    (row,) = quality.c4_quality_filters(spark, d).collect()
+    assert row["mean_word_len"] is None and row["keep"] is False
+
+
+# ---------- surprisal_buckets ----------
+
+
+def test_surprisal_buckets_partition_all_docs(spark, sf_dir):
+    from mito_spark.operators.text import unigram_surprisal
+
+    buckets = quality.surprisal_buckets(spark, sf_dir).collect()
+    n_docs_bucketed = sum(r["n_docs"] for r in buckets)
+    n_docs = unigram_surprisal(spark, sf_dir).count()
+    assert n_docs_bucketed == n_docs
+    assert [r["bucket"] for r in buckets] == sorted(r["bucket"] for r in buckets)
+    # monotone: bucket ranges must not overlap (min of bucket i+1 >= max of bucket i)
+    for lo, hi in zip(buckets, buckets[1:]):
+        assert hi["min_surprisal"] >= lo["max_surprisal"] - 1e-9
+
+
+def test_surprisal_buckets_no_global_window(spark, sf_dir):
+    """The scale contract: cutoffs come from ONE aggregate row, not a
+    corpus-wide NTILE — no WindowExec without partitioning."""
+    plan = (
+        quality.surprisal_buckets(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan  # no window operator at all
+
+
+# ---------- contrastive_pairs ----------
+
+
+def test_contrastive_structure(spark, sf_dir):
+    rows = contrastive.contrastive_pairs(spark, sf_dir, n_probes=4, n_neg=3).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rs in by_q.items():
+        pos = [r for r in rs if r["kind"] == "positive"]
+        neg = sorted(
+            (r for r in rs if r["kind"] == "hard_negative"), key=lambda r: r["rank"]
+        )
+        assert len(pos) == 1 and pos[0]["rank"] == 1
+        assert [r["rank"] for r in neg] == [1, 2, 3]
+        # negatives are ranked by descending similarity
+        sims = [r["cos_sim"] for r in neg]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_contrastive_labels_disjoint(spark, sf_dir):
+    """A positive's label equals the probe's; negatives' differ."""
+    from mito_spark.engine import load_table
+
+    emb = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    for r in contrastive.contrastive_pairs(spark, sf_dir, n_probes=4).collect():
+        same = emb[r["neighbor_id"]] == emb[r["query_id"]]
+        assert same if r["kind"] == "positive" else not same
+
+
+def test_contrastive_broadcast_probes(spark, sf_dir):
+    plan = (
+        contrastive.contrastive_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------- events_retransmit_dedup ----------
+
+
+def test_retransmit_lag_semantics(spark, tmp_path):
+    """Gap is measured to the previous RAW event: three events 10 s
+    apart with eps=15 drop BOTH followers (not just the second)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=10), 7, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=20), 7, "click", 1.0, "{}"),
+        (4, base + dt.timedelta(seconds=100), 7, "click", 1.0, "{}"),
+        (5, base + dt.timedelta(seconds=5), 7, "scroll", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "retrans")
+    ev.write.parquet(d + "/events.parquet")
+    out = events.events_retransmit_dedup(spark, d, eps_s=15).collect()
+    assert sorted(r["event_id"] for r in out) == [2, 3]
+    gaps = {r["event_id"]: r["gap_s"] for r in out}
+    assert gaps[2] == 10.0 and gaps[3] == 10.0
