@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-style surprisal deciles, contrastive pair mining, and
         # at-least-once retransmission dedup
         "exact_substring_spans": spans.exact_substring_spans,
+        "span_rewrite": spans.span_rewrite,
         "c4_quality_filters": quality.c4_quality_filters,
         "surprisal_buckets": quality.surprisal_buckets,
         "contrastive_pairs": contrastive.contrastive_pairs,
@@ -135,13 +136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "q7_nation_volume": relational2.q7_nation_volume,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
-        # ---- 4 r4-green anchors completing the 50-entry window ----
+        # ---- 3 r4-green anchors completing the 50-entry window ----
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "dedup_connected_components": graph.dedup_connected_components,
         "multimodal_features": multimodal.multimodal_features,
-        "sessionize": events.sessionize,
         # ---- tail (position 51+): r4-green rows resting this round
         # (driver CORRECTNESS_r04 green; rotate back in r6) ----
+        "sessionize": events.sessionize,
         "dedup_exact": dedup.exact_dedup,
         "ann_cosine_topk_lsh": similarity.cosine_topk_lsh,
         "ann_cosine_topk_ivf": similarity.cosine_topk_ivf,
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_prefix_join": dedup.JACCARD_PREFIX_SQL,
         "mmr_rerank": mmr.MMR_SQL,
         "exact_substring_spans": spans.SPANS_SQL,
+        "span_rewrite": spans.SPAN_REWRITE_SQL,
         "c4_quality_filters": quality.C4_SQL,
         "surprisal_buckets": quality.SURPRISAL_BUCKETS_SQL,
         "contrastive_pairs": contrastive.CONTRASTIVE_SQL,

@@ -121,6 +121,7 @@ HEADLINE = [
     # training dominates; oracle row + tests cover behavior
     # new in r5 wave 2
     "exact_substring_spans",
+    "span_rewrite",
     "c4_quality_filters",
     "surprisal_buckets",
     "contrastive_pairs",

@@ -123,3 +123,132 @@ SELECT counts.doc_id, n_windows,
        END AS dup_fraction
 FROM counts LEFT JOIN pd ON counts.doc_id = pd.doc_id
 """
+
+
+def span_rewrite(
+    spark: SparkSession, sf_dir: str, w: int = WINDOW
+) -> DataFrame:
+    """The removal pass over :func:`exact_substring_spans`: rewrite
+    each document with every duplicated w-token span cut out EXCEPT its
+    globally-first occurrence (min (doc_id, position) — Lee et al.'s
+    keep-one-copy rule, arXiv:2107.06499 §3), token-level.
+
+    Pipeline shape: window positions + dup-hash set as before; the
+    canonical occurrence per hash is one more groupBy on the SAME hash
+    key (exchange reuse again); the per-doc rewrite is a pure HOF pass
+    — removal starts collected per doc (bounded by the doc's own
+    window count), token mask evaluated JVM-side, no Python anywhere.
+    Output: (doc_id, n_tokens, n_removed, clean_text).
+
+    At 100 TB the removal-starts array is per-document state (KBs),
+    never global; everything shuffles on span hash or doc_id exactly
+    like the profile pass.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    staged = toks.select(
+        "doc_id",
+        "toks",
+        F.when(
+            F.size("toks") >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - w + 1),
+                lambda i: F.md5(
+                    F.encode(F.array_join(F.slice(F.col("toks"), i, w), " "), "UTF-8")
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("hs"),
+    ).localCheckpoint()  # hs feeds the position stream twice (dup set + removals)
+    wins = staged.select(
+        "doc_id", F.posexplode("hs").alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_wins = wins.join(dup, "h")
+    canon = dup_wins.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keep")
+    )
+    removals = (
+        dup_wins.join(canon, "h")
+        .where(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("starts"))
+    )
+    rewritten = staged.join(removals, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("starts"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: F.when(
+                ~F.exists(
+                    F.col("starts"),
+                    lambda s: (i >= s) & (i < s + w),
+                ),
+                F.element_at(F.col("toks"), i),
+            ),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return rewritten.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        kept.alias("kept"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("bigint").alias("n_removed"),
+        F.array_join("kept", " ").alias("clean_text"),
+    )
+
+
+SPAN_REWRITE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{WINDOW - 1}], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {WINDOW} + 2)) AS i) r
+), dup AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), dup_wins AS (
+  SELECT wins.* FROM wins JOIN dup USING (h)
+), canon AS (
+  SELECT h, MIN({{'d': doc_id, 'p': pos}}) AS keep FROM dup_wins GROUP BY h
+), removals AS (
+  SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+  FROM dup_wins JOIN canon USING (h)
+  WHERE doc_id <> canon.keep.d OR pos <> canon.keep.p
+  GROUP BY doc_id
+), rw AS (
+  SELECT toks.doc_id, t, COALESCE(starts, []) AS starts
+  FROM toks LEFT JOIN removals ON toks.doc_id = removals.doc_id
+), kept AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_transform(
+           list_filter(range(1, len(t) + 1),
+                       i -> len(list_filter(starts, s -> i >= s AND i < s + {WINDOW})) = 0),
+           i -> t[i]) AS k
+  FROM rw
+)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - len(k) AS BIGINT) AS n_removed,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+       -- array_join; normalize to ''
+       COALESCE(array_to_string(k, ' '), '') AS clean_text
+FROM kept
+"""

@@ -198,3 +198,39 @@ def test_retransmit_lag_semantics(spark, tmp_path):
     assert sorted(r["event_id"] for r in out) == [2, 3]
     gaps = {r["event_id"]: r["gap_s"] for r in out}
     assert gaps[2] == 10.0 and gaps[3] == 10.0
+
+
+def test_span_rewrite_keep_one_copy(spark, tmp_path):
+    """Identical docs: the lower doc_id keeps its text; the higher one
+    is rewritten to empty. A doc sharing a run keeps its non-shared
+    tokens."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (5, shared),
+            (9, shared),  # exact dup of doc 5 -> fully removed
+            (12, f"unique prefix tokens {shared}"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "rw")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in spans.span_rewrite(spark, d).collect()}
+    assert out[5]["n_removed"] == 0 and out[5]["clean_text"] == shared
+    assert out[9]["n_removed"] == 10 and out[9]["clean_text"] == ""
+    # doc 12: shared windows removed, but its unique prefix survives
+    assert out[12]["clean_text"].startswith("unique prefix tokens")
+    assert out[12]["n_removed"] > 0
+
+
+def test_span_rewrite_total_tokens_conserved(spark, sf_dir):
+    """Removal only ever deletes tokens: sum(n_removed) > 0 on the
+    corpus (planted dups exist) and clean token count + removed =
+    original everywhere."""
+    rows = spans.span_rewrite(spark, sf_dir).collect()
+    assert sum(r["n_removed"] for r in rows) > 0
+    for r in rows:
+        n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert n_clean + r["n_removed"] == r["n_tokens"]
