@@ -102,7 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at-least-once retransmission dedup
         "exact_substring_spans": spans.exact_substring_spans,
         "span_rewrite": spans.span_rewrite,
+        "hybrid_search_rrf": search.hybrid_search_rrf,
         "c4_quality_filters": quality.c4_quality_filters,
+        "vocab_coverage": quality.vocab_coverage,
         "surprisal_buckets": quality.surprisal_buckets,
         "contrastive_pairs": contrastive.contrastive_pairs,
         "events_retransmit_dedup": events.events_retransmit_dedup,
@@ -136,12 +138,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "q7_nation_volume": relational2.q7_nation_volume,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
-        # ---- 3 r4-green anchors completing the 50-entry window ----
-        "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
+        # ---- 1 r4-green anchor completing the 50-entry window
+        # (CC: convergence-guard change this round) ----
         "dedup_connected_components": graph.dedup_connected_components,
-        "multimodal_features": multimodal.multimodal_features,
         # ---- tail (position 51+): r4-green rows resting this round
         # (driver CORRECTNESS_r04 green; rotate back in r6) ----
+        "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
+        "multimodal_features": multimodal.multimodal_features,
         "sessionize": events.sessionize,
         "dedup_exact": dedup.exact_dedup,
         "ann_cosine_topk_lsh": similarity.cosine_topk_lsh,
@@ -252,7 +255,9 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": mmr.MMR_SQL,
         "exact_substring_spans": spans.SPANS_SQL,
         "span_rewrite": spans.SPAN_REWRITE_SQL,
+        "hybrid_search_rrf": search.HYBRID_RRF_SQL,
         "c4_quality_filters": quality.C4_SQL,
+        "vocab_coverage": quality.VOCAB_COVERAGE_SQL,
         "surprisal_buckets": quality.SURPRISAL_BUCKETS_SQL,
         "contrastive_pairs": contrastive.CONTRASTIVE_SQL,
         "events_retransmit_dedup": events.RETRANSMIT_SQL,

@@ -122,6 +122,8 @@ HEADLINE = [
     # new in r5 wave 2
     "exact_substring_spans",
     "span_rewrite",
+    "hybrid_search_rrf",
+    "vocab_coverage",
     "c4_quality_filters",
     "surprisal_buckets",
     "contrastive_pairs",

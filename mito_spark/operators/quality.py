@@ -237,3 +237,68 @@ SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
 FROM bucketed GROUP BY bucket ORDER BY bucket
 """
 )
+
+
+VOCAB_SIZE = 20
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str, v: int = VOCAB_SIZE) -> DataFrame:
+    """Tokenizer-coverage report: per-document OOV rate against the
+    top-``v`` corpus vocabulary (frequency desc, term asc ties) — the
+    pre-flight check before committing a tokenizer/vocab to a corpus.
+
+    Plan: the vocabulary is ONE bounded aggregate (TakeOrdered of the
+    term-frequency rollup) broadcast to a per-(doc, term) left join;
+    shuffles are the term rollup and the doc rollup. At 100 TB the
+    vocab is still ≤ v rows — nothing about this plan grows with the
+    corpus except the two keyed aggregations.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(v)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("oov_rate"),
+    )
+
+
+VOCAB_COVERAGE_SQL = rf"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term FROM terms GROUP BY term
+  ORDER BY COUNT(*) DESC, term LIMIT {VOCAB_SIZE}
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM terms LEFT JOIN vocab ON terms.term = vocab.term
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+FROM per_doc
+"""

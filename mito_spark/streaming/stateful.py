@@ -25,6 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -181,6 +182,68 @@ def streaming_anomalies(
         _anomaly_step_factory(z, min_seen),
         outputStructType=ANOMALY_OUTPUT_SCHEMA,
         stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+RETRANSMIT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("gap_s", DoubleType()),
+    ]
+)
+
+# one scalar of state per key: the previous raw event's epoch micros
+RETRANSMIT_STATE_SCHEMA = StructType([StructField("last_us", LongType())])
+
+
+def _retransmit_step_factory(eps_s: float):
+    eps_us = int(eps_s * 1_000_000)
+
+    def step(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (last_us,) = state.get if state.exists else (None,)
+        out_rows = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # deterministic replay order: event time then id (ties)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev_id, ts in zip(pdf["event_id"], pdf["ts"]):
+                us = int(pd.Timestamp(ts).value // 1_000)
+                if last_us is not None and us - last_us <= eps_us:
+                    out_rows.append(
+                        (key[0], key[1], int(ev_id), round((us - last_us) / 1e6, 6))
+                    )
+                # LAG semantics (match the batch twin): the state
+                # advances to every raw event, kept or dropped
+                last_us = us
+        state.update((last_us,))
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "event_type", "event_id", "gap_s"]
+        )
+
+    return step
+
+
+def streaming_retransmit_dedup(events: DataFrame, eps_s: float = 900.0) -> DataFrame:
+    """Streaming twin of ``events.events_retransmit_dedup``: per
+    (user_id, event_type) key, one epoch-micros scalar of state — an
+    event arriving within ``eps_s`` of the key's previous RAW event is
+    emitted to the retransmission manifest (the batch twin's LAG
+    semantics, exactly).
+
+    State is 8 bytes per key, partitioned in the state store; a
+    micro-batch shuffles only its own keys. The manifest stream is the
+    anti-join feed a downstream keep-side consumer subtracts."""
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        _retransmit_step_factory(eps_s),
+        outputStructType=RETRANSMIT_OUTPUT_SCHEMA,
+        stateStructType=RETRANSMIT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

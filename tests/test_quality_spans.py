@@ -234,3 +234,25 @@ def test_span_rewrite_total_tokens_conserved(spark, sf_dir):
     for r in rows:
         n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
         assert n_clean + r["n_removed"] == r["n_tokens"]
+
+
+# ---------- vocab_coverage ----------
+
+
+def test_vocab_coverage_oov_bounds(spark, sf_dir):
+    from mito_spark.operators import quality as q
+
+    rows = q.vocab_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - round(r["n_oov"] / r["n_tokens"], 6)) < 1e-9
+    # with vocab smaller than the corpus vocabulary, some docs have OOV
+    assert any(r["n_oov"] > 0 for r in rows)
+
+
+def test_vocab_coverage_full_vocab_zero_oov(spark, sf_dir):
+    from mito_spark.operators import quality as q
+
+    rows = q.vocab_coverage(spark, sf_dir, v=10_000).collect()
+    assert all(r["n_oov"] == 0 for r in rows)

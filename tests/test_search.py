@@ -44,3 +44,36 @@ def test_bm25_respects_topk_and_positive_scores(spark, sf_dir):
 
 def test_bm25_unmatched_query_is_empty(spark, sf_dir):
     assert bm25_topk(spark, sf_dir, query=("zzzznope",)).count() == 0
+
+
+def test_hybrid_rrf_fuses_legs(spark, sf_dir):
+    """RRF score equals the sum of reciprocal leg ranks; top result
+    must appear in at least one leg's candidate list."""
+    from mito_spark.operators.search import RRF_K, hybrid_search_rrf
+
+    rows = hybrid_search_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        want = 0.0
+        if r["bm25_rank"] is not None:
+            want += 1.0 / (RRF_K + r["bm25_rank"])
+        if r["ql_rank"] is not None:
+            want += 1.0 / (RRF_K + r["ql_rank"])
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
+        assert r["bm25_rank"] is not None or r["ql_rank"] is not None
+    # sorted by fused score desc
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_rrf_agrees_with_bm25_leg(spark, sf_dir):
+    """The doc ranked 1 by the BM25 leg is bm25_topk's #1."""
+    from mito_spark.operators.search import bm25_topk, hybrid_search_rrf
+
+    top_bm25 = bm25_topk(spark, sf_dir).first()["doc_id"]
+    leg1 = [
+        r["doc_id"]
+        for r in hybrid_search_rrf(spark, sf_dir).collect()
+        if r["bm25_rank"] == 1
+    ]
+    assert leg1 == [top_bm25]

@@ -359,3 +359,35 @@ def test_streaming_anomalies_match_python_welford(spark, sf_dir, tmp_path):
             mean += d / n
             m2 += d * (v - mean)
     assert got == want
+
+
+def test_streaming_retransmit_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming manifest equals the batch twin's dropped set —
+    same LAG-to-previous-raw-event rule, same eps."""
+    from mito_spark.engine import load_table
+    from mito_spark.operators.events import events_retransmit_dedup
+    from mito_spark.streaming.stateful import streaming_retransmit_dedup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = tmp_path / "retx_src"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    rows = []
+    sink = ChannelSink("retx", lambda b, _i: rows.extend(b.collect()))
+    q = sink.send_to(
+        streaming_retransmit_dedup(stream, eps_s=900.0),
+        output_mode="append",
+        availableNow=True,
+    )
+    q.awaitTermination(120)
+    sink.close()
+    got = {(r.user_id, r.event_type, r.event_id, r.gap_s) for r in rows}
+
+    want = {
+        (r.user_id, r.event_type, r.event_id, r.gap_s)
+        for r in events_retransmit_dedup(spark, sf_dir, eps_s=900).collect()
+    }
+    assert got == want
