@@ -60,12 +60,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # winnow_dup_pairs, jaccard_prefix_join, mmr_rerank), and the 5
     # second-wave r5 operators (exact_substring_spans,
     # c4_quality_filters, surprisal_buckets, contrastive_pairs,
-    # events_retransmit_dedup): 46 never-gated entries in the window.
-    # The remaining 4 slots hold r4-green anchors whose code paths are
-    # touched this round (band-key refactor + persist lifecycle:
-    # minhash; CC convergence guard; PNG decode: multimodal) or that
-    # anchor a family (sessionize). Everything after position 50 is
-    # tail: r4-green rows resting this round, rotating back in r6.
+    # events_retransmit_dedup, span_rewrite, hybrid_search_rrf,
+    # vocab_coverage, seq_length_histogram): the window is now 50/50
+    # never-driver-gated entries — every slot converts a local PASS
+    # into driver evidence. The r4-green anchors (minhash, CC,
+    # multimodal, sessionize) rest at the head of the tail; their
+    # r5-touched code paths (band-key refactor, convergence guard,
+    # PNG decode) are pytest-covered and rotate back into the r6
+    # window. Everything after position 50 is tail.
     return {
         # ---- never driver-gated: the 8 r4-new operators ----
         "quantize_embeddings": quantize.quantize_embeddings,
@@ -105,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": search.hybrid_search_rrf,
         "c4_quality_filters": quality.c4_quality_filters,
         "vocab_coverage": quality.vocab_coverage,
+        "seq_length_histogram": quality.seq_length_histogram,
         "surprisal_buckets": quality.surprisal_buckets,
         "contrastive_pairs": contrastive.contrastive_pairs,
         "events_retransmit_dedup": events.events_retransmit_dedup,
@@ -138,11 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "q7_nation_volume": relational2.q7_nation_volume,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
-        # ---- 1 r4-green anchor completing the 50-entry window
-        # (CC: convergence-guard change this round) ----
-        "dedup_connected_components": graph.dedup_connected_components,
         # ---- tail (position 51+): r4-green rows resting this round
         # (driver CORRECTNESS_r04 green; rotate back in r6) ----
+        "dedup_connected_components": graph.dedup_connected_components,
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "multimodal_features": multimodal.multimodal_features,
         "sessionize": events.sessionize,
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search_rrf": search.HYBRID_RRF_SQL,
         "c4_quality_filters": quality.C4_SQL,
         "vocab_coverage": quality.VOCAB_COVERAGE_SQL,
+        "seq_length_histogram": quality.SEQ_LENGTH_SQL,
         "surprisal_buckets": quality.SURPRISAL_BUCKETS_SQL,
         "contrastive_pairs": contrastive.CONTRASTIVE_SQL,
         "events_retransmit_dedup": events.RETRANSMIT_SQL,

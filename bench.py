@@ -124,6 +124,7 @@ HEADLINE = [
     "span_rewrite",
     "hybrid_search_rrf",
     "vocab_coverage",
+    "seq_length_histogram",
     "c4_quality_filters",
     "surprisal_buckets",
     "contrastive_pairs",

@@ -302,3 +302,62 @@ SELECT doc_id, n_tokens, n_oov,
        ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
 FROM per_doc
 """
+
+
+CTX_LENGTHS = (128, 512)
+
+
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning report: documents bucketed by
+    floor(log2(n_tokens)) with per-bin doc/token mass and the padding
+    waste a naive one-doc-per-sequence batch would pay at each context
+    length in CTX_LENGTHS (ceil(n/ctx)*ctx - n summed per bin) — the
+    numbers that justify token_pack_bins.
+
+    Pure scan arithmetic + one small groupBy; the histogram has
+    ~log2(max_len) rows at any corpus size.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n = F.size(_tokens(F.lower(F.col("text")))).cast("bigint")
+    base = docs.select(n.alias("n_tokens")).where(F.col("n_tokens") > 0)
+    binned = base.select(
+        "n_tokens",
+        F.floor(F.log2("n_tokens")).cast("int").alias("len_bin"),
+        *[
+            (
+                (F.ceil(F.col("n_tokens") / F.lit(c)) * c - F.col("n_tokens"))
+            ).alias(f"waste_{c}")
+            for c in CTX_LENGTHS
+        ],
+    )
+    return (
+        binned.groupBy("len_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("n_tokens").alias("min_len"),
+            F.max("n_tokens").alias("max_len"),
+            *[
+                F.sum(f"waste_{c}").cast("bigint").alias(f"pad_waste_{c}")
+                for c in CTX_LENGTHS
+            ],
+        )
+        .orderBy("len_bin")
+    )
+
+
+SEQ_LENGTH_SQL = rf"""
+WITH base AS (
+  SELECT CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), binned AS (
+  SELECT n_tokens,
+         CAST(floor(log2(n_tokens)) AS INTEGER) AS len_bin,
+         {', '.join(f'CAST(ceil(CAST(n_tokens AS DOUBLE) / {c}) * {c} - n_tokens AS BIGINT) AS waste_{c}' for c in CTX_LENGTHS)}
+  FROM base WHERE n_tokens > 0
+)
+SELECT len_bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(n_tokens) AS min_len, MAX(n_tokens) AS max_len,
+       {', '.join(f'CAST(SUM(waste_{c}) AS BIGINT) AS pad_waste_{c}' for c in CTX_LENGTHS)}
+FROM binned GROUP BY len_bin ORDER BY len_bin
+"""

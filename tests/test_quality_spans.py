@@ -256,3 +256,25 @@ def test_vocab_coverage_full_vocab_zero_oov(spark, sf_dir):
 
     rows = q.vocab_coverage(spark, sf_dir, v=10_000).collect()
     assert all(r["n_oov"] == 0 for r in rows)
+
+
+# ---------- seq_length_histogram ----------
+
+
+def test_seq_length_histogram_conserves_mass(spark, sf_dir):
+    from mito_spark.engine import load_table
+    from mito_spark.operators import quality as q
+    from mito_spark.operators.text import _tokens
+
+    rows = q.seq_length_histogram(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(_tokens(F.lower(F.col("text")))).alias("n")
+    ).where(F.col("n") > 0)
+    n_docs, n_tokens = docs.agg(F.count(F.lit(1)), F.sum("n")).first()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_tokens"] for r in rows) == n_tokens
+    for r in rows:
+        # bin bounds: [2^b, 2^(b+1))
+        assert 2 ** r["len_bin"] <= r["min_len"] <= r["max_len"] < 2 ** (r["len_bin"] + 1)
+        # waste at ctx=128 is bounded by n_docs * 127
+        assert 0 <= r["pad_waste_128"] <= r["n_docs"] * 127
