@@ -74,16 +74,39 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _shingles(col: Column, n: int) -> Column:
-    """Distinct word n-gram shingles; n=1 → distinct token set
-    (bag-of-words dedup — catches permuted/near-identical docs)."""
-    toks = _tokens(col)
+def _shingles_from(toks: Column, n: int) -> Column:
+    """Shingles from an ALREADY-STAGED token column. Callers on the
+    hot path must stage tokenization as a real column first
+    (``_staged_shingles``): HOFs are interpreted (no whole-stage
+    codegen, no CSE), so a shingle transform embedding the tokenizer
+    EXPRESSION re-runs the regexp split per array element — O(T²) per
+    doc (measured: the sf0.1 shingle pass dropped 7.7s → ~1s when
+    staged; same plan rule as pipeline.py:46-70)."""
     if n == 1:
         return F.array_distinct(toks)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
+
+
+def _shingles(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles; n=1 → distinct token set
+    (bag-of-words dedup — catches permuted/near-identical docs).
+    Expression form for cold paths/tests; hot paths use
+    ``_staged_shingles`` (see ``_shingles_from``)."""
+    return _shingles_from(_tokens(col), n)
+
+
+def _staged_shingles(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, sh): tokenization staged as a real column in its own
+    projection so the shingle HOF's lambda input is an attribute
+    lookup, not a re-evaluated split expression. CollapseProject keeps
+    the staging because the consumer references the alias twice."""
+    toks = docs.select(id_col, _tokens(F.col(text_col)).alias("toks"))
+    return toks.select(id_col, _shingles_from(F.col("toks"), n).alias("sh"))
 
 
 # Affine-rehash scheme: ONE md5 per shingle; the K hash functions are
@@ -162,9 +185,8 @@ def minhash_lsh_dedup(
     exact rationals, so the oracle matches bit-for-bit.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = _shingles(F.col("text"), shingle)
-    sigd = docs.select(
-        "doc_id", sh.alias("sh"), minhash_signature(F.col("text"), shingle=shingle).alias("sig")
+    sigd = _staged_shingles(docs, shingle).select(
+        "doc_id", "sh", _affine_minhash(F.col("sh"), NUM_HASHES).alias("sig")
     ).localCheckpoint()  # signatures feed both sides of the self-join
     # and the verification joins — at 100 TB this is a checkpoint-to-
     # parquet. localCheckpoint (not persist) so the blocks are GC-
@@ -363,7 +385,9 @@ def ngram_jaccard_verify(
     O(n²). This is the only form reachable at scale — the quadratic
     ``ngram_jaccard_pairs`` below exists solely so the oracle can
     verify the Jaccard arithmetic exhaustively at test SF."""
-    g = docs.select(F.col(id_col).alias("_id"), _shingles(F.col(text_col), n).alias("sh"))
+    g = _staged_shingles(docs, n, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("_id"), "sh"
+    )
     return (
         pairs.select("id_a", "id_b")
         .join(g.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -405,7 +429,7 @@ def ngram_jaccard_pairs(
                 f"{n_docs} docs > cap {max_rows}. Block first (minhash_lsh_dedup / "
                 f"simhash) and re-rank with ngram_jaccard_verify, or pass max_rows=None."
             )
-    g = docs.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
+    g = _staged_shingles(docs, n)
     return (
         g.alias("a")
         .join(g.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
@@ -466,9 +490,8 @@ def incremental_dedup(
     dup_of = the existing doc it collapses into (lowest id among
     matches), or NULL when the doc is genuinely new."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = _shingles(F.col("text"), shingle)
-    sigd = docs.select(
-        "doc_id", sh.alias("sh"), minhash_signature(F.col("text"), shingle=shingle).alias("sig")
+    sigd = _staged_shingles(docs, shingle).select(
+        "doc_id", "sh", _affine_minhash(F.col("sh"), NUM_HASHES).alias("sig")
     ).localCheckpoint()
     bands = _band_keys(sigd)
     new_bands = bands.where(F.col("doc_id") >= split_at)
@@ -579,8 +602,7 @@ def containment_pairs(
     Output: (id_small, id_big, containment, jaccard) for pairs whose
     max-direction containment ≥ threshold, id_small = the more-contained
     side."""
-    sh = _shingles(F.col("text"), shingle)
-    shd = docs.select("doc_id", sh.alias("sh")).localCheckpoint()
+    shd = _staged_shingles(docs, shingle).localCheckpoint()
     sampled = (
         shd.select("doc_id", F.explode("sh").alias("shingle"))
         .where(_hash60(F.col("shingle")) % sample_mod == 0)
@@ -751,25 +773,34 @@ def jaccard_prefix_join(
     from pyspark.sql import Window
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    shd = docs.select(
-        "doc_id", _shingles(F.col("text"), shingle).alias("sh")
-    ).where(F.size("sh") > 0).localCheckpoint()
+    shd = (
+        _staged_shingles(docs, shingle)
+        .where(F.size("sh") > 0)
+        .localCheckpoint()
+    )
     # prefix extraction via a per-doc rank window rather than
     # collect_list + array_sort + slice: same two linear shuffles
-    # (df count on s; rank on doc_id) but no struct-array
-    # materialization — ~2.4x faster at sf0.1
-    ex = shd.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    # (df count; rank on doc_id) but no struct-array materialization.
+    # The index keys are 60-bit HASHES of the shingles, not the
+    # strings: the prefix filter is complete under ANY consistent
+    # global order of the shingle universe, and a hash collision can
+    # only merge two inverted-list buckets — extra candidates the
+    # exact verify kills, never a lost pair. 8-byte join keys instead
+    # of ~20-char strings cut the three index shuffles' width.
+    ex = shd.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    ).select("doc_id", "n", _hash60(F.col("s")).alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
     pref = (
-        ex.join(dfreq, "s")
+        ex.join(dfreq, "h")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= (F.col("n") - F.floor(threshold * F.col("n")) + 1))
-        .select("doc_id", "s")
+        .select("doc_id", "h")
     )
     cand = (
         pref.alias("a")
-        .join(pref.alias("b"), "s")
+        .join(pref.alias("b"), "h")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
@@ -777,6 +808,13 @@ def jaccard_prefix_join(
     verified = (
         cand.join(shd.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(shd.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        # PPJoin length filter: J >= t forces min|X| >= t * max|X| —
+        # kills size-mismatched candidates before the O(|A|+|B|)
+        # intersect (the expensive expression never evaluates)
+        .where(
+            F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+            >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

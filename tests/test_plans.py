@@ -211,3 +211,25 @@ def test_knn_graph_bucket_join_only(spark, sf_dir):
 
     plan = _plan(knn_graph(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_staged_shingles_projection_not_collapsed(spark, sf_dir):
+    """The tokenize→shingle staging must survive optimization as TWO
+    Project nodes: if CollapseProject ever re-inlines the tokenizer
+    expression into the shingle transform's lambda, the interpreted
+    HOF re-runs the regexp split per array element — O(T²) per doc
+    (measured 7x on the sf0.1 shingle pass)."""
+    from mito_spark.engine import load_table
+    from mito_spark.operators.dedup import _staged_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    opt = (
+        _staged_shingles(docs, 3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert opt.count("Project") == 2
+    # the split lives in the INNER projection, not inside the lambda
+    inner = opt.split("Project")[-1]
+    assert "split(" in inner
