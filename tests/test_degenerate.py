@@ -29,6 +29,15 @@ DOC_OPS = [
     "dedup_connected_components",
     "dedup_containment",
     "training_corpus_pipeline",
+    # r5 wave 2
+    "exact_substring_spans",
+    "span_rewrite",
+    "c4_quality_filters",
+    "surprisal_buckets",
+    "vocab_coverage",
+    "seq_length_histogram",
+    "hybrid_search_rrf",
+    "jaccard_prefix_join",
 ]
 EMB_OPS = [
     "quantize_embeddings",
@@ -36,6 +45,8 @@ EMB_OPS = [
     "ann_cosine_topk_sq8",
     "ann_cosine_topk_filtered",
     "embedding_near_dup",
+    "contrastive_pairs",
+    "mmr_rerank",
 ]
 
 
