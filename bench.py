@@ -147,9 +147,18 @@ def main() -> None:
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    import gc
+
     for _ in range(iters):
         for name in HEADLINE:
             fn = qs[name]
+            # collect BEFORE the timer: localCheckpoint blocks from
+            # prior queries are only freed when their Python DataFrame
+            # objects are GC'd (py4j finalizers); without this, block-
+            # manager pressure from ~300 prior executions bleeds into
+            # later queries' times (measured 5-10% on the heavy dedup
+            # shapes). Harness hygiene, not part of the measured work.
+            gc.collect()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
