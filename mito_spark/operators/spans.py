@@ -34,6 +34,34 @@ from mito_spark.operators.text import _tokens
 WINDOW = 8  # tokens per span; 2107.06499 uses 50 BPE tokens at web scale
 
 
+def _window_hashes(docs: DataFrame, w: int, keep_toks: bool) -> DataFrame:
+    """(doc_id[, toks], hs): md5 of every w-token sliding window,
+    staged per the interpreted-HOF rule and localCheckpointed — the
+    single definition shared by the profile and rewrite passes.
+
+    Guard on short docs is correctness, not style: sequence(1,
+    size-w+1) with a negative stop generates a DESCENDING sequence in
+    Spark."""
+    toks = docs.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    cols = ["doc_id"] + (["toks"] if keep_toks else [])
+    return toks.select(
+        *cols,
+        F.when(
+            F.size("toks") >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - w + 1),
+                lambda i: F.md5(
+                    F.encode(F.array_join(F.slice(F.col("toks"), i, w), " "), "UTF-8")
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("hs"),
+    ).localCheckpoint()  # hs feeds multiple consumers in both passes
+
+
 def exact_substring_spans(
     spark: SparkSession, sf_dir: str, w: int = WINDOW
 ) -> DataFrame:
@@ -47,26 +75,7 @@ def exact_substring_spans(
     string is ever materialized twice.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks")
-    )
-    # Guard short docs: sequence(1, size-w+1) with a negative stop
-    # would generate a DESCENDING sequence in Spark — the when() is
-    # correctness, not style.
-    staged = toks.select(
-        "doc_id",
-        F.when(
-            F.size("toks") >= w,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - w + 1),
-                lambda i: F.md5(
-                    F.encode(F.array_join(F.slice(F.col("toks"), i, w), " "), "UTF-8")
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("hs"),
-    ).localCheckpoint()  # feeds both the position stream and the per-doc counts
+    staged = _window_hashes(docs, w, keep_toks=False)
     wins = staged.select("doc_id", F.explode("hs").alias("h"))
     dup = (
         wins.groupBy("h")
@@ -145,24 +154,7 @@ def span_rewrite(
     like the profile pass.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks")
-    )
-    staged = toks.select(
-        "doc_id",
-        "toks",
-        F.when(
-            F.size("toks") >= w,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - w + 1),
-                lambda i: F.md5(
-                    F.encode(F.array_join(F.slice(F.col("toks"), i, w), " "), "UTF-8")
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("hs"),
-    ).localCheckpoint()  # hs feeds the position stream twice (dup set + removals)
+    staged = _window_hashes(docs, w, keep_toks=True)
     wins = staged.select(
         "doc_id", F.posexplode("hs").alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
