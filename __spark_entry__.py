@@ -54,15 +54,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (VERDICT r4 #1): the r5 window rotates IN every entry
     # that has never produced a driver CORRECTNESS row — the 8 r4-new
     # operators, the 11-query r1-stale TPC-H cohort, the 13 r3-green
-    # shapes that rested in the r4 tail, and the 8 r5-new operators
-    # (semdedup, dsir_importance_weights, dsir_resample,
+    # shapes that rested in the r4 tail, and the first-wave r5
+    # operators (semdedup, dsir_importance_weights, dsir_resample,
     # embedding_cluster_profile, knn_graph, text_winnow_fingerprints,
-    # winnow_dup_pairs, jaccard_prefix_join, mmr_rerank), and the 5
-    # second-wave r5 operators (exact_substring_spans,
-    # c4_quality_filters, surprisal_buckets, contrastive_pairs,
-    # events_retransmit_dedup, span_rewrite, hybrid_search_rrf,
-    # vocab_coverage, seq_length_histogram): the window is now 50/50
-    # never-driver-gated entries — every slot converts a local PASS
+    # winnow_dup_pairs, jaccard_prefix_join, mmr_rerank — 9 entries)
+    # and the 9 second-wave r5 operators (exact_substring_spans,
+    # span_rewrite, hybrid_search_rrf, c4_quality_filters,
+    # vocab_coverage, seq_length_histogram, surprisal_buckets,
+    # contrastive_pairs, events_retransmit_dedup): the window is now
+    # 50/50 never-driver-gated entries — every slot converts a local PASS
     # into driver evidence. The r4-green anchors (minhash, CC,
     # multimodal, sessionize) rest at the head of the tail; their
     # r5-touched code paths (band-key refactor, convergence guard,

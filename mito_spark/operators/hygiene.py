@@ -155,9 +155,13 @@ def domain_mix(spark: SparkSession, sf_dir: str, salt: str = "mix:v1") -> DataFr
     )
     with_toks = docs.select("source", "doc_id", toks.alias("n_tokens"))
     totals = with_toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    # try_divide: a zero-token source (degenerate corpus) must yield a
+    # NULL keep_frac (keeps nothing), not an ANSI task failure
     fracs = totals.withColumn(
         "keep_frac",
-        F.min("src_tokens").over(Window.partitionBy()) / F.col("src_tokens"),
+        F.try_divide(
+            F.min("src_tokens").over(Window.partitionBy()), F.col("src_tokens")
+        ),
     )
     u = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))), 1, 15),
@@ -234,13 +238,19 @@ def domain_mix_temperature(
     with_toks = docs.select("source", "doc_id", toks.alias("n_tokens"))
     totals = with_toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
     w = Window.partitionBy()
+    # try_divide throughout: a zero-token source has _p = 0 and would
+    # divide by zero three ways under ANSI; NULL shares/fracs keep
+    # nothing and drop out of the min (error-as-value)
     powed = totals.withColumn(
         "_p", F.pow(F.col("src_tokens").cast("double"), F.lit(alpha))
-    ).withColumn("target_share", F.col("_p") / F.sum("_p").over(w))
+    ).withColumn("target_share", F.try_divide(F.col("_p"), F.sum("_p").over(w)))
     # budget B s.t. max_i(B * share_i / tokens_i) == 1
-    budget = F.min(F.col("src_tokens") / F.col("target_share")).over(w)
+    budget = F.min(
+        F.try_divide(F.col("src_tokens"), F.col("target_share"))
+    ).over(w)
     fracs = powed.withColumn(
-        "keep_frac", budget * F.col("target_share") / F.col("src_tokens")
+        "keep_frac",
+        F.try_divide(budget * F.col("target_share"), F.col("src_tokens")),
     )
     u = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))), 1, 15),

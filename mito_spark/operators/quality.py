@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mito_spark.engine import load_table, spread
-from mito_spark.operators.text import _tokens
+from mito_spark.operators.text import SURPRISAL_PER_DOC_CTE, _tokens
 
 MIN_WORDS, MAX_WORDS = 50, 100_000
 MIN_MEAN_WLEN, MAX_MEAN_WLEN = 3.0, 10.0
@@ -41,7 +41,11 @@ def c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions over the scan (regexp_replace length arithmetic — no
     explode); top_word_ratio needs one explode + (doc_id, term) rollup
     and a (doc_id) max, both keyed on doc_id so they share one
-    shuffle's partitioning.
+    shuffle's partitioning. The two branches each tokenize from the
+    scan (two parquet scans of the text column) DELIBERATELY: at scale
+    recomputing a projection from columnar storage is cheaper than
+    materializing the tokenized corpus to block storage to save one
+    regexp pass.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     low = F.lower(F.col("text"))
@@ -198,25 +202,9 @@ def surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SURPRISAL_PER_DOC = r"""
-  terms AS (
-    SELECT doc_id,
-           unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
-    FROM documents
-  ), tf AS (
-    SELECT doc_id, term, COUNT(*) AS n FROM terms GROUP BY doc_id, term
-  ), cf AS (
-    SELECT term, COUNT(*) AS cf FROM terms GROUP BY term
-  ), totals AS (
-    SELECT CAST(SUM(cf) AS BIGINT) AS n_total, COUNT(*) AS vocab FROM cf
-  ), per_doc AS (
-    SELECT doc_id,
-           CAST(SUM(n) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(CAST(ROUND(n * -ln(CAST(cf + 1 AS DOUBLE) / (n_total + vocab)), 9) AS DECIMAL(28,9))) AS DOUBLE) / SUM(n), 6) AS mean_surprisal
-    FROM tf JOIN cf USING (term) CROSS JOIN totals
-    GROUP BY doc_id
-  )
-"""
+# the per-doc surprisal CTE chain is shared with text.SURPRISAL_SQL —
+# single definition of the smoothing + decimal-sum convention
+_SURPRISAL_PER_DOC = SURPRISAL_PER_DOC_CTE
 
 SURPRISAL_BUCKETS_SQL = (
     "WITH "

@@ -188,11 +188,20 @@ def hybrid_search_rrf(
             tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
         )
         bm25 = bterm if bm25 is None else bm25 + bterm
-        # Dirichlet QL: ln((tf + μ·p(t|C)) / (dl + μ)); p(t|C) = cf/|C|
-        qterm = F.log(
-            (tf + F.lit(MU) * cf / F.col("coll_len").cast("double"))
-            / (F.col("dl").cast("double") + F.lit(MU))
-        )
+        # Dirichlet QL: ln((tf + μ·p(t|C)) / (dl + μ)); p(t|C) = cf/|C|.
+        # A term absent from the WHOLE collection (cf = 0 ⇒ tf = 0
+        # everywhere) would make the argument exactly 0 — ln(0) is
+        # NULL in Spark and an error in DuckDB, and the NULL would
+        # poison every document's summed score, degrading the leg to
+        # doc_id-order ranks. Standard IR practice: OOV query terms
+        # carry no discrimination — drop them from the leg.
+        qterm = F.when(
+            F.col(f"cf_{i}") > 0,
+            F.log(
+                (tf + F.lit(MU) * cf / F.col("coll_len").cast("double"))
+                / (F.col("dl").cast("double") + F.lit(MU))
+            ),
+        ).otherwise(F.lit(0.0))
         ql = qterm if ql is None else ql + qterm
     scored = scored.select(
         "doc_id",
@@ -244,9 +253,11 @@ def _hybrid_sql(
         f" / (CAST(tf_{i} AS DOUBLE) + {K1} * ({1.0 - B} + {B} * dl / avgdl))"
         for i in range(len(query))
     )
+    # CASE mirrors the Spark-side OOV guard: cf = 0 terms contribute 0
     ql_terms = " + ".join(
+        f"CASE WHEN cf_{i} > 0 THEN "
         f"ln((CAST(tf_{i} AS DOUBLE) + {MU} * CAST(cf_{i} AS DOUBLE) / CAST(coll_len AS DOUBLE))"
-        f" / (CAST(dl AS DOUBLE) + {MU}))"
+        f" / (CAST(dl AS DOUBLE) + {MU})) ELSE 0.0 END"
         for i in range(len(query))
     )
     return rf"""

@@ -182,9 +182,15 @@ def span_rewrite(
         "toks",
         F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("starts"),
     )
+    # sequence guard mirrors _window_hashes: sequence(1, 0) would be
+    # the DESCENDING [1, 0] for a zero-token doc and element_at would
+    # task-fail — error-as-value demands the empty array instead
+    idx = F.when(
+        F.size("toks") > 0, F.sequence(F.lit(1), F.size("toks"))
+    ).otherwise(F.array().cast("array<int>"))
     kept = F.filter(
         F.transform(
-            F.sequence(F.lit(1), F.size("toks")),
+            idx,
             lambda i: F.when(
                 ~F.exists(
                     F.col("starts"),

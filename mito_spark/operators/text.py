@@ -144,7 +144,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
     n_chars = F.length("text")
-    mean_wlen = n_chars.cast("double") / n_tok
+    # try_divide: a zero-token doc must score 0 on this term, not
+    # task-fail under ANSI (DuckDB's double/0 is NULL — identical
+    # semantics, so the oracle score agrees)
+    mean_wlen = F.try_divide(n_chars.cast("double"), n_tok.cast("double"))
     score = (
         F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
@@ -379,8 +382,10 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SURPRISAL_SQL = r"""
-WITH terms AS (
+# Shared per-doc surprisal CTE chain: the SINGLE definition consumed
+# by this file's SURPRISAL_SQL and quality.SURPRISAL_BUCKETS_SQL — the
+# add-1-smoothing and decimal-sum convention live in exactly one place.
+SURPRISAL_PER_DOC_CTE = r"""terms AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
   FROM documents
@@ -392,15 +397,15 @@ WITH terms AS (
   SELECT CAST(SUM(cf) AS BIGINT) AS n_total, COUNT(*) AS vocab FROM cf
 ), per_doc AS (
   SELECT doc_id,
-         SUM(CAST(ROUND(n * -ln(CAST(cf + 1 AS DOUBLE) / (n_total + vocab)), 9) AS DECIMAL(28,9))) AS total_surprisal,
-         CAST(SUM(n) AS BIGINT) AS n_tokens
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(CAST(ROUND(n * -ln(CAST(cf + 1 AS DOUBLE) / (n_total + vocab)), 9) AS DECIMAL(28,9))) AS DOUBLE) / SUM(n), 6) AS mean_surprisal
   FROM tf JOIN cf USING (term) CROSS JOIN totals
   GROUP BY doc_id
+)"""
+
+SURPRISAL_SQL = (
+    "WITH " + SURPRISAL_PER_DOC_CTE + "\nSELECT doc_id, n_tokens, mean_surprisal FROM per_doc"
 )
-SELECT doc_id, n_tokens,
-       ROUND(CAST(total_surprisal AS DOUBLE) / n_tokens, 6) AS mean_surprisal
-FROM per_doc
-"""
 
 
 def _winnow_fps(docs: DataFrame, k: int, w: int) -> DataFrame:

@@ -136,12 +136,18 @@ def _anomaly_step_factory(z: float, min_seen: int):
     ) -> Iterator[pd.DataFrame]:
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out_rows = []
+        # buffer ALL Arrow chunks before sorting: a key's micro-batch
+        # data arrives as multiple chunks with NO cross-chunk ordering
+        # guarantee — sorting per chunk would replay events out of
+        # order whenever a key's batch exceeds one chunk (~10k rows),
+        # silently diverging from the batch twin
+        buf = []
         for pdf in batches:
-            if pdf.empty:
-                continue
-            # deterministic replay order inside the batch
-            pdf = pdf.sort_values("event_id")
-            for ev_id, v in zip(pdf["event_id"], pdf["value"]):
+            if not pdf.empty:
+                buf.append(pdf[["event_id", "value"]])
+        if buf:
+            allrows = pd.concat(buf, ignore_index=True).sort_values("event_id")
+            for ev_id, v in zip(allrows["event_id"], allrows["value"]):
                 if n >= min_seen:
                     std = (m2 / n) ** 0.5
                     if std > 0 and abs(float(v) - mean) > z * std:
@@ -208,12 +214,14 @@ def _retransmit_step_factory(eps_s: float):
     ) -> Iterator[pd.DataFrame]:
         (last_us,) = state.get if state.exists else (None,)
         out_rows = []
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            # deterministic replay order: event time then id (ties)
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ev_id, ts in zip(pdf["event_id"], pdf["ts"]):
+        # buffer ALL Arrow chunks before sorting (no cross-chunk
+        # ordering guarantee — see _anomaly_step_factory)
+        buf = [pdf[["event_id", "ts"]] for pdf in batches if not pdf.empty]
+        if buf:
+            allrows = pd.concat(buf, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for ev_id, ts in zip(allrows["event_id"], allrows["ts"]):
                 us = int(pd.Timestamp(ts).value // 1_000)
                 if last_us is not None and us - last_us <= eps_us:
                     out_rows.append(

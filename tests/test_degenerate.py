@@ -73,5 +73,10 @@ def degen_dir(spark, tmp_path_factory):
 def test_operator_survives_degenerate_corpus(spark, degen_dir, name):
     import __spark_entry__ as entry
 
-    n = entry.queries()[name](spark, degen_dir).count()
-    assert n >= 0  # completed without task failure
+    # noop write, NOT count(): a counted plan prunes every output
+    # column, so expression-level crashes in projected columns (the
+    # exact class this net exists to catch) would pass silently —
+    # count() masked a span_rewrite element_at task-failure on
+    # zero-token docs until the noop form exposed it
+    df = entry.queries()[name](spark, degen_dir)
+    df.write.format("noop").mode("overwrite").save()

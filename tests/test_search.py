@@ -77,3 +77,17 @@ def test_hybrid_rrf_agrees_with_bm25_leg(spark, sf_dir):
         if r["bm25_rank"] == 1
     ]
     assert leg1 == [top_bm25]
+
+
+def test_hybrid_rrf_oov_term_does_not_poison_ql_leg(spark, sf_dir):
+    """A query term absent from the whole collection (cf=0) must be
+    dropped from the QL leg, not turn every doc's score NULL (which
+    silently degraded ql_rank to doc_id order before the guard)."""
+    from mito_spark.operators.search import hybrid_search_rrf
+
+    clean = hybrid_search_rrf(spark, sf_dir, query=("spark", "join")).collect()
+    with_oov = hybrid_search_rrf(
+        spark, sf_dir, query=("spark", "join", "zzzznope")
+    ).collect()
+    key = lambda rows: [(r["doc_id"], r["bm25_rank"], r["ql_rank"]) for r in rows]
+    assert key(with_oov) == key(clean)  # OOV term contributes nothing
