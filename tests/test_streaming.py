@@ -391,3 +391,51 @@ def test_streaming_retransmit_matches_batch(spark, sf_dir, tmp_path):
         for r in events_retransmit_dedup(spark, sf_dir, eps_s=900).collect()
     }
     assert got == want
+
+
+def test_streaming_retransmit_multi_chunk_key(spark, sf_dir, tmp_path):
+    """Force a key's micro-batch through MULTIPLE Arrow chunks
+    (maxRecordsPerBatch=50 over a 400-event key) and require exact
+    equality with the batch twin — per-chunk sorting would replay out
+    of order and diverge (the bug the buffered sort fixed)."""
+    import datetime as dt
+
+    from mito_spark.operators.events import events_retransmit_dedup
+    from mito_spark.streaming.stateful import streaming_retransmit_dedup
+
+    base = dt.datetime(2024, 1, 1)
+    # one key, 400 events, alternating small/large gaps; event_ids
+    # deliberately NOT in ts order so chunk boundaries scramble time
+    rows = []
+    for i in range(400):
+        ts = base + dt.timedelta(seconds=(i * 37) % 4000)
+        rows.append((i, ts, 1, "click", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "retx_mc")
+    ev.coalesce(1).write.parquet(d + "/events.parquet")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        stream = spark.readStream.schema(ev.schema).parquet(d + "/events.parquet")
+        out = []
+        sink = ChannelSink("retx_mc", lambda b, _i: out.extend(b.collect()))
+        q = sink.send_to(
+            streaming_retransmit_dedup(stream, eps_s=30.0),
+            output_mode="append",
+            availableNow=True,
+        )
+        q.awaitTermination(120)
+        sink.close()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {(r.event_id, r.gap_s) for r in out}
+    want = {
+        (r.event_id, r.gap_s)
+        for r in events_retransmit_dedup(spark, d, eps_s=30).collect()
+    }
+    assert got == want and len(want) > 0
