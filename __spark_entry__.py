@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality_filters": quality.c4_quality_filters,
         "vocab_coverage": quality.vocab_coverage,
         "seq_length_histogram": quality.seq_length_histogram,
+        # r5 wave 3: label spreading over the kNN graph + dedup report
+        "label_propagation": graph.label_propagation,
+        "dedup_cluster_stats": graph.dedup_cluster_stats,
         "surprisal_buckets": quality.surprisal_buckets,
         "contrastive_pairs": contrastive.contrastive_pairs,
         "events_retransmit_dedup": events.events_retransmit_dedup,
@@ -137,12 +140,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_grouping_sets": relational2.sql_grouping_sets,
         "customer_running_totals": relational2.customer_running_totals,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "top_orders_per_customer": relational.top_orders_per_customer,
         "q7_nation_volume": relational2.q7_nation_volume,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
         # ---- tail (position 51+): r4-green rows resting this round
-        # (driver CORRECTNESS_r04 green; rotate back in r6) ----
+        # (driver CORRECTNESS_r04 green; rotate back in r6; q6 and
+        # top_orders are r3-green shapes bumped by the wave-3 adds —
+        # first in line for the r6 window) ----
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "top_orders_per_customer": relational.top_orders_per_customer,
         "dedup_connected_components": graph.dedup_connected_components,
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "multimodal_features": multimodal.multimodal_features,
@@ -260,6 +265,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_quality_filters": quality.C4_SQL,
         "vocab_coverage": quality.VOCAB_COVERAGE_SQL,
         "seq_length_histogram": quality.SEQ_LENGTH_SQL,
+        "label_propagation": graph.LABEL_PROP_SQL,
+        "dedup_cluster_stats": graph.CLUSTER_STATS_SQL,
         "surprisal_buckets": quality.SURPRISAL_BUCKETS_SQL,
         "contrastive_pairs": contrastive.CONTRASTIVE_SQL,
         "events_retransmit_dedup": events.RETRANSMIT_SQL,

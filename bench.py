@@ -125,6 +125,10 @@ HEADLINE = [
     "hybrid_search_rrf",
     "vocab_coverage",
     "seq_length_histogram",
+    # label_propagation and dedup_cluster_stats excluded like
+    # IVF/semdedup: their cost IS the kNN-graph / CC build they
+    # compose (knn_graph and dedup_connected_components are benched);
+    # behavior covered by oracle rows + tests/test_graph.py
     "c4_quality_filters",
     "surprisal_buckets",
     "contrastive_pairs",

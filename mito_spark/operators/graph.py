@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mito_spark.engine import load_table
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
@@ -224,3 +226,145 @@ ORDER BY c.cluster_id, c.vec_id
 
 
 EMBEDDING_CC_SQL = _embedding_cc_sql()
+
+
+def label_propagation(
+    spark: SparkSession, sf_dir: str, rounds: int = 2, k: int = 5
+) -> DataFrame:
+    """Semi-supervised label propagation over the kNN graph
+    (Zhu & Ghahramani 2002, discrete-majority form): seed nodes
+    (vec_id % 4 == 0) keep their true label; each round, every
+    still-unlabeled node takes the MAJORITY label among its labeled
+    kNN neighbors (ties -> smallest label id; no labeled neighbor ->
+    stays unlabeled). Labels are monotone — once assigned, fixed —
+    which makes the unrolled ``rounds`` iterations deterministic and
+    bit-portable to the SQL twin.
+
+    The label-spreading pass every curation pipeline runs to extend a
+    small hand-labeled set over the corpus before domain filtering.
+
+    Scale shape: edges come from similarity.knn_graph (LSH-blocked,
+    never O(n²)) and are checkpointed once; each round is one
+    edge-keyed join + one (node, label) rollup + one per-node pick —
+    all shuffles on vec_id, plan growth bounded by per-round
+    localCheckpoint (the MMR lesson, mmr.py).
+    """
+    from mito_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    edges = (
+        knn_graph(spark, sf_dir, k=k)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    cur = emb.select(
+        "vec_id",
+        "label",
+        F.when(F.col("vec_id") % 4 == 0, F.col("label")).alias("lab"),
+    )
+    for _ in range(rounds):
+        nb = cur.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("lab").alias("nlab")
+        )
+        votes = (
+            edges.join(nb, "neighbor_id")
+            .where(F.col("nlab").isNotNull())
+            .groupBy("vec_id", "nlab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("nlab"))
+        pick = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("nlab").alias("plab"))
+        )
+        cur = (
+            cur.join(pick, "vec_id", "left")
+            .select(
+                "vec_id", "label", F.coalesce("lab", "plab").alias("lab")
+            )
+            .localCheckpoint()
+        )
+    return cur.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        (F.col("vec_id") % 4 == 0).alias("is_seed"),
+        F.col("lab").alias("pred_label"),
+    )
+
+
+def _lp_sql(rounds: int = 2, k: int = 5) -> str:
+    from mito_spark.operators.similarity import KNN_GRAPH_SQL
+
+    parts = [
+        f"WITH knn AS ({KNN_GRAPH_SQL})",
+        """r0 AS (
+  SELECT vec_id, label, CASE WHEN vec_id % 4 = 0 THEN label END AS lab
+  FROM embeddings
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""v{r} AS (
+  SELECT e.vec_id, n.lab AS nlab, COUNT(*) AS c
+  FROM knn e JOIN r{r - 1} n ON e.neighbor_id = n.vec_id
+  WHERE n.lab IS NOT NULL GROUP BY e.vec_id, n.lab
+)""")
+        parts.append(f"""p{r} AS (
+  SELECT vec_id, nlab FROM (
+    SELECT vec_id, nlab,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, nlab) AS rn
+    FROM v{r}
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""r{r} AS (
+  SELECT a.vec_id, a.label, COALESCE(a.lab, b.nlab) AS lab
+  FROM r{r - 1} a LEFT JOIN p{r} b ON a.vec_id = b.vec_id
+)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT vec_id, label AS true_label, vec_id % 4 = 0 AS is_seed,
+       lab AS pred_label
+FROM r{rounds}
+"""
+    )
+
+
+LABEL_PROP_SQL = _lp_sql()
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup components — the
+    one-screen report a dedup run is judged by (how much mass sits in
+    how-big clusters): (cluster_size, n_clusters, n_docs, docs_dropped
+    = n_docs - n_clusters). Composes dedup_connected_components; the
+    histogram has at most |distinct sizes| rows at any corpus size."""
+    cc = dedup_connected_components(spark, sf_dir)
+    return (
+        cc.groupBy("cluster_size")
+        .agg(
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_clusters")).alias("docs_dropped"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_stats_sql() -> str:
+    return f"""
+WITH cc AS ({CC_SQL})
+SELECT cluster_size,
+       COUNT(DISTINCT cluster_id) AS n_clusters,
+       COUNT(*) AS n_docs,
+       COUNT(*) - COUNT(DISTINCT cluster_id) AS docs_dropped
+FROM cc GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+CLUSTER_STATS_SQL = _cluster_stats_sql()

@@ -74,3 +74,49 @@ def test_cc_duplicate_and_reversed_edges(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = connected_components(df).collect()
     assert sorted((r.node, r.component) for r in out) == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_label_propagation_semantics(spark, sf_dir):
+    from mito_spark.operators.graph import label_propagation
+
+    rows = label_propagation(spark, sf_dir).collect()
+    labels = {r["true_label"] for r in rows}
+    n_seed = sum(1 for r in rows if r["is_seed"])
+    assert 0 < n_seed < len(rows)
+    for r in rows:
+        if r["is_seed"]:
+            # seeds keep their true label, always
+            assert r["pred_label"] == r["true_label"]
+        elif r["pred_label"] is not None:
+            # propagated labels come from the label domain
+            assert r["pred_label"] in labels
+    # propagation extends coverage beyond the seed set
+    n_labeled = sum(1 for r in rows if r["pred_label"] is not None)
+    assert n_labeled > n_seed
+
+
+def test_label_propagation_monotone_rounds(spark, sf_dir):
+    """More rounds can only ADD labels, never change existing ones."""
+    from mito_spark.operators.graph import label_propagation
+
+    one = {r["vec_id"]: r["pred_label"] for r in label_propagation(spark, sf_dir, rounds=1).collect()}
+    two = {r["vec_id"]: r["pred_label"] for r in label_propagation(spark, sf_dir, rounds=2).collect()}
+    for vid, lab in one.items():
+        if lab is not None:
+            assert two[vid] == lab
+    assert sum(v is not None for v in two.values()) >= sum(v is not None for v in one.values())
+
+
+def test_dedup_cluster_stats_consistent(spark, sf_dir):
+    from mito_spark.operators.graph import (
+        dedup_cluster_stats,
+        dedup_connected_components,
+    )
+
+    stats = dedup_cluster_stats(spark, sf_dir).collect()
+    cc_rows = dedup_connected_components(spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in stats) == cc_rows
+    for r in stats:
+        assert r["cluster_size"] >= 2  # singletons never enter the pair graph
+        assert r["docs_dropped"] == r["n_docs"] - r["n_clusters"] >= 0
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
