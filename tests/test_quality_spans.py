@@ -278,3 +278,49 @@ def test_seq_length_histogram_conserves_mass(spark, sf_dir):
         assert 2 ** r["len_bin"] <= r["min_len"] <= r["max_len"] < 2 ** (r["len_bin"] + 1)
         # waste at ctx=128 is bounded by n_docs * 127
         assert 0 <= r["pad_waste_128"] <= r["n_docs"] * 127
+
+
+# ---------- jaccard_prefix_join threshold boundary ----------
+
+
+def test_prefix_join_exact_threshold_boundary(spark, tmp_path):
+    """A pair at shingle-Jaccard EXACTLY 0.8 must be returned
+    (>= is inclusive) — replacing the LAST token of an 11-token doc
+    changes exactly one 3-gram shingle: inter 8, union 10, J = 0.8.
+    Replacing token 10 changes two shingles (inter 7, union 11,
+    J ≈ 0.636) and must be excluded."""
+    from mito_spark.operators.dedup import jaccard_prefix_join
+
+    base = [f"w{i}" for i in range(11)]
+    at_boundary = base[:-1] + ["zz"]
+    below = base[:9] + ["yy"] + [base[10]]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (2, " ".join(at_boundary)),
+            (3, " ".join(below)),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "jb")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(d + "/documents.parquet")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_join(spark, d, threshold=0.8).collect()
+    }
+    assert pairs.get((1, 2)) == 0.8  # inclusive boundary, found
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_label_propagation_plan_no_cartesian(spark, sf_dir):
+    from mito_spark.operators.graph import label_propagation
+
+    plan = (
+        label_propagation(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
