@@ -125,6 +125,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "vocab_coverage",
     "seq_length_histogram",
+    "corpus_shuffle",
     # label_propagation and dedup_cluster_stats excluded like
     # IVF/semdedup: their cost IS the kNN-graph / CC build they
     # compose (knn_graph and dedup_connected_components are benched);

@@ -115,3 +115,53 @@ SELECT lang, CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
        MAX(doc_id) AS last_doc
 FROM c GROUP BY 1, 2
 """
+
+
+N_SHARDS = 8
+
+
+def corpus_shuffle(
+    spark: SparkSession, sf_dir: str, salt: str = "shuffle:v1", n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order
+    randomization every pretraining pipeline runs before packing.
+    NOT an ORDER BY rand(): shard = md5-hash of the doc id (uniform,
+    reproducible across runs and engines), position = rank of the md5
+    key WITHIN the shard. Equivalent to a uniform random permutation,
+    but the only shuffle is one hash partition + per-shard sort —
+    each executor sorts its own shard; no global sort, no skew, and
+    changing the salt re-shuffles without touching the data.
+
+    Output: (doc_id, shard, pos) — the read order for epoch 0; a
+    training job reads shards in index order, rows by pos.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", key.alias("k"))
+    shard = F.pmod(
+        F.conv(F.substring(F.col("k"), 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+CORPUS_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, md5('shuffle:v1:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), sharded AS (
+  SELECT doc_id, k,
+         CAST(CAST('0x' || substring(k, 1, 15) AS BIGINT) % {N_SHARDS} AS INTEGER) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+FROM sharded
+"""

@@ -324,3 +324,31 @@ def test_label_propagation_plan_no_cartesian(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# ---------- corpus_shuffle ----------
+
+
+def test_corpus_shuffle_is_permutation(spark, sf_dir):
+    from mito_spark.operators.sampling import corpus_shuffle
+
+    rows = corpus_shuffle(spark, sf_dir).collect()
+    n = len(rows)
+    assert len({r["doc_id"] for r in rows}) == n  # every doc exactly once
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # dense ranks
+    # uniformity: no shard holds more than 3x its fair share
+    assert max(len(p) for p in by_shard.values()) <= 3 * (n // len(by_shard) + 1)
+
+
+def test_corpus_shuffle_salt_changes_order(spark, sf_dir):
+    from mito_spark.operators.sampling import corpus_shuffle
+
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in corpus_shuffle(spark, sf_dir).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in corpus_shuffle(spark, sf_dir, salt="shuffle:v2").collect()}
+    assert a != b  # new salt = new epoch permutation
+    c = {(r["doc_id"], r["shard"], r["pos"]) for r in corpus_shuffle(spark, sf_dir).collect()}
+    assert a == c  # same salt = bit-identical order
