@@ -126,6 +126,7 @@ HEADLINE = [
     "vocab_coverage",
     "seq_length_histogram",
     "corpus_shuffle",
+    "split_leakage_check",
     # label_propagation and dedup_cluster_stats excluded like
     # IVF/semdedup: their cost IS the kNN-graph / CC build they
     # compose (knn_graph and dedup_connected_components are benched);

@@ -855,3 +855,97 @@ ORDER BY id_a, id_b
 
 
 JACCARD_PREFIX_SQL = _jaccard_exact_sql()
+
+
+def split_leakage_check(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, shingle: int = 3
+) -> DataFrame:
+    """Train/eval LEAKAGE detection: near-duplicate pairs that cross
+    the dataset_split boundary — the eval-hygiene audit every
+    benchmark split must pass before numbers are trusted (a test doc
+    with a near-copy in train inflates eval; this is decontamination's
+    sibling for the pipeline's OWN split rather than an external
+    probe set).
+
+    Same shape as incremental_dedup's new-vs-canon probe: band keys
+    computed once, candidates restricted to (non-train × train) band
+    collisions — no train×train or eval×eval work — then the exact
+    Jaccard verify. Output: one row per leaking pair
+    (eval_id, eval_split, train_id, jaccard).
+    """
+    from mito_spark.operators.sampling import hash_split
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sigd = _staged_shingles(docs, shingle).select(
+        "doc_id", "sh", _affine_minhash(F.col("sh"), NUM_HASHES).alias("sig")
+    ).localCheckpoint()
+    splits = docs.select(
+        "doc_id",
+        hash_split(
+            F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).alias("split"),
+    )
+    bands = _band_keys(sigd).join(splits, "doc_id")
+    eval_bands = bands.where(F.col("split") != "train")
+    train_bands = bands.where(F.col("split") == "train")
+    cand = (
+        eval_bands.alias("e")
+        .join(train_bands.alias("t"), ["band", "key"])
+        .select(
+            F.col("e.doc_id").alias("eval_id"),
+            F.col("e.split").alias("eval_split"),
+            F.col("t.doc_id").alias("train_id"),
+        )
+        .distinct()
+    )
+    sh_only = sigd.select("doc_id", "sh")
+    return (
+        cand.join(
+            sh_only.withColumnRenamed("doc_id", "eval_id").withColumnRenamed("sh", "sh_e"),
+            "eval_id",
+        )
+        .join(
+            sh_only.withColumnRenamed("doc_id", "train_id").withColumnRenamed("sh", "sh_t"),
+            "train_id",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_e", "sh_t")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_e") + F.size("sh_t") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("eval_id", "eval_split", "train_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _split_leakage_sql(threshold: float = 0.5, shingle: int = 3) -> str:
+    base = _minhash_sql(threshold, shingle)
+    head, _, _ = base.partition("), cand AS (")
+    return rf"""{head}), splits AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5('split:v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   / 1152921504606846976.0 < 0.9 THEN 'train'
+              WHEN CAST('0x' || substr(md5('split:v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   / 1152921504606846976.0 < 0.95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), cand AS (
+  SELECT e.doc_id AS eval_id, se.split AS eval_split, t.doc_id AS train_id
+  FROM keyed e JOIN splits se ON e.doc_id = se.doc_id
+       JOIN keyed t ON e.band = t.band AND e.key = t.key
+       JOIN splits st ON t.doc_id = st.doc_id
+  WHERE se.split <> 'train' AND st.split = 'train'
+  GROUP BY 1, 2, 3
+)
+SELECT eval_id, eval_split, train_id,
+       ROUND(CAST(len(list_intersect(te.sh, tt.sh)) AS DOUBLE)
+         / (len(te.sh) + len(tt.sh) - len(list_intersect(te.sh, tt.sh))), 6) AS jaccard
+FROM cand JOIN tok te ON cand.eval_id = te.doc_id
+          JOIN tok tt ON cand.train_id = tt.doc_id
+WHERE CAST(len(list_intersect(te.sh, tt.sh)) AS DOUBLE)
+         / (len(te.sh) + len(tt.sh) - len(list_intersect(te.sh, tt.sh))) >= {threshold}
+"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()

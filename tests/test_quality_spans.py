@@ -352,3 +352,48 @@ def test_corpus_shuffle_salt_changes_order(spark, sf_dir):
     assert a != b  # new salt = new epoch permutation
     c = {(r["doc_id"], r["shard"], r["pos"]) for r in corpus_shuffle(spark, sf_dir).collect()}
     assert a == c  # same salt = bit-identical order
+
+
+# ---------- split_leakage_check ----------
+
+
+def test_split_leakage_pairs_cross_boundary(spark):
+    """Planted near-dup pair crossing the split boundary must be
+    reported; an identical pair inside train must NOT."""
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from mito_spark.operators.dedup import split_leakage_check
+    from mito_spark.operators.sampling import hash_split
+
+    # find doc_ids whose hash_split labels differ (one train, one not)
+    probe = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    labels = {
+        r["doc_id"]: r["s"]
+        for r in probe.select(
+            "doc_id",
+            hash_split(FF.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}).alias("s"),
+        ).collect()
+    }
+    train_ids = [i for i, s in labels.items() if s == "train"]
+    eval_ids = [i for i, s in labels.items() if s != "train"]
+    text = " ".join(f"tok{i}" for i in range(30))
+    td = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [
+            (train_ids[0], text),          # leaks into...
+            (eval_ids[0], text + " tail"), # ...this eval near-copy
+            (train_ids[1], "other " + text),  # train-train dup: not a leak
+            (train_ids[2], "other " + text + " x"),
+            (eval_ids[1], " ".join(f"z{i}" for i in range(30))),  # clean eval doc
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", FF.lit("en")).withColumn("source", FF.lit("t")).withColumn(
+        "n_chars", FF.length("text")
+    ).write.parquet(td + "/documents.parquet")
+    rows = split_leakage_check(spark, td).collect()
+    got = {(r["eval_id"], r["train_id"]) for r in rows}
+    assert (eval_ids[0], train_ids[0]) in got
+    for r in rows:
+        assert labels[r["eval_id"]] != "train" and labels[r["train_id"]] == "train"
