@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 wave 3: train/eval near-dup leakage audit (cross-split
         # band probe, incremental_dedup's shape)
         "split_leakage_check": dedup.split_leakage_check,
+        # r5 wave 3: measured LSH recall vs exact ground truth
+        "lsh_recall_report": dedup.lsh_recall_report,
         "surprisal_buckets": quality.surprisal_buckets,
         "contrastive_pairs": contrastive.contrastive_pairs,
         "events_retransmit_dedup": events.events_retransmit_dedup,
@@ -145,11 +147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cube": relational2.order_cube,
         "sql_grouping_sets": relational2.sql_grouping_sets,
         "customer_running_totals": relational2.customer_running_totals,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         # ---- tail (position 51+): r4-green rows resting this round
         # (driver CORRECTNESS_r04 green; rotate back in r6; q6 and
         # top_orders are r3-green shapes bumped by the wave-3 adds —
         # first in line for the r6 window) ----
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q7_nation_volume": relational2.q7_nation_volume,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
@@ -275,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_stats": graph.CLUSTER_STATS_SQL,
         "corpus_shuffle": sampling.CORPUS_SHUFFLE_SQL,
         "split_leakage_check": dedup.SPLIT_LEAKAGE_SQL,
+        "lsh_recall_report": dedup.LSH_RECALL_SQL,
         "surprisal_buckets": quality.SURPRISAL_BUCKETS_SQL,
         "contrastive_pairs": contrastive.CONTRASTIVE_SQL,
         "events_retransmit_dedup": events.RETRANSMIT_SQL,

@@ -127,6 +127,9 @@ HEADLINE = [
     "seq_length_histogram",
     "corpus_shuffle",
     "split_leakage_check",
+    # lsh_recall_report excluded: its cost IS the exact t=0.5 prefix
+    # join it uses as ground truth (deliberately expensive); oracle
+    # row + planted-dup test cover behavior
     # label_propagation and dedup_cluster_stats excluded like
     # IVF/semdedup: their cost IS the kNN-graph / CC build they
     # compose (knn_graph and dedup_connected_components are benched);

@@ -949,3 +949,53 @@ WHERE CAST(len(list_intersect(te.sh, tt.sh)) AS DOUBLE)
 
 
 SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
+def lsh_recall_report(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, shingle: int = 3
+) -> DataFrame:
+    """MEASURED recall of the MinHash-LSH tier against exact ground
+    truth at the same threshold — the banding math (1-(1-j^r)^b) is a
+    model; this op checks it against the corpus. Ground truth comes
+    from the prefix-filter join (recall 1.0 by construction); both
+    tiers verify exact Jaccard, so LSH pairs ⊆ exact pairs and the
+    single number that matters is recall = |LSH| / |exact|.
+
+    Output: one row (threshold, n_exact_pairs, n_lsh_pairs, recall).
+    The report a dedup rollout puts beside its config change.
+    """
+    exact = jaccard_prefix_join(spark, sf_dir, threshold=threshold, shingle=shingle)
+    lsh = minhash_lsh_dedup(spark, sf_dir, threshold=threshold, shingle=shingle)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    return (
+        n_exact.crossJoin(n_lsh)  # 1x1
+        .select(
+            F.lit(threshold).alias("threshold"),
+            "n_exact_pairs",
+            "n_lsh_pairs",
+            F.round(
+                F.try_divide(
+                    F.col("n_lsh_pairs").cast("double"),
+                    F.col("n_exact_pairs").cast("double"),
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _lsh_recall_sql(threshold: float = 0.5, shingle: int = 3) -> str:
+    return f"""
+WITH exact_pairs AS ({_jaccard_exact_sql(threshold, shingle)}),
+lsh_pairs AS ({_minhash_sql(threshold, shingle)})
+SELECT CAST({threshold} AS DOUBLE) AS threshold,
+       (SELECT COUNT(*) FROM exact_pairs) AS n_exact_pairs,
+       (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh_pairs,
+       CASE WHEN (SELECT COUNT(*) FROM exact_pairs) = 0 THEN NULL
+            ELSE ROUND(CAST((SELECT COUNT(*) FROM lsh_pairs) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM exact_pairs), 6) END AS recall
+"""
+
+
+LSH_RECALL_SQL = _lsh_recall_sql()

@@ -397,3 +397,28 @@ def test_split_leakage_pairs_cross_boundary(spark):
     assert (eval_ids[0], train_ids[0]) in got
     for r in rows:
         assert labels[r["eval_id"]] != "train" and labels[r["train_id"]] == "train"
+
+
+# ---------- lsh_recall_report ----------
+
+
+def test_lsh_recall_on_planted_dups(spark, tmp_path):
+    """Corpus of exact-duplicate pairs: the exact join finds all of
+    them, LSH bands find identical signatures with certainty, so
+    recall must be exactly 1.0."""
+    from mito_spark.operators.dedup import lsh_recall_report
+
+    rows = []
+    for i in range(10):
+        text = " ".join(f"w{i}_{j}" for j in range(20))
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text))  # exact dup -> J = 1.0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "recall")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(d + "/documents.parquet")
+    (row,) = lsh_recall_report(spark, d).collect()
+    assert row["n_exact_pairs"] == 10
+    assert row["n_lsh_pairs"] == 10
+    assert row["recall"] == 1.0
