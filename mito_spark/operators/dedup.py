@@ -109,6 +109,50 @@ def _staged_shingles(
     return toks.select(id_col, _shingles_from(F.col("toks"), n).alias("sh"))
 
 
+def _jaccard_verified(
+    cand: DataFrame,
+    sh_frame: DataFrame,
+    left: str,
+    right: str,
+    threshold: float,
+    length_filter: bool = False,
+) -> DataFrame:
+    """Exact-Jaccard verification on candidate id pairs — the single
+    definition of the verify stage shared by the MinHash, incremental,
+    ngram, prefix-join, and split-leakage tiers (this block used to be
+    pasted at every site; same dedup rationale as _band_keys).
+
+    Joins ``sh_frame`` (doc_id, sh) onto ``cand``'s (left, right) id
+    columns, computes J = |∩| / (|A|+|B|−|∩|) on integer set sizes
+    (exact rationals — engine-portable), keeps rows with J >=
+    threshold. Returns cand's columns plus unrounded ``jaccard``;
+    callers round/select. ``length_filter`` applies the PPJoin size
+    bound min >= t·max BEFORE the intersect evaluates.
+    """
+    out = cand.join(
+        sh_frame.withColumnRenamed("doc_id", left).withColumnRenamed("sh", "_sh_l"),
+        left,
+    ).join(
+        sh_frame.withColumnRenamed("doc_id", right).withColumnRenamed("sh", "_sh_r"),
+        right,
+    )
+    if length_filter:
+        out = out.where(
+            F.least(F.size("_sh_l"), F.size("_sh_r")).cast("double")
+            >= threshold * F.greatest(F.size("_sh_l"), F.size("_sh_r"))
+        )
+    return (
+        out.withColumn("_ni", F.size(F.array_intersect("_sh_l", "_sh_r")))
+        .withColumn(
+            "jaccard",
+            F.col("_ni").cast("double")
+            / (F.size("_sh_l") + F.size("_sh_r") - F.col("_ni")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .drop("_sh_l", "_sh_r", "_ni")
+    )
+
+
 # Affine-rehash scheme: ONE md5 per shingle; the K hash functions are
 # h_j = (a_j·h1 + b_j·h2 + j) mod P over the md5's two 30-bit halves
 # (P = 2^61−1, Mersenne). All products stay < 2^63 — no overflow under
@@ -201,19 +245,9 @@ def minhash_lsh_dedup(
         .distinct()
     )
     sh_only = sigd.select("doc_id", "sh")
-    verified = (
-        cand.join(sh_only.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh_only.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _jaccard_verified(cand, sh_only, "id_a", "id_b", threshold).select(
+        "id_a", "id_b", "jaccard"
     )
-    return verified
 
 
 def _minhash_sql(threshold: float = 0.5, shingle: int = 3) -> str:
@@ -386,20 +420,11 @@ def ngram_jaccard_verify(
     ``ngram_jaccard_pairs`` below exists solely so the oracle can
     verify the Jaccard arithmetic exhaustively at test SF."""
     g = _staged_shingles(docs, n, id_col=id_col, text_col=text_col).select(
-        F.col(id_col).alias("_id"), "sh"
+        F.col(id_col).alias("doc_id"), "sh"
     )
-    return (
-        pairs.select("id_a", "id_b")
-        .join(g.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(g.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double") / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verified(
+        pairs.select("id_a", "id_b"), g, "id_a", "id_b", threshold
+    ).select("id_a", "id_b", "jaccard")
 
 
 # Quadratic all-pairs is only sane below this corpus size; past it the
@@ -503,17 +528,7 @@ def incremental_dedup(
         .distinct()
     )
     sh_only = sigd.select("doc_id", "sh")
-    verified = (
-        cand.join(sh_only.withColumnRenamed("doc_id", "new_id").withColumnRenamed("sh", "sh_n"), "new_id")
-        .join(sh_only.withColumnRenamed("doc_id", "old_id").withColumnRenamed("sh", "sh_o"), "old_id")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_n", "sh_o")))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.size("sh_n") + F.size("sh_o") - F.col("n_inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    verified = _jaccard_verified(cand, sh_only, "new_id", "old_id", threshold)
     from pyspark.sql import Window
 
     best = (
@@ -535,6 +550,7 @@ def _incremental_sql(split_at: int = 400, threshold: float = 0.5, shingle: int =
     base = _minhash_sql(threshold, shingle)
     # reuse the shared pipeline up to band keys: regenerate with the
     # new-vs-old candidate join in place of the self-join
+    assert "), cand AS (" in base  # splice point; fail at import, not gate time
     head, _, _ = base.partition("), cand AS (")
     return rf"""{head}), cand AS (
   SELECT n.doc_id AS new_id, o.doc_id AS old_id
@@ -805,27 +821,13 @@ def jaccard_prefix_join(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    verified = (
-        cand.join(shd.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(shd.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        # PPJoin length filter: J >= t forces min|X| >= t * max|X| —
-        # kills size-mismatched candidates before the O(|A|+|B|)
-        # intersect (the expensive expression never evaluates)
-        .where(
-            F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
-            >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
-        )
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
+    # length_filter = the PPJoin size bound min >= t*max, applied
+    # before the intersect evaluates
+    return (
+        _jaccard_verified(cand, shd, "id_a", "id_b", threshold, length_filter=True)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
-    return verified
 
 
 def _jaccard_exact_sql(threshold: float = 0.8, shingle: int = 3) -> str:
@@ -879,13 +881,13 @@ def split_leakage_check(
     sigd = _staged_shingles(docs, shingle).select(
         "doc_id", "sh", _affine_minhash(F.col("sh"), NUM_HASHES).alias("sig")
     ).localCheckpoint()
-    splits = docs.select(
-        "doc_id",
-        hash_split(
-            F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
-        ).alias("split"),
+    # split is a pure hash of doc_id — computed as a COLUMN on the
+    # band rows, never a join (zero extra shuffle; the same
+    # zero-shuffle rationale hash_split documents in sampling.py)
+    bands = _band_keys(sigd).withColumn(
+        "split",
+        hash_split(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}),
     )
-    bands = _band_keys(sigd).join(splits, "doc_id")
     eval_bands = bands.where(F.col("split") != "train")
     train_bands = bands.where(F.col("split") == "train")
     cand = (
@@ -899,28 +901,14 @@ def split_leakage_check(
         .distinct()
     )
     sh_only = sigd.select("doc_id", "sh")
-    return (
-        cand.join(
-            sh_only.withColumnRenamed("doc_id", "eval_id").withColumnRenamed("sh", "sh_e"),
-            "eval_id",
-        )
-        .join(
-            sh_only.withColumnRenamed("doc_id", "train_id").withColumnRenamed("sh", "sh_t"),
-            "train_id",
-        )
-        .withColumn("n_inter", F.size(F.array_intersect("sh_e", "sh_t")))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.size("sh_e") + F.size("sh_t") - F.col("n_inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("eval_id", "eval_split", "train_id", F.round("jaccard", 6).alias("jaccard"))
+    return _jaccard_verified(cand, sh_only, "eval_id", "train_id", threshold).select(
+        "eval_id", "eval_split", "train_id", F.round("jaccard", 6).alias("jaccard")
     )
 
 
 def _split_leakage_sql(threshold: float = 0.5, shingle: int = 3) -> str:
     base = _minhash_sql(threshold, shingle)
+    assert "), cand AS (" in base  # splice point; fail at import, not gate time
     head, _, _ = base.partition("), cand AS (")
     return rf"""{head}), splits AS (
   SELECT doc_id,

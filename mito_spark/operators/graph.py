@@ -294,10 +294,10 @@ def label_propagation(
 
 
 def _lp_sql(rounds: int = 2, k: int = 5) -> str:
-    from mito_spark.operators.similarity import KNN_GRAPH_SQL
+    from mito_spark.operators.similarity import _knn_graph_sql
 
     parts = [
-        f"WITH knn AS ({KNN_GRAPH_SQL})",
+        f"WITH knn AS ({_knn_graph_sql(k=k)})",
         """r0 AS (
   SELECT vec_id, label, CASE WHEN vec_id % 4 = 0 THEN label END AS lab
   FROM embeddings

@@ -357,11 +357,9 @@ def test_corpus_shuffle_salt_changes_order(spark, sf_dir):
 # ---------- split_leakage_check ----------
 
 
-def test_split_leakage_pairs_cross_boundary(spark):
+def test_split_leakage_pairs_cross_boundary(spark, tmp_path):
     """Planted near-dup pair crossing the split boundary must be
     reported; an identical pair inside train must NOT."""
-    import tempfile
-
     from pyspark.sql import functions as FF
 
     from mito_spark.operators.dedup import split_leakage_check
@@ -379,7 +377,7 @@ def test_split_leakage_pairs_cross_boundary(spark):
     train_ids = [i for i, s in labels.items() if s == "train"]
     eval_ids = [i for i, s in labels.items() if s != "train"]
     text = " ".join(f"tok{i}" for i in range(30))
-    td = tempfile.mkdtemp()
+    td = str(tmp_path / "leak")
     spark.createDataFrame(
         [
             (train_ids[0], text),          # leaks into...
