@@ -812,14 +812,40 @@ def jaccard_prefix_join(
         ex.join(dfreq, "h")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= (F.col("n") - F.floor(threshold * F.col("n")) + 1))
-        .select("doc_id", "h")
+        .select("doc_id", "n", "rk", "h")
+    )
+    # PPJoin POSITIONAL filter (Xiao et al. ICDE'08 §4): a collision
+    # at prefix ranks (ra, rb) bounds the overlap by the matched
+    # element plus both suffixes: ub = min(na-ra, nb-rb) + 1. J >= t
+    # needs overlap >= t/(1+t)·(na+nb); pairs whose BEST collision
+    # can't reach that are pruned before any shingle set is touched.
+    # (ub is an integer, so the double compare ub >= x is equivalent
+    # to ub >= ceil(x).) The groupBy replaces the former distinct —
+    # same shuffle key, strictly more pruning.
+    ub = (
+        F.least(
+            F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
+        )
+        + 1
     )
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "h")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            ub.alias("ub"),
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.max("ub").alias("best_ub"))
+        .where(
+            F.col("best_ub").cast("double")
+            >= (threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+        )
+        .select("id_a", "id_b")
     )
     # length_filter = the PPJoin size bound min >= t*max, applied
     # before the intersect evaluates
