@@ -420,3 +420,36 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
     assert row["n_exact_pairs"] == 10
     assert row["n_lsh_pairs"] == 10
     assert row["recall"] == 1.0
+
+
+# ---------- partition-count invariance ----------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_shuffle",
+        "dataset_split",
+        "stratified_sample",
+        "token_pack_bins",
+        "dedup_exact",
+        "surprisal_buckets",
+    ],
+)
+def test_partition_count_invariance(spark, sf_dir, name):
+    """Results must be identical under different shuffle parallelism —
+    the property that makes an answer THE answer on any cluster size.
+    All assignment/sampling ops here derive ordering from md5 hashes
+    or explicit sort keys, never from partition iteration order."""
+    import __spark_entry__ as entry
+
+    fn = entry.queries()[name]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
