@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-style surprisal deciles, contrastive pair mining, and
         # at-least-once retransmission dedup
         "exact_substring_spans": spans.exact_substring_spans,
+        "boilerplate_ngrams": spans.boilerplate_ngrams,
         "span_rewrite": spans.span_rewrite,
         "hybrid_search_rrf": search.hybrid_search_rrf,
         "c4_quality_filters": quality.c4_quality_filters,
@@ -146,11 +147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": relational2.revenue_rollup,
         "order_cube": relational2.order_cube,
         "sql_grouping_sets": relational2.sql_grouping_sets,
-        "customer_running_totals": relational2.customer_running_totals,
         # ---- tail (position 51+): r4-green rows resting this round
         # (driver CORRECTNESS_r04 green; rotate back in r6; q6 and
         # top_orders are r3-green shapes bumped by the wave-3 adds —
         # first in line for the r6 window) ----
+        "customer_running_totals": relational2.customer_running_totals,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q7_nation_volume": relational2.q7_nation_volume,
         "q10_returned_top_customers": relational2.q10_returned_top_customers,
@@ -268,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_prefix_join": dedup.JACCARD_PREFIX_SQL,
         "mmr_rerank": mmr.MMR_SQL,
         "exact_substring_spans": spans.SPANS_SQL,
+        "boilerplate_ngrams": spans.BOILERPLATE_SQL,
         "span_rewrite": spans.SPAN_REWRITE_SQL,
         "hybrid_search_rrf": search.HYBRID_RRF_SQL,
         "c4_quality_filters": quality.C4_SQL,

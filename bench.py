@@ -121,6 +121,7 @@ HEADLINE = [
     # training dominates; oracle row + tests cover behavior
     # new in r5 wave 2
     "exact_substring_spans",
+    "boilerplate_ngrams",
     "span_rewrite",
     "hybrid_search_rrf",
     "vocab_coverage",

@@ -250,3 +250,74 @@ SELECT doc_id, n_tokens,
        COALESCE(array_to_string(k, ' '), '') AS clean_text
 FROM kept
 """
+
+
+TOP_NGRAMS = 20
+
+
+def boilerplate_ngrams(
+    spark: SparkSession, sf_dir: str, n: int = 3, top: int = TOP_NGRAMS
+) -> DataFrame:
+    """Corpus-level boilerplate report: the ``top`` word n-grams by
+    DOCUMENT frequency (share of docs containing them) — the
+    human-readable ranking that drives boilerplate-strip rules
+    (site headers, license blocks, nav text). Complements the
+    pairwise span profile: spans say WHICH docs share runs; this says
+    WHAT text is everywhere.
+
+    One explode + one gram-keyed distinct-count + a TakeOrdered:
+    shuffles on the gram (uniform except the boilerplate itself —
+    exactly the hot keys AQE splits), and the result is `top` rows at
+    any corpus size.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    grams_col = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - n + 1),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", grams_col.alias("grams")).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))  # grams distinct per doc: count = doc freq
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(top)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "gram",
+            "df",
+            F.round(
+                F.col("df").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("doc_share"),
+        )
+    )
+
+
+BOILERPLATE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 3 + 1, 0) + 1),
+           i -> array_to_string(t[i:i+2], ' ')))) AS gram
+  FROM toks
+), df AS (
+  SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+  ORDER BY df DESC, gram LIMIT {TOP_NGRAMS}
+)
+SELECT gram, df,
+       ROUND(CAST(df AS DOUBLE) / (SELECT COUNT(*) FROM documents), 6) AS doc_share
+FROM df
+"""

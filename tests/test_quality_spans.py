@@ -453,3 +453,22 @@ def test_partition_count_invariance(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_boilerplate_ngrams_df_semantics(spark, tmp_path):
+    """df counts DOCUMENTS containing the gram (distinct per doc), not
+    occurrences: a doc repeating a gram 5x contributes 1."""
+    from mito_spark.operators.spans import boilerplate_ngrams
+
+    rep = "a b c " * 5  # gram 'a b c' appears 5x in doc 0
+    docs = spark.createDataFrame(
+        [(0, rep.strip()), (1, "a b c x y z"), (2, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "bp")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(d + "/documents.parquet")
+    out = {r["gram"]: r for r in boilerplate_ngrams(spark, d).collect()}
+    assert out["a b c"]["df"] == 2  # docs 0 and 1, not 6 occurrences
+    assert abs(out["a b c"]["doc_share"] - round(2 / 3, 6)) < 1e-9
