@@ -283,8 +283,15 @@ def boilerplate_ngrams(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = toks.select("doc_id", grams_col.alias("grams")).select(
-        "doc_id", F.explode("grams").alias("gram")
+    # localCheckpoint BEFORE the explode: Generate re-evaluates its
+    # input expression per emitted row when it inlines an interpreted
+    # HOF (the winnow_dup_pairs lesson) — materializing the gram
+    # arrays first keeps the explode a column lookup (7.4 s -> ~1 s
+    # at sf0.1)
+    grams = (
+        toks.select("doc_id", grams_col.alias("grams"))
+        .localCheckpoint()
+        .select("doc_id", F.explode("grams").alias("gram"))
     )
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     return (
