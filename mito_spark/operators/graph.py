@@ -229,7 +229,11 @@ EMBEDDING_CC_SQL = _embedding_cc_sql()
 
 
 def label_propagation(
-    spark: SparkSession, sf_dir: str, rounds: int = 2, k: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 2,
+    k: int = 5,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Semi-supervised label propagation over the kNN graph
     (Zhu & Ghahramani 2002, discrete-majority form): seed nodes
@@ -238,29 +242,35 @@ def label_propagation(
     kNN neighbors (ties -> smallest label id; no labeled neighbor ->
     stays unlabeled). Labels are monotone — once assigned, fixed —
     which makes the unrolled ``rounds`` iterations deterministic and
-    bit-portable to the SQL twin.
+    bit-portable to the SQL twin. Propagation is GATED on the seed
+    predicate, not on lab's nullness, so a seed whose true label is
+    NULL stays NULL rather than absorbing a neighbor vote — the
+    'seeds keep their true label' invariant holds even on nullable
+    label columns (ADVICE r5).
 
     The label-spreading pass every curation pipeline runs to extend a
     small hand-labeled set over the corpus before domain filtering.
 
     Scale shape: edges come from similarity.knn_graph (LSH-blocked,
-    never O(n²)) and are checkpointed once; each round is one
-    edge-keyed join + one (node, label) rollup + one per-node pick —
-    all shuffles on vec_id, plan growth bounded by per-round
+    never O(n²)) and are checkpointed once; pass a precomputed
+    ``edges`` frame (vec_id, neighbor_id) to reuse a graph you
+    already built — a composed report then pays the kNN construction
+    once instead of per consumer (VERDICT r5 wrong#3). Each round is
+    one edge-keyed join + one (node, label) rollup + one per-node
+    pick — all shuffles on vec_id, plan growth bounded by per-round
     localCheckpoint (the MMR lesson, mmr.py).
     """
     from mito_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    edges = (
-        knn_graph(spark, sf_dir, k=k)
-        .select("vec_id", "neighbor_id")
-        .localCheckpoint()
-    )
+    if edges is None:
+        edges = knn_graph(spark, sf_dir, k=k)
+    edges = edges.select("vec_id", "neighbor_id").localCheckpoint()
+    is_seed = F.col("vec_id") % 4 == 0
     cur = emb.select(
         "vec_id",
         "label",
-        F.when(F.col("vec_id") % 4 == 0, F.col("label")).alias("lab"),
+        F.when(is_seed, F.col("label")).alias("lab"),
     )
     for _ in range(rounds):
         nb = cur.select(
@@ -281,7 +291,11 @@ def label_propagation(
         cur = (
             cur.join(pick, "vec_id", "left")
             .select(
-                "vec_id", "label", F.coalesce("lab", "plab").alias("lab")
+                "vec_id",
+                "label",
+                F.when(is_seed, F.col("lab"))
+                .otherwise(F.coalesce("lab", "plab"))
+                .alias("lab"),
             )
             .localCheckpoint()
         )
@@ -317,7 +331,9 @@ def _lp_sql(rounds: int = 2, k: int = 5) -> str:
   ) WHERE rn = 1
 )""")
         parts.append(f"""r{r} AS (
-  SELECT a.vec_id, a.label, COALESCE(a.lab, b.nlab) AS lab
+  SELECT a.vec_id, a.label,
+         CASE WHEN a.vec_id % 4 = 0 THEN a.lab
+              ELSE COALESCE(a.lab, b.nlab) END AS lab
   FROM r{r - 1} a LEFT JOIN p{r} b ON a.vec_id = b.vec_id
 )""")
     return (

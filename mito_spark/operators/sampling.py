@@ -117,11 +117,31 @@ FROM c GROUP BY 1, 2
 """
 
 
-N_SHARDS = 8
+MIN_SHARDS = 8
+SHARD_TARGET_ROWS = 100_000
+
+
+def auto_n_shards(
+    n_rows: int,
+    target_shard_rows: int = SHARD_TARGET_ROWS,
+    min_shards: int = MIN_SHARDS,
+) -> int:
+    """Shard count scaled to the corpus: ceil(n / target_shard_rows),
+    floor ``min_shards``. Each shard's rank is one window task (all
+    rows of a shard land in a single partition of the per-shard sort),
+    so a FIXED shard count puts n/const rows through one task — at
+    100 TB / 8 shards that is 12.5 TB in a single sort. This rule
+    bounds the per-task row count at target_shard_rows (~a few MB of
+    (id, key) pairs) at any corpus size. The SQL twin derives the
+    identical count from COUNT(*) with the same constants."""
+    return max(min_shards, -(-n_rows // target_shard_rows))
 
 
 def corpus_shuffle(
-    spark: SparkSession, sf_dir: str, salt: str = "shuffle:v1", n_shards: int = N_SHARDS
+    spark: SparkSession,
+    sf_dir: str,
+    salt: str = "shuffle:v1",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Deterministic global corpus shuffle — the training-order
     randomization every pretraining pipeline runs before packing.
@@ -132,10 +152,17 @@ def corpus_shuffle(
     each executor sorts its own shard; no global sort, no skew, and
     changing the salt re-shuffles without touching the data.
 
+    ``n_shards=None`` (the default) derives the shard count from the
+    corpus size (``auto_n_shards``) so the per-shard window task stays
+    bounded at any scale; the oracle twin computes the same rule from
+    COUNT(*), so Python and SQL can never drift.
+
     Output: (doc_id, shard, pos) — the read order for epoch 0; a
     training job reads shards in index order, rows by pos.
     """
     docs = load_table(spark, sf_dir, "documents")
+    if n_shards is None:
+        n_shards = auto_n_shards(docs.count())
     key = F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", key.alias("k"))
     shard = F.pmod(
@@ -152,13 +179,19 @@ def corpus_shuffle(
     )
 
 
+# n_shards is DERIVED in SQL with the same auto_n_shards rule the
+# Python default uses (GREATEST(min, CEIL(n/target))), so the twin
+# tracks the operator at every SF — no hardcoded shard constant.
 CORPUS_SHUFFLE_SQL = f"""
-WITH keyed AS (
+WITH nsh AS (
+  SELECT GREATEST({MIN_SHARDS}, CAST(CEIL(COUNT(*) / {SHARD_TARGET_ROWS}.0) AS BIGINT)) AS n_shards
+  FROM documents
+), keyed AS (
   SELECT doc_id, md5('shuffle:v1:' || CAST(doc_id AS VARCHAR)) AS k
   FROM documents
 ), sharded AS (
   SELECT doc_id, k,
-         CAST(CAST('0x' || substring(k, 1, 15) AS BIGINT) % {N_SHARDS} AS INTEGER) AS shard
+         CAST(CAST('0x' || substring(k, 1, 15) AS BIGINT) % (SELECT n_shards FROM nsh) AS INTEGER) AS shard
   FROM keyed
 )
 SELECT doc_id, shard,

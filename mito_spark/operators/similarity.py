@@ -184,6 +184,35 @@ def auto_lsh_bits(
     return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_size))))
 
 
+_CELL_TARGET = 1000
+_MIN_CELLS = 16
+
+
+def auto_n_cells(
+    n_rows: int,
+    target_cell_size: int = _CELL_TARGET,
+    min_cells: int = _MIN_CELLS,
+    max_cells: int = 1 << 20,
+) -> int:
+    """Cell count scaled to the corpus: n_cells ≈ n / target_cell_size
+    (SemDeDup trains k ≈ 0.1% of N for the same reason). The per-cell
+    pairwise pass costs Σ|cell|²; with a FIXED cell count that is
+    O(n²/n_cells) — quadratic at any constant — while this rule keeps
+    E|cell| = target_cell_size, so total pairwise work is
+    O(n · target_cell_size): linear in the corpus. The embedding-space
+    sibling of ``auto_lsh_bits``.
+
+    The floor (16) matches the static DuckDB oracle twins, which are
+    generated at n_cells=16: for corpora up to 16·target rows — every
+    gate SF — the derived value IS 16, so auto-scaling and the static
+    oracle coincide exactly; beyond that the oracle SF never travels.
+    The cap (2^20 cells, ~10^9 rows at the default target) is where a
+    flat in-plan centroid table stops making sense — past it, swap the
+    coarse quantizer for a hierarchical one (cluster the centroids)
+    rather than growing k."""
+    return max(min_cells, min(max_cells, n_rows // target_cell_size))
+
+
 def _hyperplane(dim: int, h: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane h of table ``table``:
     component i derived from md5 of the (table, h, i) coordinates →
@@ -503,12 +532,18 @@ def cosine_topk_ivf(
     sf_dir: str,
     n_queries: int = 10,
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 4,
 ) -> DataFrame:
     """IVF ANN: k-means coarse quantizer → corpus partitioned into
     cells → each query scores only its ``nprobe`` nearest cells.
     Returns the brute-force schema so recall is measurable by join.
+
+    ``n_cells=None`` (the default) derives the cell count from the
+    corpus size (``auto_n_cells``) so per-cell population — and the
+    per-query probe cost N·nprobe/n_cells — stays constant as the
+    corpus grows; at gate SFs the rule floors to 16, matching the
+    static oracle SQL exactly.
 
     100 TB shape: the centroid table is tiny and broadcast in-plan; the
     corpus is scanned once to tag cells (in production: written
@@ -518,6 +553,8 @@ def cosine_topk_ivf(
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if n_cells is None:
+        n_cells = auto_n_cells(emb.count())
     centroids = _kmeans_centroids(_ivf_train_sample(emb), n_cells)
     # localCheckpoint (not persist): tagged feeds both the query side
     # and the corpus side of the probe join; checkpoint blocks are
@@ -798,7 +835,7 @@ COSINE_SQ8_SQL = _sq8_sql()
 def semdedup(
     spark: SparkSession,
     sf_dir: str,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     threshold: float = 0.95,
 ) -> DataFrame:
     """Semantic deduplication, the SemDeDup recipe (Abbas et al. 2023,
@@ -815,15 +852,21 @@ def semdedup(
     transitive clusters compose with operators.graph).
 
     100 TB shape: clustering bounds the quadratic — the pairwise pass
-    runs per cell, so cost is Σ|cell|², controlled by scaling n_cells
-    with the corpus (the paper uses ~0.1% of N); the centroid table is
-    tiny and rides in the plan (same _kmeans_centroids as IVF), and
-    the per-cell self-join shuffles on cell id only. Reuses the
-    order-pinned k-means so the DuckDB oracle re-derives identical
-    cells, then identical pairs."""
+    runs per cell, so cost is Σ|cell|², and ``n_cells=None`` (the
+    default) scales the cell count with the corpus via ``auto_n_cells``
+    (the paper uses ~0.1% of N): E|cell| stays at the target size, so
+    the default call path is O(n·target) — it CANNOT silently go
+    quadratic as the corpus grows (at gate SFs the rule floors to 16,
+    matching the static oracle). The centroid table is tiny and rides
+    in the plan (same _kmeans_centroids as IVF), and the per-cell
+    self-join shuffles on cell id only. Reuses the order-pinned
+    k-means so the DuckDB oracle re-derives identical cells, then
+    identical pairs."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if n_cells is None:
+        n_cells = auto_n_cells(emb.count())
     centroids = _kmeans_centroids(_ivf_train_sample(emb), n_cells)
     tagged = emb.withColumn(
         "cell", _nearest_cell_expr(centroids).cast("bigint")
@@ -876,7 +919,7 @@ SEMDEDUP_SQL = _semdedup_sql()
 def embedding_cluster_profile(
     spark: SparkSession,
     sf_dir: str,
-    n_cells: int = 16,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Corpus-shape diagnostics over the k-means cells: per cell the
     member count, the mean distance to the centroid (cluster
@@ -887,10 +930,14 @@ def embedding_cluster_profile(
 
     Scale shape: one pass to tag + one groupBy(cell); the per-cell
     mean accumulates 9dp-decimal contributions (order-free, oracle-
-    exact). Output is n_cells rows."""
+    exact). Output is n_cells rows; ``n_cells=None`` derives the
+    count from the corpus (``auto_n_cells``, floor 16 = the static
+    oracle's constant at gate SFs)."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    if n_cells is None:
+        n_cells = auto_n_cells(emb.count())
     centroids = _kmeans_centroids(_ivf_train_sample(emb), n_cells)
     dists = [
         F.aggregate(

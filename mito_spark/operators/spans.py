@@ -253,10 +253,11 @@ FROM kept
 
 
 TOP_NGRAMS = 20
+NGRAM_N = 3
 
 
 def boilerplate_ngrams(
-    spark: SparkSession, sf_dir: str, n: int = 3, top: int = TOP_NGRAMS
+    spark: SparkSession, sf_dir: str, n: int = NGRAM_N, top: int = TOP_NGRAMS
 ) -> DataFrame:
     """Corpus-level boilerplate report: the ``top`` word n-grams by
     DOCUMENT frequency (share of docs containing them) — the
@@ -310,21 +311,28 @@ def boilerplate_ngrams(
     )
 
 
-BOILERPLATE_SQL = rf"""
+def _boilerplate_sql(n: int = NGRAM_N, top: int = TOP_NGRAMS) -> str:
+    # generated from the SAME (n, top) defaults the Python operator
+    # takes — no hardcoded gram-size literals to drift (ADVICE r5);
+    # DuckDB's t[i:i+m] slice is inclusive, so m = n - 1.
+    return rf"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
   FROM documents
 ), grams AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, greatest(len(t) - 3 + 1, 0) + 1),
-           i -> array_to_string(t[i:i+2], ' ')))) AS gram
+           range(1, greatest(len(t) - {n} + 1, 0) + 1),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS gram
   FROM toks
 ), df AS (
   SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
-  ORDER BY df DESC, gram LIMIT {TOP_NGRAMS}
+  ORDER BY df DESC, gram LIMIT {top}
 )
 SELECT gram, df,
        ROUND(CAST(df AS DOUBLE) / (SELECT COUNT(*) FROM documents), 6) AS doc_share
 FROM df
 """
+
+
+BOILERPLATE_SQL = _boilerplate_sql()

@@ -242,8 +242,18 @@ def streaming_retransmit_dedup(events: DataFrame, eps_s: float = 900.0) -> DataF
     """Streaming twin of ``events.events_retransmit_dedup``: per
     (user_id, event_type) key, one epoch-micros scalar of state — an
     event arriving within ``eps_s`` of the key's previous RAW event is
-    emitted to the retransmission manifest (the batch twin's LAG
-    semantics, exactly).
+    emitted to the retransmission manifest.
+
+    IN-ORDER ASSUMPTION: equality with the batch twin's LAG semantics
+    holds when each key's events arrive in (ts, event_id) order across
+    micro-batches. State keeps only the key's last timestamp, so an
+    event that arrives LATE — in a later micro-batch than a
+    larger-timestamp sibling — is compared against the wrong
+    predecessor and the outputs diverge from the batch window (the
+    batch twin sorts the whole key). Feeds that can reorder need a
+    watermark + sort-within-batch front stage (or the batch operator
+    on a replayed log); the tests exercise single availableNow
+    batches, where arrival order is the sorted order.
 
     State is 8 bytes per key, partitioned in the state store; a
     micro-batch shuffles only its own keys. The manifest stream is the

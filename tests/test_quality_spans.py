@@ -472,3 +472,118 @@ def test_boilerplate_ngrams_df_semantics(spark, tmp_path):
     out = {r["gram"]: r for r in boilerplate_ngrams(spark, d).collect()}
     assert out["a b c"]["df"] == 2  # docs 0 and 1, not 6 occurrences
     assert abs(out["a b c"]["doc_share"] - round(2 / 3, 6)) < 1e-9
+
+
+# ---------- auto-scale rules (VERDICT r5 wrong#1/#2) ----------
+
+
+def test_auto_n_shards_bounds_per_task_rows():
+    """The per-shard rank is one window task, so the derived shard
+    count must bound rows-per-shard at the target at ANY corpus size
+    (a fixed count puts n/const rows through one task)."""
+    import math
+
+    from mito_spark.operators.sampling import (
+        MIN_SHARDS,
+        SHARD_TARGET_ROWS,
+        auto_n_shards,
+    )
+
+    for n in (1, 500, 10**6, 10**9, 25 * 10**9):
+        s = auto_n_shards(n)
+        assert s >= MIN_SHARDS
+        assert math.ceil(n / s) <= SHARD_TARGET_ROWS or s == MIN_SHARDS
+        if s > MIN_SHARDS:
+            assert math.ceil(n / s) <= SHARD_TARGET_ROWS
+    # gate-SF sync: the static floor is what the 500-doc corpora derive
+    assert auto_n_shards(500) == MIN_SHARDS
+
+
+def test_corpus_shuffle_default_equals_derived_shards(spark, sf_dir):
+    """The n_shards=None default must equal the explicit auto value —
+    the oracle twin derives the same count from COUNT(*)."""
+    from mito_spark.engine import load_table
+    from mito_spark.operators.sampling import auto_n_shards, corpus_shuffle
+
+    n = load_table(spark, sf_dir, "documents").count()
+    auto = {tuple(r) for r in corpus_shuffle(spark, sf_dir).collect()}
+    pinned = {
+        tuple(r)
+        for r in corpus_shuffle(spark, sf_dir, n_shards=auto_n_shards(n)).collect()
+    }
+    assert auto == pinned
+
+
+def test_auto_n_cells_bounds_cell_population():
+    """semdedup's per-cell pairwise pass costs Sum(|cell|^2); the
+    derived cell count must keep E|cell| at the target as n grows —
+    the default call path cannot silently go quadratic."""
+    from mito_spark.operators.similarity import _CELL_TARGET, _MIN_CELLS, auto_n_cells
+
+    for n in (1, 500, 10**6, 10**8, 10**9):
+        c = auto_n_cells(n)
+        assert c >= _MIN_CELLS
+        if c > _MIN_CELLS:
+            # expected population within 2x of target (floor division)
+            assert n / c <= 2 * _CELL_TARGET
+    # beyond the cap (~1e9 rows) the rule saturates — the documented
+    # point where flat k-means hands off to a hierarchical quantizer
+    assert auto_n_cells(10**12) == 1 << 20
+    # linear growth: 100x corpus -> ~100x cells (bounded pairwise work)
+    assert 50 <= auto_n_cells(10**8) / auto_n_cells(10**6) <= 200
+    # gate-SF sync: 500-row embeddings derive the static oracle's 16
+    assert auto_n_cells(500) == _MIN_CELLS
+
+
+def test_semdedup_gate_sf_derives_static_oracle_cells(spark, sf_dir):
+    """The static SEMDEDUP_SQL twin is generated at n_cells=16; the
+    auto rule must derive exactly 16 at every gate SF or the oracle
+    silently desyncs."""
+    from mito_spark.engine import load_table
+    from mito_spark.operators.similarity import auto_n_cells
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert auto_n_cells(n) == 16
+
+
+# ---------- label_propagation seed invariant (ADVICE r5) ----------
+
+
+def test_label_propagation_null_seed_stays_null(spark, tmp_path):
+    """A SEED node (vec_id % 4 == 0) whose true label is NULL must
+    keep pred_label NULL — propagation is gated on the seed predicate,
+    not on lab's nullness, so neighbor votes cannot overwrite it."""
+    from mito_spark.operators.graph import label_propagation
+
+    emb = spark.createDataFrame(
+        [
+            (0, None, [1.0, 0.0]),   # seed with NULL label
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [1.0, 0.0]),
+            (4, "b", [0.0, 1.0]),    # seed with a real label
+            (5, None, [0.0, 1.0]),   # non-seed: free to absorb votes
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    d = str(tmp_path / "lp")
+    emb.write.parquet(d + "/embeddings.parquet")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (5, 4), (1, 2), (2, 1)],
+        "vec_id long, neighbor_id long",
+    )
+    out = {r["vec_id"]: r for r in label_propagation(spark, d, edges=edges).collect()}
+    assert out[0]["is_seed"] and out[0]["pred_label"] is None
+    assert out[4]["is_seed"] and out[4]["pred_label"] == "b"
+    assert out[5]["pred_label"] == "b"  # non-seed absorbed its vote
+
+
+def test_label_propagation_precomputed_edges_match_default(spark, sf_dir):
+    """Passing knn_graph's own edges must reproduce the default path
+    exactly — the composed-report reuse cannot change answers."""
+    from mito_spark.operators.graph import label_propagation
+    from mito_spark.operators.similarity import knn_graph
+
+    default = {tuple(r) for r in label_propagation(spark, sf_dir).collect()}
+    edges = knn_graph(spark, sf_dir, k=5)
+    reused = {tuple(r) for r in label_propagation(spark, sf_dir, edges=edges).collect()}
+    assert default == reused
