@@ -62,7 +62,12 @@ FROM events GROUP BY user_id
 """
 
 
-def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+SESSION_GAP_MINUTES = 30
+
+
+def sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap.
 
     Implemented with the built-in `session_window` (the same operator
@@ -95,11 +100,11 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
 # Oracle: classic lag/cumulative-sum sessionization — a different
 # algorithm computing the same sessions, which is exactly what makes it
 # a good cross-check.
-SESSIONIZE_SQL = """
+SESSIONIZE_SQL = f"""
 WITH marked AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+                   > INTERVAL {SESSION_GAP_MINUTES} MINUTE THEN 1 ELSE 0 END AS new_session
   FROM events
 ), numbered AS (
   SELECT user_id, ts, value,
@@ -200,7 +205,12 @@ FROM events GROUP BY event_type
 """
 
 
-def events_value_anomalies(spark: SparkSession, sf_dir: str, z: float = 3.0) -> DataFrame:
+ANOMALY_Z = 3.0
+
+
+def events_value_anomalies(
+    spark: SparkSession, sf_dir: str, z: float = ANOMALY_Z
+) -> DataFrame:
     """Population z-score anomaly detection per event type: events
     whose ``value`` deviates more than ``z`` standard deviations from
     their type's mean are anomalies; output is the per-type detection
@@ -245,7 +255,7 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str, z: float = 3.0) -> 
     )
 
 
-ANOMALIES_SQL = """
+ANOMALIES_SQL = f"""
 WITH stats AS (
   SELECT event_type,
          COUNT(*) AS n_events,
@@ -261,7 +271,7 @@ WITH stats AS (
 ), flagged AS (
   SELECT e.event_type, COUNT(*) AS n_anomalies
   FROM events e JOIN m USING (event_type)
-  WHERE abs(e.value - m.mean) > 3.0 * m.std
+  WHERE abs(e.value - m.mean) > {ANOMALY_Z} * m.std
   GROUP BY e.event_type
 )
 SELECT m.event_type, m.n_events,

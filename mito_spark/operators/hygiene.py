@@ -106,8 +106,15 @@ FROM red
 """
 
 
+STRAT_PER_STRATUM = 20
+STRAT_SALT = "strat:v1"
+
+
 def stratified_sample(
-    spark: SparkSession, sf_dir: str, per_stratum: int = 20, salt: str = "strat:v1"
+    spark: SparkSession,
+    sf_dir: str,
+    per_stratum: int = STRAT_PER_STRATUM,
+    salt: str = STRAT_SALT,
 ) -> DataFrame:
     """queries() entry: deterministic n-per-stratum sample of
     documents by source. Rank inside each stratum is the md5 of a
@@ -125,21 +132,24 @@ def stratified_sample(
     )
 
 
-STRATIFIED_SQL = """
+STRATIFIED_SQL = f"""
 WITH ranked AS (
   SELECT source, doc_id,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY md5('strat:v1:' || CAST(doc_id AS VARCHAR))
+           ORDER BY md5('{STRAT_SALT}:' || CAST(doc_id AS VARCHAR))
          ) AS rank_in_stratum
   FROM documents
 )
 SELECT source, doc_id, rank_in_stratum
-FROM ranked WHERE rank_in_stratum <= 20
+FROM ranked WHERE rank_in_stratum <= {STRAT_PER_STRATUM}
 """
 
 
-def domain_mix(spark: SparkSession, sf_dir: str, salt: str = "mix:v1") -> DataFrame:
+MIX_SALT = "mix:v1"
+
+
+def domain_mix(spark: SparkSession, sf_dir: str, salt: str = MIX_SALT) -> DataFrame:
     """queries() entry: rebalance the corpus so every source
     contributes ~equal tokens — downsample each source to the smallest
     source's token count via a deterministic md5-threshold keep rule.
@@ -190,7 +200,7 @@ def domain_mix(spark: SparkSession, sf_dir: str, salt: str = "mix:v1") -> DataFr
     )
 
 
-DOMAIN_MIX_SQL = r"""
+DOMAIN_MIX_SQL = rf"""
 WITH t AS (
   SELECT source, doc_id,
          len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_tokens
@@ -204,7 +214,7 @@ WITH t AS (
 ), kept AS (
   SELECT t.source, COUNT(*) AS docs_kept, CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_kept
   FROM t JOIN fracs USING (source)
-  WHERE CAST('0x' || substr(md5('mix:v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+  WHERE CAST('0x' || substr(md5('{MIX_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
           / 1152921504606846976.0 < keep_frac
   GROUP BY t.source
 )
@@ -216,8 +226,15 @@ ORDER BY f.source
 """
 
 
+MIX_T_ALPHA = 0.5
+MIX_T_SALT = "mixT:v1"
+
+
 def domain_mix_temperature(
-    spark: SparkSession, sf_dir: str, alpha: float = 0.5, salt: str = "mixT:v1"
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = MIX_T_ALPHA,
+    salt: str = MIX_T_SALT,
 ) -> DataFrame:
     """Temperature-flattened domain mixing — the standard LLM
     data-mixing rule: target share of source i ∝ share_i^alpha
@@ -276,7 +293,7 @@ def domain_mix_temperature(
     )
 
 
-DOMAIN_MIX_T_SQL = r"""
+DOMAIN_MIX_T_SQL = rf"""
 WITH t AS (
   SELECT source, doc_id,
          len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_tokens
@@ -285,7 +302,7 @@ WITH t AS (
   SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY source
 ), powed AS (
   SELECT source, src_tokens,
-         pow(CAST(src_tokens AS DOUBLE), 0.5) / SUM(pow(CAST(src_tokens AS DOUBLE), 0.5)) OVER () AS target_share
+         pow(CAST(src_tokens AS DOUBLE), {MIX_T_ALPHA}) / SUM(pow(CAST(src_tokens AS DOUBLE), {MIX_T_ALPHA})) OVER () AS target_share
   FROM totals
 ), fracs AS (
   SELECT source, src_tokens, target_share,
@@ -294,7 +311,7 @@ WITH t AS (
 ), kept AS (
   SELECT t.source, CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_kept
   FROM t JOIN fracs USING (source)
-  WHERE CAST('0x' || substr(md5('mixT:v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+  WHERE CAST('0x' || substr(md5('{MIX_T_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
           / 1152921504606846976.0 < keep_frac
   GROUP BY t.source
 )

@@ -67,7 +67,12 @@ FROM u GROUP BY 1, 2
 """
 
 
-def token_pack_bins(spark: SparkSession, sf_dir: str, budget: int = 512) -> DataFrame:
+PACK_BUDGET = 512
+
+
+def token_pack_bins(
+    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET
+) -> DataFrame:
     """Sequence packing: assign documents to fixed token-budget bins.
 
     Greedy-by-cumulative-sum within a shard: documents are ordered
@@ -97,7 +102,7 @@ def token_pack_bins(spark: SparkSession, sf_dir: str, budget: int = 512) -> Data
     )
 
 
-TOKEN_PACK_SQL = r"""
+TOKEN_PACK_SQL = rf"""
 WITH t AS (
   SELECT lang, doc_id,
          len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_tokens
@@ -108,7 +113,7 @@ WITH t AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM t
 )
-SELECT lang, CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+SELECT lang, CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_bin,
        MIN(doc_id) AS first_doc,

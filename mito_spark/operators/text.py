@@ -566,3 +566,188 @@ ORDER BY id_a, id_b
 
 
 WINNOW_PAIRS_SQL = _winnow_pairs_sql()
+
+
+# --- Bigram LM surprisal + BPE merge candidates (tokenizer tier) -----
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean BIGRAM surprisal, −mean_i ln p̂(tᵢ | tᵢ₋₁),
+    under an add-1-smoothed bigram model fit on the corpus itself —
+    the next rung above ``unigram_surprisal`` on the CCNet-style
+    LM-quality ladder: it catches documents whose word ORDER the
+    corpus doesn't explain (shuffled text, keyword stuffing, n-gram
+    spam) that a unigram model scores as perfectly normal.
+
+    p̂(b|a) = (c(a,b)+1) / (c(a·)+V) with c(a·) the corpus count of
+    bigrams starting at ``a`` and V the full unigram vocabulary size.
+
+    Plan: one explode into adjacent pairs (gram arrays checkpointed
+    BEFORE the explode — the interpreted-HOF Generate rule); the
+    per-doc pair counts and the corpus pair counts both hash on
+    (a, b), so their join REUSES the rollup partitioning (no extra
+    exchange of the big side — the distinct-bigram table grows with
+    the corpus and must never be broadcast); context totals join on
+    ``a`` (vocabulary-keyed shuffle); only the 1-row vocab aggregate
+    is broadcast. The per-doc reduction sums DECIMAL(28,9)-rounded
+    contributions — exact arithmetic, so the sum is order-free and
+    the DuckDB twin matches bit-for-bit (the repo's decimal-sum
+    convention).
+
+    Documents with fewer than two tokens have no bigrams: they are
+    reported with n_bigrams=0 and NULL surprisal (absent evidence is
+    not zero surprisal).
+    """
+    from mito_spark.engine import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    staged = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
+    pairs_col = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("a"),
+                F.element_at(F.col("toks"), i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    staged = staged.select(
+        "doc_id", F.size("toks").alias("n_toks"), pairs_col.alias("pairs")
+    ).localCheckpoint()  # checkpoint BEFORE the explode (Generate rule)
+    bg = staged.select(
+        "doc_id", F.explode("pairs").alias("p")
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    per_doc_bg = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("n"))
+    corpus_bg = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    ctx = corpus_bg.groupBy("a").agg(F.sum("cab").alias("ca"))
+    vocab = (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("t"))
+        .agg(F.count_distinct("t").alias("vocab"))
+    )
+    contrib = F.col("n") * -F.log(
+        (F.col("cab") + 1).cast("double") / (F.col("ca") + F.col("vocab")).cast("double")
+    )
+    scored = (
+        per_doc_bg.join(corpus_bg, ["a", "b"])
+        .join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "n",
+            F.round(contrib, 9).cast("decimal(28,9)").alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("total"),
+            F.sum("n").alias("n_bigrams"),
+        )
+    )
+    return (
+        staged.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(F.col("total").cast("double") / F.col("n_bigrams"), 6).alias(
+                "mean_bigram_surprisal"
+            ),
+        )
+    )
+
+
+BIGRAM_SURPRISAL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
+  FROM toks WHERE len(t) >= 2
+), pd AS (
+  SELECT doc_id, p[1] AS a, p[2] AS b, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3
+), cb AS (
+  SELECT a, b, CAST(SUM(n) AS BIGINT) AS cab FROM pd GROUP BY a, b
+), ctx AS (
+  SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM cb GROUP BY a
+), vocab AS (
+  SELECT COUNT(DISTINCT term) AS vocab FROM (
+    SELECT unnest(t) AS term FROM toks
+  )
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(CAST(ROUND(n * -ln(CAST(cab + 1 AS DOUBLE) / (ca + vocab)), 9) AS DECIMAL(28,9))) AS DOUBLE) / SUM(n), 6) AS mean_bigram_surprisal
+  FROM pd JOIN cb USING (a, b) JOIN ctx USING (a) CROSS JOIN vocab
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       s.mean_bigram_surprisal
+FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+"""
+
+
+BPE_TOP_MERGES = 20
+
+
+def bpe_merge_candidates(
+    spark: SparkSession, sf_dir: str, top: int = BPE_TOP_MERGES
+) -> DataFrame:
+    """The first BPE merge iteration at corpus scale: the ``top``
+    adjacent word pairs by total occurrence count — the rollup a
+    distributed tokenizer-induction loop computes each round before
+    applying the argmax merge (Sennrich et al. 2016, word-level form;
+    the byte-level loop is the same shuffle shape over byte pairs).
+
+    One explode into adjacent pairs + one pair-keyed count + a
+    TakeOrdered: the shuffle key spreads uniformly except the true
+    boilerplate pairs — exactly the hot keys AQE splits — and the
+    result is ``top`` rows at any corpus size. The gram arrays are
+    checkpointed before the explode (interpreted-HOF Generate rule,
+    same as boilerplate_ngrams: the transform would otherwise
+    re-evaluate per emitted row).
+
+    Counts are OCCURRENCES (not document frequency) because the BPE
+    objective maximizes total compression, unlike boilerplate_ngrams'
+    doc-share ranking.
+    """
+    from mito_spark.engine import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    staged = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
+    pairs_col = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select(pairs_col.alias("pairs")).localCheckpoint()
+    return (
+        staged.select(F.explode("pairs").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top)
+    )
+
+
+def _bpe_sql(top: int = BPE_TOP_MERGES) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+  FROM toks WHERE len(t) >= 2
+)
+SELECT pair, COUNT(*) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT {top}
+"""
+
+
+BPE_SQL = _bpe_sql()

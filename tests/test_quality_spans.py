@@ -587,3 +587,59 @@ def test_label_propagation_precomputed_edges_match_default(spark, sf_dir):
     edges = knn_graph(spark, sf_dir, k=5)
     reused = {tuple(r) for r in label_propagation(spark, sf_dir, edges=edges).collect()}
     assert default == reused
+
+
+# ---------- bigram surprisal + BPE merge candidates ----------
+
+
+def _write_docs(spark, tmp_path, rows, name="d"):
+    d = str(tmp_path / name)
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(d + "/documents.parquet")
+    return d
+
+
+def test_bigram_surprisal_short_docs_null(spark, tmp_path):
+    """Docs with <2 tokens have no bigrams: n_bigrams=0 and NULL
+    surprisal (absent evidence is not zero surprisal)."""
+    from mito_spark.operators.text import bigram_surprisal
+
+    d = _write_docs(
+        spark, tmp_path, [(0, "only"), (1, ""), (2, "a b a b"), (3, "a b c")]
+    )
+    out = {r["doc_id"]: r for r in bigram_surprisal(spark, d).collect()}
+    assert out[0]["n_bigrams"] == 0 and out[0]["mean_bigram_surprisal"] is None
+    assert out[1]["n_bigrams"] == 0 and out[1]["mean_bigram_surprisal"] is None
+    assert out[2]["n_bigrams"] == 3 and out[2]["mean_bigram_surprisal"] is not None
+    # word order matters: 'a b a b' (predictable) scores LOWER than a
+    # doc of the same unigrams shuffled into an unseen order would
+    assert out[3]["n_bigrams"] == 2
+
+
+def test_bigram_surprisal_detects_shuffled_text(spark, tmp_path):
+    """The point of the bigram rung: a document whose word ORDER is
+    anomalous scores higher than an in-order one, even with identical
+    unigram distributions."""
+    from mito_spark.operators.text import bigram_surprisal, unigram_surprisal
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, base) for i in range(10)]
+    rows.append((10, "dog the over quick lazy brown the jumps fox"))  # shuffled
+    d = _write_docs(spark, tmp_path, rows)
+    bg = {r["doc_id"]: r["mean_bigram_surprisal"] for r in bigram_surprisal(spark, d).collect()}
+    ug = {r["doc_id"]: r["mean_surprisal"] for r in unigram_surprisal(spark, d).collect()}
+    assert bg[10] > bg[0]  # bigram model flags the shuffle
+    assert abs(ug[10] - ug[0]) < 1e-6  # unigram model cannot see it
+
+
+def test_bpe_merges_count_occurrences_not_docs(spark, tmp_path):
+    from mito_spark.operators.text import bpe_merge_candidates
+
+    d = _write_docs(spark, tmp_path, [(0, "x y x y x y"), (1, "p q")])
+    out = {r["pair"]: r["n_occurrences"] for r in bpe_merge_candidates(spark, d).collect()}
+    assert out["x y"] == 3  # three occurrences in one doc
+    assert out["y x"] == 2
+    assert out["p q"] == 1
