@@ -751,3 +751,128 @@ ORDER BY n_occurrences DESC, pair LIMIT {top}
 
 
 BPE_SQL = _bpe_sql()
+
+
+BPE_ROUNDS = 3
+
+
+def bpe_learn_merges(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """BPE vocabulary induction, ``rounds`` merge iterations at corpus
+    scale (Sennrich et al. 2016, word-level form): each round counts
+    adjacent token pairs, takes the argmax (count desc, pair asc —
+    deterministic), APPLIES the merge greedily left-to-right
+    non-overlapping ('x x x' + merge(x,x) → ['x x', 'x']), and
+    recounts on the merged arrays. Output: the ordered merge table
+    (round, a, b, n_occurrences) — the artifact a tokenizer trainer
+    ships.
+
+    This is the engine's iterative-algorithm showcase WITH a full
+    DuckDB oracle: the twin unrolls the same rounds (list_reduce fold,
+    argmax CTE per round), so the hash gate proves merge selection AND
+    application agree bit-for-bit.
+
+    Scale shape: per round, one explode+count shuffle (pair keys,
+    uniform except the true boilerplate pairs — AQE's hot keys) and
+    ONE row collected (the argmax — bounded, not a corpus collect);
+    the merge application is a per-row fold, embarrassingly parallel.
+    The fold is O(T²)-in-tokens from immutable-array appends — fine
+    for word-level arrays (hundreds of tokens); a byte-level trainer
+    at 100 TB would swap the fold for a linear mapInPandas merge per
+    partition, keeping the same per-round shuffle shape. Plan growth
+    across rounds is bounded by per-round localCheckpoint (the MMR
+    lesson).
+    """
+    from mito_spark.engine import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cur = docs.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks")
+    ).localCheckpoint()
+    out: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        pairs_col = F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("a"),
+                    F.element_at(F.col("toks"), i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        staged = cur.select(pairs_col.alias("pairs")).localCheckpoint()
+        top = (
+            staged.select(F.explode("pairs").alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        out.append((r, a, b, n))
+        merged = F.lit(a + " " + b)
+        fold = F.aggregate(
+            F.col("toks"),
+            F.array().cast("array<string>"),
+            lambda acc, t: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (t == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(t))),
+        )
+        cur = cur.select(
+            "doc_id",
+            F.when(F.size("toks") == 0, F.col("toks")).otherwise(fold).alias("toks"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out, "round int, a string, b string, n_occurrences long"
+    )
+
+
+def _bpe_learn_sql(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled oracle: per round a pair-count CTE, an argmax CTE, and
+    a list_reduce merge application (the greedy fold, with the merge
+    row CROSS JOINed in — DuckDB lambdas cannot hold subqueries)."""
+    parts = [
+        r"""
+WITH t0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"t{r - 1}"
+        parts.append(f""", c{r} AS (
+  SELECT p[1] AS a, p[2] AS b, COUNT(*) AS n
+  FROM (SELECT unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS p
+        FROM {prev} WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+), m{r} AS (
+  SELECT {r} AS round, a, b, n FROM c{r} ORDER BY n DESC, a, b LIMIT 1
+), t{r} AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN toks
+              ELSE list_reduce(
+                list_transform(toks, t -> [t]),
+                (acc, t) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{r}.a AND t[1] = m{r}.b
+                                 THEN acc[1:-2] || [m{r}.a || ' ' || m{r}.b]
+                                 ELSE acc || t END)
+         END AS toks
+  FROM {prev} CROSS JOIN m{r}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT round, a, b, CAST(n AS BIGINT) AS n_occurrences FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY round")
+    return "".join(parts)
+
+
+BPE_LEARN_SQL = _bpe_learn_sql()

@@ -643,3 +643,24 @@ def test_bpe_merges_count_occurrences_not_docs(spark, tmp_path):
     assert out["x y"] == 3  # three occurrences in one doc
     assert out["y x"] == 2
     assert out["p q"] == 1
+
+
+def test_bpe_learn_applies_merges_greedily(spark, tmp_path):
+    """Round 2's counts must reflect round 1's APPLIED merge: corpus
+    'x y x y x y' — round 1 merges (x, y) [3 occurrences, greedy
+    non-overlapping]; after application the doc is ['x y','x y','x y'],
+    so round 2's top pair is ('x y', 'x y') with 2 occurrences."""
+    from mito_spark.operators.text import bpe_learn_merges
+
+    d = _write_docs(spark, tmp_path, [(0, "x y x y x y"), (1, "x y z")])
+    rows = {r["round"]: r for r in bpe_learn_merges(spark, d, rounds=2).collect()}
+    assert (rows[1]["a"], rows[1]["b"], rows[1]["n_occurrences"]) == ("x", "y", 4)
+    assert (rows[2]["a"], rows[2]["b"]) == ("x y", "x y")
+    assert rows[2]["n_occurrences"] == 2
+
+
+def test_bpe_learn_stops_when_no_pairs(spark, tmp_path):
+    from mito_spark.operators.text import bpe_learn_merges
+
+    d = _write_docs(spark, tmp_path, [(0, "solo"), (1, "")])
+    assert bpe_learn_merges(spark, d, rounds=3).count() == 0
