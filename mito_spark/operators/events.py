@@ -344,3 +344,57 @@ WITH g AS (
 SELECT event_id, user_id, event_type, gap_s
 FROM g WHERE gap_s <= {RETRANSMIT_EPS_S}
 """
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-activity week
+    (their cohort), then for each (cohort_week, weeks_since) the count
+    of cohort users active in that later week — the triangle matrix
+    every product-analytics engine renders as the retention heatmap.
+
+    Plan: one (user, week) distinct rollup; per-user cohort = MIN over
+    that (a second pass over the SAME user-keyed shuffle output, not
+    the raw events); the cohort join is user-keyed; the final rollup
+    is on (cohort_week, weeks_since) — bounded by weeks², tiny at any
+    corpus size. Three shuffles total, none corpus-wide beyond the
+    first distinct.
+
+    week_diff counts whole 7-day periods between the date_trunc'd
+    week starts (exact integer arithmetic on dates — engine-portable,
+    no timestamp subtraction rounding).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7
+            ).cast("int").alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', CAST(c.cohort_week AS DATE), CAST(u.week AS DATE)) / 7 AS INTEGER) AS weeks_since,
+       COUNT(DISTINCT u.user_id) AS n_users
+FROM uw u JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -582,17 +582,20 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     p̂(b|a) = (c(a,b)+1) / (c(a·)+V) with c(a·) the corpus count of
     bigrams starting at ``a`` and V the full unigram vocabulary size.
 
-    Plan: one explode into adjacent pairs (gram arrays checkpointed
-    BEFORE the explode — the interpreted-HOF Generate rule); the
-    per-doc pair counts and the corpus pair counts both hash on
-    (a, b), so their join REUSES the rollup partitioning (no extra
-    exchange of the big side — the distinct-bigram table grows with
-    the corpus and must never be broadcast); context totals join on
-    ``a`` (vocabulary-keyed shuffle); only the 1-row vocab aggregate
-    is broadcast. The per-doc reduction sums DECIMAL(28,9)-rounded
-    contributions — exact arithmetic, so the sum is order-free and
-    the DuckDB twin matches bit-for-bit (the repo's decimal-sum
-    convention).
+    Plan: ONE corpus scan+tokenize (checkpointed; the vocab aggregate
+    and the pair stage both read it — a second raw scan would double
+    the dominant cost at 100 TB), pair arrays checkpointed BEFORE the
+    explode (the interpreted-HOF Generate rule), and the corpus pair
+    counts derived FROM the per-doc rollup (sum of n — partial
+    aggregation over the already-reduced table, mirroring the SQL
+    twin's cb-from-pd), never broadcast: the distinct-bigram table
+    grows with the corpus, so the (a, b) join is a shuffle join the
+    optimizer may downgrade to broadcast only when sizes allow.
+    Context totals join on ``a``; only the 1-row vocab aggregate is
+    broadcast unconditionally. The per-doc reduction sums
+    DECIMAL(28,9)-rounded contributions — exact arithmetic, so the
+    sum is order-free and the DuckDB twin matches bit-for-bit (the
+    repo's decimal-sum convention).
 
     Documents with fewer than two tokens have no bigrams: they are
     reported with n_bigrams=0 and NULL surprisal (absent evidence is
@@ -601,7 +604,9 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mito_spark.engine import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    staged = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
+    toked = docs.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks")
+    ).localCheckpoint()  # the ONE tokenize pass; feeds vocab + pairs
     pairs_col = F.when(
         F.size("toks") >= 2,
         F.transform(
@@ -612,18 +617,19 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    staged = staged.select(
-        "doc_id", F.size("toks").alias("n_toks"), pairs_col.alias("pairs")
+    staged = toked.select(
+        "doc_id", pairs_col.alias("pairs")
     ).localCheckpoint()  # checkpoint BEFORE the explode (Generate rule)
     bg = staged.select(
         "doc_id", F.explode("pairs").alias("p")
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     per_doc_bg = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("n"))
-    corpus_bg = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    # corpus counts from the PER-DOC rollup (sum of n), not a second
+    # pass over bg — strictly less data into the (a, b) shuffle
+    corpus_bg = per_doc_bg.groupBy("a", "b").agg(F.sum("n").alias("cab"))
     ctx = corpus_bg.groupBy("a").agg(F.sum("cab").alias("ca"))
-    vocab = (
-        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("t"))
-        .agg(F.count_distinct("t").alias("vocab"))
+    vocab = toked.select(F.explode("toks").alias("t")).agg(
+        F.count_distinct("t").alias("vocab")
     )
     contrib = F.col("n") * -F.log(
         (F.col("cab") + 1).cast("double") / (F.col("ca") + F.col("vocab")).cast("double")

@@ -664,3 +664,35 @@ def test_bpe_learn_stops_when_no_pairs(spark, tmp_path):
 
     d = _write_docs(spark, tmp_path, [(0, "solo"), (1, "")])
     assert bpe_learn_merges(spark, d, rounds=3).count() == 0
+
+
+def test_retention_cohorts_semantics(spark, tmp_path):
+    """Hand-built two-cohort stream: week-0 users {1,2}, of whom only
+    user 2 returns in week 1; user 3 starts in week 1 (its own cohort,
+    weeks_since 0)."""
+    import datetime as dt
+
+    from mito_spark.operators.events import retention_cohorts
+
+    w0 = dt.datetime(2024, 1, 1)  # a Monday
+    w1 = w0 + dt.timedelta(days=7)
+    rows = [
+        (1, w0, 1, "click", 1.0, "{}"),
+        (2, w0 + dt.timedelta(days=2), 2, "click", 1.0, "{}"),
+        (3, w1 + dt.timedelta(days=1), 2, "click", 1.0, "{}"),  # user 2 returns
+        (4, w1, 3, "click", 1.0, "{}"),  # new cohort
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "ret")
+    ev.write.parquet(d + "/events.parquet")
+    out = {
+        (r["cohort_week"].date().isoformat(), r["weeks_since"]): r["n_users"]
+        for r in retention_cohorts(spark, d).collect()
+    }
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 1)] == 1
+    assert out[("2024-01-08", 0)] == 1
+    assert len(out) == 3
