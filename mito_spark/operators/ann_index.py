@@ -177,3 +177,88 @@ def ann_query_persisted(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
     )
+
+
+REFRESH_SPLIT_AT = 400
+
+
+def ann_index_refresh(
+    spark: SparkSession,
+    sf_dir: str,
+    split_at: int = REFRESH_SPLIT_AT,
+    n_cells: int | None = None,
+) -> DataFrame:
+    """Index MAINTENANCE: vectors arriving after the index was built
+    (vec_id >= ``split_at``, mirroring incremental_dedup's
+    new-batch-vs-canon convention) are assigned to the EXISTING
+    base-trained centroids — zero k-means work on the hot path — and
+    the output is the per-cell growth report (cell, n_base, n_new,
+    growth_frac) a serving system watches to decide when drift
+    justifies a retrain (a cell absorbing disproportionate new mass
+    means the quantizer no longer spans the data).
+
+    Completes the persisted-index lifecycle: build once
+    (build_ann_index) → query many (ann_query_persisted) → refresh
+    incrementally (this op) → retrain on drift.
+
+    Scale shape: training touches only the base hash-sample; the one
+    full pass is the assignment scan (centroids ride in the plan);
+    the report is one groupBy(cell) — n_cells rows out. ``n_cells``
+    defaults to auto_n_cells on the BASE corpus (floor 16 = the
+    static oracle's constant at gate SFs)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = emb.where(F.col("vec_id") < split_at)
+    if n_cells is None:
+        n_cells = auto_n_cells(base.count())
+    centroids = _kmeans_centroids(_ivf_train_sample(base), n_cells)
+    tagged = emb.select(
+        "vec_id",
+        _nearest_cell_expr(centroids).cast("bigint").alias("cell"),
+        (F.col("vec_id") < split_at).alias("is_base"),
+    )
+    return (
+        tagged.groupBy("cell")
+        .agg(
+            F.count(F.when(F.col("is_base"), 1)).alias("n_base"),
+            F.count(F.when(~F.col("is_base"), 1)).alias("n_new"),
+        )
+        .select(
+            "cell",
+            "n_base",
+            "n_new",
+            F.round(
+                F.col("n_new").cast("double")
+                / (F.col("n_base") + F.col("n_new")).cast("double"),
+                6,
+            ).alias("growth_frac"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _refresh_sql(split_at: int = REFRESH_SPLIT_AT, n_cells: int = 16) -> str:
+    """Oracle: the shared order-pinned k-means chain with training (and
+    SEEDING) restricted to the base split; assignment runs over the
+    full corpus, then the per-cell base/new rollup."""
+    from mito_spark.operators.similarity import _kmeans_tagged_sql
+
+    base = _kmeans_tagged_sql(n_cells=n_cells)
+    marker = "WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ("
+    assert marker in base  # splice point; fail at import, not gate time
+    base = base.replace(marker, f"WHERE vec_id < {split_at}\n    AND substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN (")
+    return (
+        base
+        + f"""
+SELECT cell,
+       COUNT(*) FILTER (vec_id < {split_at}) AS n_base,
+       COUNT(*) FILTER (vec_id >= {split_at}) AS n_new,
+       ROUND(CAST(COUNT(*) FILTER (vec_id >= {split_at}) AS DOUBLE) / COUNT(*), 6) AS growth_frac
+FROM tagged
+GROUP BY cell ORDER BY cell
+"""
+    )
+
+
+REFRESH_SQL = _refresh_sql()

@@ -96,3 +96,21 @@ def test_default_index_dir_fingerprints_source(sf_dir, tmp_path):
     else:
         shutil.copy(src, os.path.join(dst_dir, "embeddings.parquet"))
     assert default_index_dir(dst_dir) != a
+
+
+def test_refresh_report_is_total_and_consistent(spark, sf_dir):
+    """Every vector lands in exactly one cell: n_base+n_new summed over
+    cells equals the corpus; growth_frac is the per-cell new share."""
+    from mito_spark.engine import load_table
+    from mito_spark.operators.ann_index import REFRESH_SPLIT_AT, ann_index_refresh
+
+    rows = ann_index_refresh(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_base = emb.where(f"vec_id < {REFRESH_SPLIT_AT}").count()
+    assert sum(r["n_base"] for r in rows) == n_base
+    assert sum(r["n_base"] + r["n_new"] for r in rows) == n
+    for r in rows:
+        tot = r["n_base"] + r["n_new"]
+        assert tot > 0
+        assert abs(r["growth_frac"] - round(r["n_new"] / tot, 6)) < 1e-9
