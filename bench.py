@@ -147,6 +147,12 @@ HEADLINE = [
     # new in r6
     "text_bigram_surprisal",
     "bpe_merge_candidates",
+    "events_retention_cohorts",
+    # bpe_learn_merges excluded: its cost IS rounds x the benched
+    # bpe_merge_candidates rollup plus per-round merge folds (behavior
+    # covered by its unrolled oracle row + greedy-fold property test);
+    # ann_index_refresh excluded like IVF/semdedup: k-means-training-
+    # dominated (oracle row + totality test cover behavior)
 ]
 
 

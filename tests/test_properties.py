@@ -419,3 +419,47 @@ def test_winnowing_guarantee_property(spark):
     for trial in range(12):
         a, b = fps[trial * 2], fps[trial * 2 + 1]
         assert a & b, f"trial {trial}: shared run produced no common fingerprint"
+
+
+def _py_greedy_merge(toks: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy leftmost non-overlapping merge of (a, b)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(a + " " + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+@_SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), max_size=12), min_size=1, max_size=8
+    ),
+    st.sampled_from([("x", "x"), ("x", "y"), ("y", "z"), ("z", "x")]),
+)
+def test_bpe_fold_matches_python_greedy_merge(spark, docs, pair):
+    """The BPE merge-apply fold (bpe_learn_merges' core) must equal the
+    plain-Python greedy leftmost non-overlapping merge on arbitrary
+    token runs — including overlap chains like x,x,x and empty docs."""
+    a, b = pair
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "i long, toks array<string>")
+    merged = F.lit(a + " " + b)
+    fold = F.aggregate(
+        F.col("toks"),
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (t == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+    out = F.when(F.size("toks") == 0, F.col("toks")).otherwise(fold)
+    got = {r["i"]: list(r["m"]) for r in df.select("i", out.alias("m")).collect()}
+    for i, t in enumerate(docs):
+        assert got[i] == _py_greedy_merge(t, a, b), (t, a, b, got[i])
