@@ -449,9 +449,19 @@ _IVF_TRAIN_HEX = ("0", "1", "2", "3")
 
 
 def _ivf_train_sample(emb: DataFrame) -> DataFrame:
-    return emb.where(
+    s = emb.where(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(*_IVF_TRAIN_HEX)
     )
+    # Degenerate-corpus guard: a tiny corpus can hash-sample to ZERO
+    # rows, which would leave k-means with no seeds (IndexError in
+    # _kmeans_centroids — found by the degenerate net, r6). Train on
+    # the full frame instead: on corpora small enough to empty the
+    # sample, full training is what you want anyway, and at any real
+    # scale the sample is never empty so the take(1) probe is the only
+    # cost and the oracle's sample-trained path is untouched.
+    if not s.take(1):
+        return emb
+    return s
 
 
 def _kmeans_centroids(train: DataFrame, n_cells: int, iters: int = 3) -> list[list[float]]:

@@ -38,6 +38,11 @@ DOC_OPS = [
     "seq_length_histogram",
     "hybrid_search_rrf",
     "jaccard_prefix_join",
+    # r6
+    "text_bigram_surprisal",
+    "bpe_merge_candidates",
+    "bpe_learn_merges",
+    "boilerplate_ngrams",
 ]
 EMB_OPS = [
     "quantize_embeddings",
@@ -47,6 +52,14 @@ EMB_OPS = [
     "embedding_near_dup",
     "contrastive_pairs",
     "mmr_rerank",
+    # r6: persisted-index tiers (index built fresh in the tmp dir)
+    # and the k-means family, runnable on tiny corpora since the
+    # empty-train-sample guard in _ivf_train_sample
+    "ann_persisted_topk",
+    "ann_index_refresh",
+    "ann_cosine_topk_ivf",
+    "semdedup",
+    "embedding_cluster_profile",
 ]
 
 
