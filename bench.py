@@ -148,6 +148,8 @@ HEADLINE = [
     "text_bigram_surprisal",
     "bpe_merge_candidates",
     "events_retention_cohorts",
+    "events_rolling_window",
+    "orders_priority_pivot",
     # bpe_learn_merges excluded: its cost IS rounds x the benched
     # bpe_merge_candidates rollup plus per-round merge folds (behavior
     # covered by its unrolled oracle row + greedy-fold property test);

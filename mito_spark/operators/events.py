@@ -398,3 +398,58 @@ FROM uw u JOIN cohort c USING (user_id)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+ROLLING_DAYS = 7
+
+
+def events_rolling_window(
+    spark: SparkSession, sf_dir: str, days: int = ROLLING_DAYS
+) -> DataFrame:
+    """Per-event trailing ``days``-day rollup per user — the classic
+    'activity in the last N days as of each event' feature every
+    feature-store pipeline materializes. This is a RANGE window frame
+    (value-based, microsecond key), not ROWS: all events inside the
+    time interval count, however many there are, and equal-timestamp
+    peers are included identically on both engines (RANGE frames are
+    peer-inclusive by definition — the property that makes the result
+    deterministic under ties).
+
+    One shuffle on user_id; the frame key is epoch MICROSECONDS as a
+    bigint (timestampdiff on the NTZ column — unix_micros rejects NTZ;
+    DuckDB's epoch_us is the exact mirror), so frame membership is
+    exact, not seconds-truncated. The windowed sum is decimal-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    span = days * 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"))
+        .rangeBetween(-span, 0)
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", "value", us.alias("us"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_events_trailing"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .over(w)
+            .cast("double")
+            .alias("value_trailing"),
+        )
+    )
+
+
+ROLLING_SQL = f"""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_events_trailing,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {ROLLING_DAYS * 86400 * 1000000} PRECEDING AND CURRENT ROW)
+"""

@@ -852,3 +852,46 @@ WHERE EXISTS (SELECT 1 FROM pairs o
                   WHERE ol.l_orderkey = l1.l_orderkey AND ol.l_suppkey <> l1.l_suppkey)
 GROUP BY s_name
 """
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: order counts per year with the five TPC-H
+    priorities as COLUMNS — the wide crosstab BI layer every warehouse
+    emits. Built with `groupBy().pivot(values=...)`: passing the
+    explicit value list keeps the schema static (no extra
+    distinct-values job, and the plan is a single groupBy with five
+    conditional aggregates — one shuffle on year, five columns out).
+    The oracle is the equivalent conditional aggregation, the form
+    PIVOT desugars to on both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"), "o_orderpriority"
+        )
+        .groupBy("order_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    # pivot leaves NULL for empty cells; a crosstab reports 0
+    cols = [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{p[0]}_orders")
+        for p in _PRIORITIES
+    ]
+    return piv.select("order_year", *cols).orderBy("order_year")
+
+
+PRIORITY_PIVOT_SQL = "\n".join(
+    ["SELECT YEAR(o_orderdate) AS order_year,"]
+    + [
+        f"       COALESCE(COUNT(*) FILTER (o_orderpriority = '{p}'), 0) AS p{p[0]}_orders,"
+        for p in _PRIORITIES[:-1]
+    ]
+    + [
+        f"       COALESCE(COUNT(*) FILTER (o_orderpriority = '{_PRIORITIES[-1]}'), 0) AS p{_PRIORITIES[-1][0]}_orders",
+        "FROM orders GROUP BY 1 ORDER BY 1",
+    ]
+)

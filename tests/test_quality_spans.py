@@ -696,3 +696,45 @@ def test_retention_cohorts_semantics(spark, tmp_path):
     assert out[("2024-01-01", 1)] == 1
     assert out[("2024-01-08", 0)] == 1
     assert len(out) == 3
+
+
+def test_rolling_window_boundary_inclusive(spark, tmp_path):
+    """An event exactly `days` before another is INSIDE its trailing
+    frame (RANGE bounds are inclusive); one microsecond older is out.
+    Equal timestamps are peers — both include each other."""
+    import datetime as dt
+
+    from mito_spark.operators.events import events_rolling_window
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        (1, t0 - dt.timedelta(days=7), 1, "click", 1.0, "{}"),          # exactly 7d before
+        (2, t0 - dt.timedelta(days=7, microseconds=1), 1, "click", 2.0, "{}"),  # 1us too old
+        (3, t0, 1, "click", 4.0, "{}"),
+        (4, t0, 1, "click", 8.0, "{}"),                                  # peer of 3
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "roll")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["event_id"]: r for r in events_rolling_window(spark, d).collect()}
+    assert out[3]["n_events_trailing"] == 3  # events 1, 3, 4 — not 2
+    assert out[3]["value_trailing"] == 13.0
+    assert out[4]["n_events_trailing"] == 3  # peers include each other
+    assert out[1]["n_events_trailing"] == 2  # event 2 is 1us earlier: in 1's frame
+
+
+def test_priority_pivot_static_schema_and_zero_fill(spark, sf_dir):
+    from mito_spark.operators.relational2 import orders_priority_pivot
+    from mito_spark.engine import load_table
+
+    df = orders_priority_pivot(spark, sf_dir)
+    assert df.columns == [
+        "order_year", "p1_orders", "p2_orders", "p3_orders", "p4_orders", "p5_orders",
+    ]
+    rows = df.collect()
+    total = sum(sum(r[c] for c in df.columns[1:]) for r in rows)
+    assert total == load_table(spark, sf_dir, "orders").count()
+    assert all(all(r[c] >= 0 for c in df.columns[1:]) for r in rows)
