@@ -150,6 +150,8 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_rolling_window",
     "orders_priority_pivot",
+    "lineitem_metrics_unpivot",
+    "lineitem_correlations",
     # bpe_learn_merges excluded: its cost IS rounds x the benched
     # bpe_merge_candidates rollup plus per-round merge folds (behavior
     # covered by its unrolled oracle row + greedy-fold property test);

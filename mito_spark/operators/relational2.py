@@ -895,3 +895,115 @@ PRIORITY_PIVOT_SQL = "\n".join(
         "FROM orders GROUP BY 1 ORDER BY 1",
     ]
 )
+
+
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt coverage: per-returnflag totals of three lineitem
+    measures rotated from wide columns into (metric, total) rows — the
+    long-form feed a metrics store or chart layer wants. Built with
+    `DataFrame.unpivot` (Spark's melt): the rotation happens AFTER the
+    aggregate, so the unpivot touches |returnflags| × 3 rows, not the
+    fact table — rotate late, aggregate early.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("quantity"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("extendedprice"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double").alias("discount"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["quantity", "extendedprice", "discount"],
+            variableColumnName="metric",
+            valueColumnName="total",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS quantity,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS extendedprice,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, total FROM (
+  SELECT l_returnflag, 'quantity' AS metric, quantity AS total FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice', extendedprice FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'discount', discount FROM wide
+)
+ORDER BY l_returnflag, metric
+"""
+
+
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation of (quantity, extendedprice)
+    and (quantity, discount) — the relationship screen a pricing
+    analysis starts from. NOT `F.corr` over doubles: a streaming float
+    covariance is shuffle-order-dependent, so the moments are
+    decimal-exact sums (Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,6)) and
+    the textbook formula is evaluated once per group in doubles —
+    bit-identical on any partitioning and in the DuckDB twin. One
+    shuffle; five decimal aggregates ride the same partial-agg pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    z = F.col("l_discount").cast("decimal(18,2)")
+    d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(x)).alias("sx"),
+        F.sum(d(y)).alias("sy"),
+        F.sum(d(z)).alias("sz"),
+        F.sum(d(x * y)).alias("sxy"),
+        F.sum(d(x * z)).alias("sxz"),
+        F.sum(d(x * x)).alias("sxx"),
+        F.sum(d(y * y)).alias("syy"),
+        F.sum(d(z * z)).alias("szz"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n").cast("double")
+        num = n * F.col(sxy).cast("double") - F.col(sx).cast("double") * F.col(sy).cast("double")
+        den = F.sqrt(
+            (n * F.col(sxx).cast("double") - F.col(sx).cast("double") * F.col(sx).cast("double"))
+            * (n * F.col(syy).cast("double") - F.col(sy).cast("double") * F.col(sy).cast("double"))
+        )
+        return F.round(F.try_divide(num, den), 6)
+
+    return g.select(
+        "l_returnflag",
+        "n",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("corr_qty_price"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_discount"),
+    ).orderBy("l_returnflag")
+
+
+CORRELATIONS_SQL = """
+WITH g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sy,
+         SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sz,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sxy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sxz,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS syy,
+         SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS szz
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))), 6) AS corr_qty_price,
+       ROUND((n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+             / (sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))), 6) AS corr_qty_discount
+FROM g ORDER BY l_returnflag
+"""

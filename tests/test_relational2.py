@@ -156,3 +156,33 @@ def test_salted_join_left_outer_and_rejects_right_full(spark, sf_dir):
     for bad in ("right", "full", "full_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(orders, cust, "c_custkey", how=bad)
+
+
+def test_unpivot_is_lossless_rotation(spark, sf_dir):
+    """melt(wide) carries exactly the wide table's cells: pivoting the
+    long form back by (group, metric) reproduces every total."""
+    from mito_spark.operators.relational2 import lineitem_metrics_unpivot
+
+    rows = lineitem_metrics_unpivot(spark, sf_dir).collect()
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], {})[r["metric"]] = r["total"]
+    for flag, metrics in by_flag.items():
+        assert set(metrics) == {"quantity", "extendedprice", "discount"}
+
+
+def test_correlations_bounded_and_partition_invariant(spark, sf_dir):
+    from mito_spark.operators.relational2 import lineitem_correlations
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {tuple(r) for r in lineitem_correlations(spark, sf_dir).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = {tuple(r) for r in lineitem_correlations(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b  # decimal moments: order-free
+    for r in a:
+        for c in (r[2], r[3]):
+            assert c is None or -1.0 <= c <= 1.0
