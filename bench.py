@@ -152,6 +152,9 @@ HEADLINE = [
     "orders_priority_pivot",
     "lineitem_metrics_unpivot",
     "lineitem_correlations",
+    # knn_pagerank excluded like label_propagation: its cost IS the
+    # kNN-graph build it composes (knn_graph is benched); behavior
+    # covered by its unrolled oracle row + tests
     # bpe_learn_merges excluded: its cost IS rounds x the benched
     # bpe_merge_candidates rollup plus per-round merge folds (behavior
     # covered by its unrolled oracle row + greedy-fold property test);

@@ -384,3 +384,140 @@ FROM cc GROUP BY cluster_size ORDER BY cluster_size
 
 
 CLUSTER_STATS_SQL = _cluster_stats_sql()
+
+
+PR_ROUNDS = 3
+PR_DAMPING = 0.85
+
+
+def knn_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = PR_ROUNDS,
+    d: float = PR_DAMPING,
+    k: int = 5,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """PageRank over the kNN graph, ``rounds`` unrolled power
+    iterations (Brin & Page 1998): rank'(v) = (1−d)/N + d·Σ
+    rank(u)/outdeg(u) over in-neighbors u — the centrality score a
+    curation pipeline uses to pick canonical/representative documents
+    inside near-dup neighborhoods (rank mass concentrates on the
+    vectors most linked-to by their neighbors).
+
+    Engine-exact float discipline: per-edge contributions are rounded
+    to 12dp and summed as DECIMAL(38,12) (order-free — a double sum
+    over shuffled edges is partition-order-dependent), the damping
+    update runs in doubles with the same literal arithmetic on both
+    engines, and each round's ranks are re-rounded to 12dp so the next
+    round's inputs are identical bit patterns. The DuckDB twin unrolls
+    the same rounds over the same knn SQL.
+
+    Dangling mass IS redistributed (the full textbook update): LSH
+    blocking can leave nodes with zero out-edges (9 of 500 at
+    sf0.001), so without the dangling term total rank leaks ~1.5% per
+    graph and the scores stop being a distribution. Each round the
+    dangling nodes' mass (a decimal-exact 1-row aggregate, broadcast
+    in-plan — never a driver collect) is spread uniformly:
+    r'(v) = (1−d)/N + d·(Σ contribs(v) + dangling/N). Total mass
+    stays 1 up to output rounding (asserted by test).
+
+    Scale shape: per round one edge-keyed join + one dst rollup — the
+    same two shuffles as label_propagation — plus a 1-row anti-join
+    aggregate for the dangling mass; per-round localCheckpoint bounds
+    plan growth (the MMR lesson). Pass a precomputed ``edges`` frame
+    to reuse a graph you already built.
+    """
+    from mito_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    if edges is None:
+        edges = knn_graph(spark, sf_dir, k=k)
+    edges = edges.select("vec_id", "neighbor_id").localCheckpoint()
+    n_row = emb.agg(F.count(F.lit(1)).alias("n_nodes"))
+    outdeg = edges.groupBy("vec_id").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = emb.crossJoin(F.broadcast(n_row))  # 1x1 broadcast of N
+    cur = nodes.select(
+        "vec_id", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(rounds):
+        contribs = (
+            cur.join(outdeg, "vec_id")
+            .join(edges, "vec_id")
+            .select(
+                F.col("neighbor_id").alias("dst"),
+                F.round(F.col("rank") / F.col("outdeg"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        dang = (
+            cur.join(outdeg, "vec_id", "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(38,12)")),
+                    F.lit(0).cast("decimal(38,12)"),
+                ).alias("dm")
+            )
+        )
+        cur = (
+            nodes.join(sums, nodes["vec_id"] == sums["dst"], "left")
+            .crossJoin(F.broadcast(dang))  # 1-row dangling mass
+            .select(
+                nodes["vec_id"],
+                "n_nodes",
+                F.round(
+                    F.lit(1.0 - d) / F.col("n_nodes")
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                        + F.col("dm").cast("double") / F.col("n_nodes")
+                    ),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return cur.select("vec_id", F.round("rank", 6).alias("pagerank")).orderBy("vec_id")
+
+
+def _pagerank_sql(rounds: int = PR_ROUNDS, d: float = PR_DAMPING, k: int = 5) -> str:
+    from mito_spark.operators.similarity import _knn_graph_sql
+
+    om_d = repr(1.0 - d)  # same IEEE literal both engines
+    parts = [
+        f"WITH knn AS ({_knn_graph_sql(k=k)})",
+        "n AS (SELECT COUNT(*) AS n_nodes FROM embeddings)",
+        "deg AS (SELECT vec_id, COUNT(*) AS outdeg FROM knn GROUP BY vec_id)",
+        """r0 AS (
+  SELECT vec_id, 1.0 / (SELECT n_nodes FROM n) AS rank FROM embeddings
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""c{i} AS (
+  SELECT e.neighbor_id AS dst,
+         CAST(ROUND(r.rank / g.outdeg, 12) AS DECIMAL(38,12)) AS c
+  FROM r{i - 1} r JOIN deg g USING (vec_id) JOIN knn e ON r.vec_id = e.vec_id
+)""")
+        parts.append(f"""s{i} AS (
+  SELECT dst, SUM(c) AS s FROM c{i} GROUP BY dst
+)""")
+        parts.append(f"""dm{i} AS (
+  SELECT COALESCE(SUM(CAST(rank AS DECIMAL(38,12))), 0) AS dm
+  FROM r{i - 1} WHERE vec_id NOT IN (SELECT vec_id FROM deg)
+)""")
+        parts.append(f"""r{i} AS (
+  SELECT b.vec_id,
+         ROUND({om_d} / (SELECT n_nodes FROM n)
+               + {d} * (COALESCE(CAST(s AS DOUBLE), 0.0)
+                        + CAST((SELECT dm FROM dm{i}) AS DOUBLE) / (SELECT n_nodes FROM n)), 12) AS rank
+  FROM embeddings b LEFT JOIN s{i} ON b.vec_id = s{i}.dst
+)""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vec_id, ROUND(rank, 6) AS pagerank FROM r{rounds} ORDER BY vec_id\n"
+    )
+
+
+PAGERANK_SQL = _pagerank_sql()

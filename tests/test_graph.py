@@ -120,3 +120,34 @@ def test_dedup_cluster_stats_consistent(spark, sf_dir):
         assert r["cluster_size"] >= 2  # singletons never enter the pair graph
         assert r["docs_dropped"] == r["n_docs"] - r["n_clusters"] >= 0
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_pagerank_mass_and_determinism(spark, sf_dir):
+    """Ranks are a (near-)distribution — with no dangling nodes total
+    mass stays ~1 — and the decimal-sum discipline makes the result
+    partition-count invariant."""
+    from mito_spark.operators.graph import knn_pagerank
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {r["vec_id"]: r["pagerank"] for r in knn_pagerank(spark, sf_dir).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = {r["vec_id"]: r["pagerank"] for r in knn_pagerank(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+    assert abs(sum(a.values()) - 1.0) < 1e-3
+    assert all(v > 0 for v in a.values())
+
+
+def test_pagerank_precomputed_edges_match_default(spark, sf_dir):
+    from mito_spark.operators.graph import knn_pagerank
+    from mito_spark.operators.similarity import knn_graph
+
+    default = {tuple(r) for r in knn_pagerank(spark, sf_dir).collect()}
+    reused = {
+        tuple(r)
+        for r in knn_pagerank(spark, sf_dir, edges=knn_graph(spark, sf_dir, k=5)).collect()
+    }
+    assert default == reused
