@@ -738,3 +738,39 @@ def test_priority_pivot_static_schema_and_zero_fill(spark, sf_dir):
     total = sum(sum(r[c] for c in df.columns[1:]) for r in rows)
     assert total == load_table(spark, sf_dir, "orders").count()
     assert all(all(r[c] >= 0 for c in df.columns[1:]) for r in rows)
+
+
+def test_rolling_window_matches_bruteforce(spark, tmp_path):
+    """Seeded random stream vs an O(n²) per-user brute force: every
+    event's trailing count/sum must match exactly (decimal-exact sum,
+    inclusive bounds, microsecond key)."""
+    import datetime as dt
+    import random
+
+    from mito_spark.operators.events import ROLLING_DAYS, events_rolling_window
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for eid in range(200):
+        user = rng.randrange(5)
+        ts = base + dt.timedelta(seconds=rng.randrange(0, 30 * 86400), microseconds=rng.randrange(10**6))
+        value = round(rng.uniform(0, 100), 4)
+        rows.append((eid, ts, user, "click", value, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "rollrand")
+    ev.write.parquet(d + "/events.parquet")
+    got = {r["event_id"]: r for r in events_rolling_window(spark, d).collect()}
+    span = dt.timedelta(days=ROLLING_DAYS)
+    from decimal import Decimal
+
+    for eid, ts, user, _, _, _ in rows:
+        in_frame = [
+            r for r in rows if r[2] == user and ts - span <= r[1] <= ts
+        ]
+        assert got[eid]["n_events_trailing"] == len(in_frame), eid
+        want = float(sum(Decimal(str(round(r[4], 4))) for r in in_frame))
+        assert abs(got[eid]["value_trailing"] - want) < 1e-9, eid
