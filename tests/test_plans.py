@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from mito_spark.operators import asof, relational, relational2
 
 
@@ -233,3 +235,49 @@ def test_staged_shingles_projection_not_collapsed(spark, sf_dir):
     # the split lives in the INNER projection, not inside the lambda
     inner = opt.split("Project")[-1]
     assert "split(" in inner
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_bigram_surprisal",
+        "bpe_merge_candidates",
+        "events_retention_cohorts",
+        "events_rolling_window",
+        "orders_priority_pivot",
+        "lineitem_metrics_unpivot",
+        "lineitem_correlations",
+        "ann_persisted_topk",
+        "ann_index_refresh",
+        "knn_pagerank",
+    ],
+)
+def test_r6_operators_have_no_python_row_path(spark, sf_dir, name):
+    """Every r6 operator stays JVM-side: no row-at-a-time Python, no
+    pandas UDF in the executed plan (driver-side routing/argmax
+    collects are bounded and not part of the row path)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_pagerank_plan_growth_is_bounded(spark, sf_dir):
+    """Per-round localCheckpoint truncates lineage: the final plan must
+    reference checkpointed RDD scans, not re-embed every round's join
+    DAG (the MMR lesson — unbounded nesting superlinearizes planning)."""
+    from mito_spark.operators.graph import knn_pagerank
+
+    plan = (
+        knn_pagerank(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    # a fully inlined 3-round plan would nest >= 6 shuffle joins; the
+    # checkpointed plan keeps the visible operator count small
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 3
