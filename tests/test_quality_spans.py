@@ -434,6 +434,11 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "token_pack_bins",
         "dedup_exact",
         "surprisal_buckets",
+        "events_retention_cohorts",
+        "events_rolling_window",
+        "orders_priority_pivot",
+        "lineitem_metrics_unpivot",
+        "bpe_merge_candidates",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
