@@ -117,6 +117,26 @@ def _nearest_cells(q: list[float], centroids: list[tuple[int, list[float]]], npr
     return [cell for _, cell in scored[:nprobe]]
 
 
+def _prune_stale_indexes(keep: str, max_dirs: int = 8) -> None:
+    """Source-fingerprint tags orphan the previous index whenever the
+    testdata regenerates; cap the default warehouse root at the
+    ``max_dirs`` most-recent tags (never touching ``keep``) so stale
+    indexes are garbage-collected instead of accumulating across
+    rounds. Only ever runs against the repo-local default root."""
+    import shutil
+
+    root = os.path.join(_REPO_ROOT, "spark-warehouse", "ann_index")
+    if not os.path.isdir(root):
+        return
+    tags = sorted(
+        (d for d in os.listdir(root) if d != keep),
+        key=lambda d: os.path.getmtime(os.path.join(root, d)),
+        reverse=True,
+    )
+    for stale in tags[max_dirs - 1 :]:
+        shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+
+
 def ann_query_persisted(
     spark: SparkSession,
     sf_dir: str,
@@ -141,6 +161,7 @@ def ann_query_persisted(
     cent_path = os.path.join(index_dir, "centroids.parquet")
     if not os.path.isdir(cent_path):
         build_ann_index(spark, sf_dir, index_dir, n_cells=n_cells)
+        _prune_stale_indexes(keep=os.path.basename(index_dir))
     centroids = [
         (r["cell"], list(r["c"]))
         for r in spark.read.parquet(cent_path).orderBy("cell").collect()
