@@ -439,3 +439,22 @@ def test_streaming_retransmit_multi_chunk_key(spark, sf_dir, tmp_path):
         for r in events_retransmit_dedup(spark, d, eps_s=30).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir):
+    """Batch sessionize and the streaming session_window form must
+    produce the SAME sessions (key, start, event count) — they share
+    the session_window expression, so divergence would mean the stream
+    wrapper (watermark / availableNow replay) changed semantics."""
+    from mito_spark.operators.events import sessionize
+
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize(spark, sf_dir).collect()
+    }
+    stream = stream_events_from_parquet(spark, sf_dir)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in run_stream_to_list(streaming_sessionize(stream))
+    }
+    assert got == batch
