@@ -88,6 +88,7 @@ HEADLINE = [
     # covers it via the shared warm pass ordering; the median of 3
     # takes the steady-state query-only cost — the production number)
     "ann_persisted_topk",
+    "ann_persisted_sq8",
     "text_token_count",
     "text_lang_id",
     "text_quality",

@@ -57,7 +57,10 @@ def default_index_dir(sf_dir: str) -> str:
     testdata changes the tag, so a stale index is never served — it is
     simply rebuilt under the new tag."""
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    parts = [os.path.abspath(sf_dir)]
+    # "v2": the index LAYOUT version (v2 added int8 codes to the tagged
+    # table) — bumping it orphans indexes with the old schema instead
+    # of serving them to readers that expect the new columns
+    parts = ["v2", os.path.abspath(sf_dir)]
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, name))
@@ -78,14 +81,17 @@ def build_ann_index(
     """Train the coarse quantizer and persist the index tables:
 
     - ``centroids.parquet``: (cell, c array<double>) — n_cells rows.
-    - ``tagged.parquet``: the corpus with its cell id, PARTITIONED BY
-      cell, so query-time probes prune to nprobe directories. (At
-      2^20 cells, partition directories would outnumber useful file
-      sizes — there, write bucketed-by-cell instead; the partition-
-      pruning contract is the same.)
+    - ``tagged.parquet``: the corpus with its cell id PLUS the int8
+      scalar-quantized code per vector (the same symmetric
+      quantization as the one-shot SQ8 tier), PARTITIONED BY cell, so
+      query-time probes prune to nprobe directories and the candidate
+      phase can read 4×-smaller codes instead of floats. (At 2^20
+      cells, partition directories would outnumber useful file sizes —
+      there, write bucketed-by-cell instead; the partition-pruning
+      contract is the same.)
 
-    The one full-corpus scan (tagging) happens here, once; every
-    query thereafter reads only its probe cells.
+    The one full-corpus scan (tagging + quantizing) happens here,
+    once; every query thereafter reads only its probe cells.
     """
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -99,8 +105,17 @@ def build_ann_index(
     cent_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids.parquet")
     )
+    amax = F.array_max(F.transform(F.col("v"), F.abs))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
     (
         emb.withColumn("cell", _nearest_cell_expr(centroids).cast("int"))
+        .withColumn("scale", scale)
+        .withColumn(
+            "code",
+            F.transform(
+                F.col("v"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("long")
+            ),
+        )
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(index_dir, "tagged.parquet"))
@@ -283,3 +298,164 @@ GROUP BY cell ORDER BY cell
 
 
 REFRESH_SQL = _refresh_sql()
+
+
+def ann_query_persisted_sq8(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    n_queries: int = 10,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+    n_cells: int | None = None,
+) -> DataFrame:
+    """The full production serving stack in one query: persisted
+    centroids route the probe (partition-pruned scan), the candidate
+    phase scores STORED int8 codes with exact-integer dot products
+    (reads the 4×-smaller code column, never the floats — engine-exact,
+    no float-order concerns), and only the per-query top k·rerank_factor
+    survivors are re-ranked with the exact float cosine. Zero k-means
+    and zero quantization work at query time — both were paid once at
+    build. (Codes are stored as array<long> — Spark has no int8 array
+    type; the 100 TB storage swap-in is packing them into a binary
+    column, same as the one-shot SQ8 tier documents.)
+
+    The oracle composes the order-pinned k-means chain with the SQ8
+    candidate/re-rank pipeline, so the hash gate proves routing,
+    integer scoring, and re-ranking all agree bit-for-bit."""
+    if index_dir is None:
+        index_dir = default_index_dir(sf_dir)
+    cent_path = os.path.join(index_dir, "centroids.parquet")
+    if not os.path.isdir(cent_path):
+        build_ann_index(spark, sf_dir, index_dir, n_cells=n_cells)
+        _prune_stale_indexes(keep=os.path.basename(index_dir))
+    centroids = [
+        (r["cell"], list(r["c"]))
+        for r in spark.read.parquet(cent_path).orderBy("cell").collect()
+    ]
+    tagged = spark.read.parquet(os.path.join(index_dir, "tagged.parquet"))
+    queries = [
+        (r["vec_id"], list(r["v"]), list(r["code"]))
+        for r in tagged.where(F.col("vec_id") < n_queries).collect()
+    ]
+    probes = [
+        (qid, q, qcode, cell)
+        for qid, q, qcode in queries
+        for cell in _nearest_cells(q, centroids, nprobe)
+    ]
+    probe_cells = sorted({cell for _, _, _, cell in probes})
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, q array<double>, qcode array<long>, cell int"
+    )
+    pruned = tagged.where(F.col("cell").isin(probe_cells))
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qcode"), F.col("code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        pruned.join(F.broadcast(probe_df), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            int_dot.alias("iscore"),
+            F.col("q"),
+            F.col("v"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("iscore"), F.asc("neighbor_id"))
+    survivors = cand.withColumn("crank", F.row_number().over(w1)).where(
+        F.col("crank") <= k * rerank_factor
+    )
+    rerank = survivors.select(
+        "query_id", "neighbor_id", _cosine(F.col("q"), F.col("v")).alias("cos")
+    ).where(F.col("cos").isNotNull())
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _persisted_sq8_sql(
+    n_queries: int = 10,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+    n_cells: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+) -> str:
+    """Composed oracle: order-pinned k-means (tagging = cell routing of
+    the stored index) + symmetric int8 quantization + probe-restricted
+    integer candidates + float re-rank — the persisted pipeline
+    re-derived from scratch on DuckDB."""
+    from mito_spark.operators.similarity import _kmeans_tagged_sql
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+        )
+
+    cos = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> q.qv[i] * c2.v[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> q.qv[i]*q.qv[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> c2.v[i]*c2.v[i]))))"
+    )
+    return (
+        _kmeans_tagged_sql(n_cells, iters, dim)
+        + f""", coded AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, y -> abs(y))) > 0
+              THEN 127.0 / list_max(list_transform(v, y -> abs(y)))
+              ELSE 0.0 END AS scale
+  FROM e
+), codes AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS code
+  FROM coded
+), probe AS (
+  SELECT query_id, cell FROM (
+    SELECT t.vec_id AS query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {dist('t.v', 'c.c')} ASC, c.cell ASC) AS rn
+    FROM e t CROSS JOIN cent{iters} c
+    WHERE t.vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, code AS qcode FROM codes WHERE vec_id < {n_queries}
+), cand AS (
+  SELECT p.query_id, g.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {dim + 1}), i -> q.qcode[i] * c2.code[i])) AS BIGINT) AS iscore
+  FROM tagged g
+  JOIN probe p ON g.cell = p.cell
+  JOIN q ON q.query_id = p.query_id
+  JOIN codes c2 ON c2.vec_id = g.vec_id
+  WHERE g.vec_id <> p.query_id
+), survivors AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS crank
+    FROM cand
+  ) WHERE crank <= {k * rerank_factor}
+), rerank AS (
+  SELECT s.query_id, s.neighbor_id, {cos} AS cos
+  FROM survivors s JOIN q ON q.query_id = s.query_id
+       JOIN codes c2 ON c2.vec_id = s.neighbor_id
+  WHERE NOT isnan({cos})
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rank
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rerank
+) WHERE rank <= {k}
+"""
+    )
+
+
+PERSISTED_SQ8_SQL = _persisted_sq8_sql()

@@ -114,3 +114,22 @@ def test_refresh_report_is_total_and_consistent(spark, sf_dir):
         tot = r["n_base"] + r["n_new"]
         assert tot > 0
         assert abs(r["growth_frac"] - round(r["n_new"] / tot, 6)) < 1e-9
+
+
+def test_persisted_sq8_zero_kmeans_and_recall(spark, sf_dir, index_dir, monkeypatch):
+    """The SQ8 serving path does no training at query time, and its
+    int8 candidate phase loses little against the float path over the
+    same probe cells (re-rank buys the order back)."""
+    from mito_spark.operators import ann_index, similarity
+
+    def boom(*a, **k):  # pragma: no cover - must not run
+        raise AssertionError("k-means ran at query time")
+
+    monkeypatch.setattr(similarity, "_kmeans_centroids", boom)
+    monkeypatch.setattr(ann_index, "_kmeans_centroids", boom)
+    sq8 = ann_index.ann_query_persisted_sq8(spark, sf_dir, index_dir=index_dir).collect()
+    flt = ann_index.ann_query_persisted(spark, sf_dir, index_dir=index_dir).collect()
+    assert len(sq8) > 0
+    a = {(r["query_id"], r["neighbor_id"]) for r in sq8}
+    b = {(r["query_id"], r["neighbor_id"]) for r in flt}
+    assert len(a & b) / len(b) >= 0.8  # quantization recall over identical probes
