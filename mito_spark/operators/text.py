@@ -604,9 +604,7 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mito_spark.engine import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toked = docs.select(
-        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks")
-    ).localCheckpoint()  # the ONE tokenize pass; feeds vocab + pairs
+    toked = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
     pairs_col = F.when(
         F.size("toks") >= 2,
         F.transform(
@@ -617,9 +615,12 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    staged = toked.select(
-        "doc_id", pairs_col.alias("pairs")
-    ).localCheckpoint()  # checkpoint BEFORE the explode (Generate rule)
+    # ONE checkpoint carrying BOTH columns: the tokenize pass
+    # materializes once and feeds the pair explode (Generate rule:
+    # checkpoint before exploding an interpreted-HOF product) AND the
+    # vocab aggregate — two checkpoints here cost a second corpus
+    # materialization for no reuse (A/B: 2.6 → 2.4 s at sf0.1)
+    staged = toked.select("doc_id", "toks", pairs_col.alias("pairs")).localCheckpoint()
     bg = staged.select(
         "doc_id", F.explode("pairs").alias("p")
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -628,7 +629,7 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass over bg — strictly less data into the (a, b) shuffle
     corpus_bg = per_doc_bg.groupBy("a", "b").agg(F.sum("n").alias("cab"))
     ctx = corpus_bg.groupBy("a").agg(F.sum("cab").alias("ca"))
-    vocab = toked.select(F.explode("toks").alias("t")).agg(
+    vocab = staged.select(F.explode("toks").alias("t")).agg(
         F.count_distinct("t").alias("vocab")
     )
     contrib = F.col("n") * -F.log(
