@@ -156,9 +156,9 @@ HEADLINE = [
     # knn_pagerank excluded like label_propagation: its cost IS the
     # kNN-graph build it composes (knn_graph is benched); behavior
     # covered by its unrolled oracle row + tests
-    # bpe_learn_merges excluded: its cost IS rounds x the benched
-    # bpe_merge_candidates rollup plus per-round merge folds (behavior
-    # covered by its unrolled oracle row + greedy-fold property test);
+    "bpe_learn_merges",
+    # (bpe_learn_merges joined the headline once the contains-both
+    # prefilter made its fold cost proportional to matching docs;)
     # ann_index_refresh excluded like IVF/semdedup: k-means-training-
     # dominated (oracle row + totality test cover behavior)
 ]
