@@ -968,3 +968,132 @@ WITH t0 AS (
 
 
 BPE_LEARN_SQL = _bpe_learn_sql()
+
+
+BPE_BYTES_ROUNDS = 5
+
+
+def bpe_learn_merges_bytes(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_BYTES_ROUNDS
+) -> DataFrame:
+    """CHARACTER-level BPE vocabulary induction — the faithful
+    Sennrich et al. 2016 trainer (word-level ``bpe_learn_merges`` is
+    the demo form): words are split into single characters plus an
+    end-of-word marker ``</w>``, and each round merges the
+    highest-count adjacent symbol pair, with counts weighted by word
+    frequency. Merged symbols are PLAIN CONCATENATIONS — for sub-word
+    BPE that is the canonical encoding: standard BPE's symbols ARE
+    surface strings, so two merge paths reaching the same string are
+    the same symbol by definition (resolving the ADVICE r6 collision
+    note that applies to the word-level space-join).
+
+    The KEY scale property the word-level trainer lacks: the working
+    set is the WORD-TYPE table (distinct words + counts), not the
+    corpus. One corpus tokenize pass builds it; every subsequent
+    round shuffles |vocab| rows (~10⁵-10⁷ word types at 100 TB, vs
+    10¹¹ documents), making multi-hundred-round training loops
+    tractable — this is exactly how production tokenizer trainers
+    (subword-nmt, SentencePiece's BPE mode) structure the computation.
+    Merge application reuses ``_apply_merge_linear``: short symbol
+    arrays take the JVM fold, pathological long words the linear
+    Arrow scan.
+
+    Per round: one explode+sum-by-pair shuffle, ONE collected argmax
+    row, one merge map over the word-type table, localCheckpoint to
+    bound plan growth. Output (round, a, b, n_occurrences) — the
+    ordered merge table, where n is the frequency-weighted occurrence
+    count of the merged pair.
+
+    The corpus is ASCII (asserted by the testdata profile); on UTF-8
+    corpora the char split is code-point-based on both engines but a
+    byte-level trainer would pre-encode to escaped bytes (GPT-2
+    style) — plumbing, not a different shuffle shape.
+    """
+    from mito_spark.engine import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    cur = words.select(
+        "wc",
+        F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("toks"),
+    ).localCheckpoint()
+    out: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        pairs_col = F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("a"),
+                    F.element_at(F.col("toks"), i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        staged = cur.select("wc", pairs_col.alias("pairs")).localCheckpoint()
+        top = (
+            staged.select("wc", F.explode("pairs").alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        out.append((r, a, b, n))
+        cur = _apply_merge_linear(cur, a, b, a + b).localCheckpoint()
+    return spark.createDataFrame(
+        out, "round int, a string, b string, n_occurrences long"
+    )
+
+
+def _bpe_bytes_sql(rounds: int = BPE_BYTES_ROUNDS) -> str:
+    """Unrolled oracle over the word-type table: same per-round
+    pair-count / argmax / list_reduce-merge CTE chain as the
+    word-level twin, with counts weighted by word frequency and
+    merged symbols concatenated without a delimiter."""
+    parts = [
+        r"""
+WITH words AS (
+  SELECT w, COUNT(*) AS wc FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+), t0 AS (
+  SELECT wc, string_split(w, '') || ['</w>'] AS toks FROM words
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"t{r - 1}"
+        parts.append(f""", c{r} AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(SUM(wc) AS BIGINT) AS n
+  FROM (SELECT wc, unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS p
+        FROM {prev} WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+), m{r} AS (
+  SELECT {r} AS round, a, b, n FROM c{r} ORDER BY n DESC, a, b LIMIT 1
+), t{r} AS (
+  SELECT wc,
+         CASE WHEN len(toks) = 0 THEN toks
+              ELSE list_reduce(
+                list_transform(toks, t -> [t]),
+                (acc, t) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{r}.a AND t[1] = m{r}.b
+                                 THEN acc[1:-2] || [m{r}.a || m{r}.b]
+                                 ELSE acc || t END)
+         END AS toks
+  FROM {prev} CROSS JOIN m{r}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT round, a, b, n AS n_occurrences FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY round")
+    return "".join(parts)
+
+
+BPE_BYTES_SQL = _bpe_bytes_sql()

@@ -497,3 +497,55 @@ def test_bpe_merge_apply_near_linear_in_doc_length(spark):
     assert t_big / max(t_small, 1e-3) < 8.0, (t_small, t_big)
     # and the kernel itself is exactly linear: O(T) list growth
     assert _greedy_merge_tokens(["x", "y", "y"], "x", "y", "xy") == ["xy", "y"]
+
+
+def _py_bpe_bytes(words: dict[str, int], rounds: int):
+    """Reference frequency-weighted char-level BPE (Sennrich 2016):
+    same argmax tie-break (count desc, pair asc) and greedy leftmost
+    non-overlapping merge application as the operator."""
+    syms = {w: list(w) + ["</w>"] for w in words}
+    out = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, wc in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + wc
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((r, a, b, n))
+        merged = a + b
+        for w, s in syms.items():
+            res, i = [], 0
+            while i < len(s):
+                if s[i] == a and i + 1 < len(s) and s[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            syms[w] = res
+    return out
+
+
+def test_bpe_bytes_matches_reference_trace(spark, tmp_path):
+    """bpe_learn_merges_bytes on the classic Sennrich corpus
+    ({low:5, lower:2, newest:6, widest:3}) must reproduce the merge
+    trace of a pure-Python frequency-weighted BPE trainer — merge
+    SELECTION (weighted counts + tie-break) and APPLICATION both."""
+    from mito_spark.operators.text import bpe_learn_merges_bytes
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, c in words.items() for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rounds = 6
+    got = [
+        (r["round"], r["a"], r["b"], r["n_occurrences"])
+        for r in bpe_learn_merges_bytes(spark, str(tmp_path), rounds=rounds).collect()
+    ]
+    want = _py_bpe_bytes(words, rounds)
+    assert got == want, (got, want)
+    # the first merges of the textbook corpus: ('e','s') then ('es','t')
+    assert got[0][1:3] == ("e", "s") and got[1][1:3] == ("es", "t")
