@@ -459,6 +459,16 @@ def _ivf_train_sample(emb: DataFrame) -> DataFrame:
     # sample, full training is what you want anyway, and at any real
     # scale the sample is never empty so the take(1) probe is the only
     # cost and the oracle's sample-trained path is untouched.
+    #
+    # ORACLE ASYMMETRY (ADVICE r6): no DuckDB twin (IVF / semdedup /
+    # refresh / persisted-SQ8) carries this fallback — their k-means
+    # chains always train on the hash sample. On a corpus tiny enough
+    # to trigger the fallback (< ~4 rows sampled), Spark and the
+    # oracle train on different sets and the documented bit-parity
+    # contract does not hold; the gate SFs (≥ sf0.001, 500+ vectors)
+    # never trigger it, so the hash gate stays meaningful where it
+    # runs. The fallback trades parity-on-degenerate-corpora for
+    # not-crashing — the right trade for a guard rail.
     if not s.take(1):
         return emb
     return s
