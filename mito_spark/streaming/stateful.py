@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -262,6 +263,114 @@ def streaming_retransmit_dedup(events: DataFrame, eps_s: float = 900.0) -> DataF
         _retransmit_step_factory(eps_s),
         outputStructType=RETRANSMIT_OUTPUT_SCHEMA,
         stateStructType=RETRANSMIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ROLLING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("n_events_trailing", LongType()),
+        StructField("value_trailing", DoubleType()),
+    ]
+)
+
+# per-key state: the trailing-window buffer as two parallel arrays
+# (epoch-micros keys + 4dp-quantized values scaled to integer
+# ten-thousandths so the running sum stays exact in the store)
+ROLLING_STATE_SCHEMA = StructType(
+    [
+        StructField("us", ArrayType(LongType())),
+        StructField("val4", ArrayType(LongType())),
+    ]
+)
+
+
+def _rolling_step_factory(days: int):
+    span_us = days * 86400 * 1_000_000
+
+    def step(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if state.exists:
+            us_list, val4_list = list(state.get[0]), list(state.get[1])
+        else:
+            us_list, val4_list = [], []
+        # buffer ALL Arrow chunks before sorting (no cross-chunk
+        # ordering guarantee — see _anomaly_step_factory)
+        buf = [pdf[["event_id", "ts", "value"]] for pdf in batches if not pdf.empty]
+        out_rows = []
+        if buf:
+            allrows = pd.concat(buf, ignore_index=True)
+            allrows = allrows.assign(
+                us=allrows["ts"].astype("int64") // 1000  # pandas ns → µs
+            ).sort_values(["us", "event_id"])
+            # process per distinct timestamp: a RANGE frame is
+            # peer-inclusive, so every event at a timestamp sees ALL
+            # its equal-ts peers — add the whole peer group to the
+            # buffer first, then emit one shared (count, sum) for it
+            for us, grp in allrows.groupby("us", sort=True):
+                us = int(us)
+                for v in grp["value"]:
+                    us_list.append(us)
+                    # mirror the batch twin's CAST(value AS DECIMAL(18,4)):
+                    # exact binary expansion of the double, HALF_UP at 4dp
+                    q = Decimal(float(v)).quantize(
+                        Decimal("0.0001"), rounding=ROUND_HALF_UP
+                    )
+                    val4_list.append(int(q * 10_000))
+                lo = us - span_us  # frame is [us - span, us] inclusive
+                drop = 0
+                while drop < len(us_list) and us_list[drop] < lo:
+                    drop += 1
+                if drop:
+                    us_list = us_list[drop:]
+                    val4_list = val4_list[drop:]
+                n = len(us_list)
+                total = float(Decimal(sum(val4_list)) / 10_000)
+                ts_out = pd.Timestamp(us, unit="us")
+                for ev in grp["event_id"]:
+                    out_rows.append((int(ev), key[0], ts_out, n, total))
+        state.update((us_list, val4_list))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["event_id", "user_id", "ts", "n_events_trailing", "value_trailing"],
+        )
+
+    return step
+
+
+def streaming_rolling_window(events: DataFrame, days: int = 7) -> DataFrame:
+    """Streaming twin of ``events.events_rolling_window`` — the
+    feature-store materialization as a stream: for every incoming
+    event, the trailing ``days``-day (count, decimal-exact value sum)
+    over its user's events, emitted per event (append mode).
+
+    State per key is the trailing window itself: parallel arrays of
+    epoch-micros and integer ten-thousandths (the DECIMAL(18,4)
+    quantization as exact integers), evicted as the key's clock
+    advances — bounded by the key's event rate × window span,
+    independent of stream length. Peer-inclusive RANGE semantics are
+    preserved by processing each distinct timestamp as a group (all
+    equal-ts events enter the buffer before any of them emits).
+
+    IN-ORDER ASSUMPTION (same contract as streaming_retransmit_dedup,
+    r6): equality with the batch RANGE window holds when each key's
+    events arrive in ts order across micro-batches AND equal-timestamp
+    peers share a micro-batch — a peer split across batches would emit
+    the early rows before seeing the late peers (the batch frame sees
+    all peers at once). Out-of-order feeds need a watermark +
+    sort-front-stage, or the batch operator over a replayed log; the
+    equality test drives 3 in-order micro-batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _rolling_step_factory(days),
+        outputStructType=ROLLING_OUTPUT_SCHEMA,
+        stateStructType=ROLLING_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
