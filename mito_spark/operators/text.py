@@ -807,6 +807,19 @@ def bpe_learn_merges(
     ``bpe_learn_merges_bytes`` for the faithful char-level trainer
     where plain concatenation is the canonical encoding.
     """
+    out, _cur = _bpe_learn(spark, sf_dir, rounds)
+    return spark.createDataFrame(
+        out, "round int, a string, b string, n_occurrences long"
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The shared word-level learn loop: returns (merge table, final
+    encoded frame (doc_id, toks)) so bpe_learn_merges ships the merges
+    and bpe_encode ships the per-doc encoding — one implementation,
+    two surfaces."""
     from mito_spark.engine import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -839,9 +852,7 @@ def bpe_learn_merges(
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         out.append((r, a, b, n))
         cur = _apply_merge_linear(cur, a, b, a + " " + b).localCheckpoint()
-    return spark.createDataFrame(
-        out, "round int, a string, b string, n_occurrences long"
-    )
+    return out, cur
 
 
 def _greedy_merge_tokens(toks: list, a: str, b: str, merged: str) -> list:
@@ -927,10 +938,12 @@ def _apply_merge_linear(frame: DataFrame, a: str, b: str, merged: str) -> DataFr
     return common.unionByName(long_docs).select(*cols)
 
 
-def _bpe_learn_sql(rounds: int = BPE_ROUNDS) -> str:
-    """Unrolled oracle: per round a pair-count CTE, an argmax CTE, and
-    a list_reduce merge application (the greedy fold, with the merge
-    row CROSS JOINed in — DuckDB lambdas cannot hold subqueries)."""
+def _bpe_learn_chain(rounds: int = BPE_ROUNDS) -> str:
+    """The unrolled WITH chain shared by the learn and encode oracles:
+    per round a pair-count CTE, an argmax CTE, and a list_reduce merge
+    application (the greedy fold, with the merge row CROSS JOINed in —
+    DuckDB lambdas cannot hold subqueries). Ends at t{rounds}, the
+    fully encoded per-doc token arrays."""
     parts = [
         r"""
 WITH t0 AS (
@@ -959,15 +972,84 @@ WITH t0 AS (
          END AS toks
   FROM {prev} CROSS JOIN m{r}
 )""")
+    return "".join(parts)
+
+
+def _bpe_learn_sql(rounds: int = BPE_ROUNDS) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT round, a, b, CAST(n AS BIGINT) AS n_occurrences FROM m{r}"
         for r in range(1, rounds + 1)
     )
-    parts.append(f"\n{union}\nORDER BY round")
-    return "".join(parts)
+    return _bpe_learn_chain(rounds) + f"\n{union}\nORDER BY round"
 
 
 BPE_LEARN_SQL = _bpe_learn_sql()
+
+
+def bpe_encode(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """Tokenizer APPLICATION — the third stage of the BPE lifecycle
+    (candidates → learn → ENCODE): run the word-level learn loop
+    (shared ``_bpe_learn`` implementation, identical merge table) and
+    report the per-document encoding result: raw token count, encoded
+    token count, and the compression ratio the merge table bought.
+    This is the number a tokenizer trainer actually optimizes — and
+    the per-doc view surfaces which documents the vocabulary serves
+    poorly (ratio ≈ 1: the doc shares no frequent pairs with the
+    corpus — a proxy for out-of-domain text).
+
+    Scale shape: everything the learn loop costs, plus one final
+    per-doc projection (no extra shuffle — sizes are computed where
+    the encoded arrays already live). Ratio is NULL for empty docs
+    (0/0 is absence of evidence, not 1.0) and rounded at 6dp from an
+    exact integer quotient, so both engines agree bit-for-bit.
+
+    Oracle: the SAME unrolled merge chain as BPE_LEARN_SQL
+    (``_bpe_learn_chain``), finishing with the t0-vs-tN length compare
+    instead of the merge-table union — one chain, two oracles, zero
+    twin drift possible.
+    """
+    from mito_spark.engine import spread
+
+    _merges, cur = _bpe_learn(spark, sf_dir, rounds)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t0 = docs.select("doc_id", F.size(_tokens(F.lower(F.col("text")))).alias("n_tokens_raw"))
+    enc = cur.select("doc_id", F.size("toks").alias("n_tokens_bpe"))
+    return (
+        t0.join(enc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens_raw",
+            "n_tokens_bpe",
+            F.when(
+                F.col("n_tokens_bpe") > 0,
+                F.round(
+                    F.col("n_tokens_raw").cast("double") / F.col("n_tokens_bpe"), 6
+                ),
+            ).alias("compression_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql(rounds: int = BPE_ROUNDS) -> str:
+    return (
+        _bpe_learn_chain(rounds)
+        + f"""
+SELECT t0.doc_id,
+       len(t0.toks) AS n_tokens_raw,
+       len(t{rounds}.toks) AS n_tokens_bpe,
+       CASE WHEN len(t{rounds}.toks) > 0
+            THEN ROUND(CAST(len(t0.toks) AS DOUBLE) / len(t{rounds}.toks), 6)
+       END AS compression_ratio
+FROM t0 JOIN t{rounds} USING (doc_id)
+ORDER BY t0.doc_id
+"""
+    )
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
 BPE_BYTES_ROUNDS = 5
