@@ -190,3 +190,21 @@ def test_mismatched_n_cells_rebuilds(spark, sf_dir, tmp_path):
     ann_query_persisted(spark, sf_dir, index_dir=d, n_cells=8).collect()
     cent2 = spark.read.parquet(os.path.join(d, "centroids.parquet"))
     assert cent2.count() == 8
+
+
+def test_pq_adc_recall_and_code_size(spark, sf_dir):
+    """PQ/ADC with exact re-rank recovers most of the brute-force
+    top-k (the quantization-recall bar the SQ8 tier is held to), and
+    the code table really is m small ids per vector."""
+    from mito_spark.operators.pq import PQ_KSUB, PQ_M, ann_pq_topk
+    from mito_spark.operators.similarity import cosine_topk_bruteforce
+
+    got = ann_pq_topk(spark, sf_dir).collect()
+    assert got
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    assert len(approx & exact) / len(exact) >= 0.6  # ADC recall floor
+    assert PQ_M * (PQ_KSUB - 1).bit_length() <= 16  # ≤2 B of code per vector
