@@ -161,6 +161,18 @@ HEADLINE = [
     # prefilter made its fold cost proportional to matching docs;)
     # ann_index_refresh excluded like IVF/semdedup: k-means-training-
     # dominated (oracle row + totality test cover behavior)
+    # new in r7
+    "bpe_learn_merges_bytes",
+    # bpe_encode excluded like label_propagation: its cost IS the
+    # bpe_learn_merges loop it composes (benched above) plus one
+    # projection; oracle row covers behavior.
+    # graph_report excluded for the same composition rule: its cost is
+    # knn_graph (benched) + lp + pagerank reuse; the A/B lives in
+    # BENCH_NOTES.
+    # ann_pq_topk excluded like IVF/semdedup: m concurrent k-means
+    # TRAINING chains dominate at gate SF (oracle row + recall test
+    # cover behavior; ADC scoring is the scale story, not the gate-SF
+    # wall time).
 ]
 
 
