@@ -89,6 +89,7 @@ HEADLINE = [
     # takes the steady-state query-only cost — the production number)
     "ann_persisted_topk",
     "ann_persisted_sq8",
+    "ann_ivfadc",
     "text_token_count",
     "text_lang_id",
     "text_quality",
@@ -172,7 +173,10 @@ HEADLINE = [
     # ann_pq_topk excluded like IVF/semdedup: m concurrent k-means
     # TRAINING chains dominate at gate SF (oracle row + recall test
     # cover behavior; ADC scoring is the scale story, not the gate-SF
-    # wall time).
+    # wall time). ann_ivfadc IS benched above with the other persisted
+    # serving tiers: its build (cells + codebooks + codes) amortizes
+    # in the untimed warmup, the measured number is the steady-state
+    # pruned-probe + ADC + re-rank query cost.
 ]
 
 

@@ -57,10 +57,11 @@ def default_index_dir(sf_dir: str) -> str:
     testdata changes the tag, so a stale index is never served — it is
     simply rebuilt under the new tag."""
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    # "v2": the index LAYOUT version (v2 added int8 codes to the tagged
-    # table) — bumping it orphans indexes with the old schema instead
-    # of serving them to readers that expect the new columns
-    parts = ["v2", os.path.abspath(sf_dir)]
+    # "v3": the index LAYOUT version (v2 added int8 codes, v3 adds PQ
+    # codebooks + per-vector PQ codes for IVFADC) — bumping it orphans
+    # indexes with the old schema instead of serving them to readers
+    # that expect the new columns
+    parts = ["v3", os.path.abspath(sf_dir)]
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, name))
@@ -83,16 +84,24 @@ def build_ann_index(
     - ``centroids.parquet``: (cell, c array<double>) — n_cells rows.
     - ``tagged.parquet``: the corpus with its cell id PLUS the int8
       scalar-quantized code per vector (the same symmetric
-      quantization as the one-shot SQ8 tier), PARTITIONED BY cell, so
-      query-time probes prune to nprobe directories and the candidate
-      phase can read 4×-smaller codes instead of floats. (At 2^20
-      cells, partition directories would outnumber useful file sizes —
-      there, write bucketed-by-cell instead; the partition-pruning
-      contract is the same.)
+      quantization as the one-shot SQ8 tier) PLUS the m PQ code ids
+      (``c0..c{m-1}``, ~2 B/vec at the defaults — the IVFADC
+      candidate representation), PARTITIONED BY cell, so query-time
+      probes prune to nprobe directories and the candidate phase can
+      read codes instead of floats. (At 2^20 cells, partition
+      directories would outnumber useful file sizes — there, write
+      bucketed-by-cell instead; the partition-pruning contract is the
+      same.)
+    - ``pq_codebooks.parquet``: m × k_sub rows (s, cell, c) — the
+      per-subspace codebooks the server loads once to build per-query
+      ADC lookup tables.
 
-    The one full-corpus scan (tagging + quantizing) happens here,
-    once; every query thereafter reads only its probe cells.
+    The one full-corpus scan (tagging + quantizing + PQ coding)
+    happens here, once; every query thereafter reads only its probe
+    cells.
     """
+    from mito_spark.operators.pq import pq_code_columns, train_pq_codebooks
+
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -105,6 +114,14 @@ def build_ann_index(
     cent_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids.parquet")
     )
+    codebooks = train_pq_codebooks(emb)
+    spark.createDataFrame(
+        [(s, cell, c) for s, book in enumerate(codebooks) for cell, c in enumerate(book)],
+        "s int, cell int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "pq_codebooks.parquet")
+    )
+    dim = len(centroids[0])
     amax = F.array_max(F.transform(F.col("v"), F.abs))
     scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
     (
@@ -116,6 +133,7 @@ def build_ann_index(
                 F.col("v"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("long")
             ),
         )
+        .select("*", *pq_code_columns(codebooks, dim))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(index_dir, "tagged.parquet"))
@@ -196,6 +214,10 @@ def _ensure_index(
         _prune_stale_indexes(keep=os.path.basename(index_dir))
     centroids = read()
     if n_cells is not None and len(centroids) != n_cells:
+        build_ann_index(spark, sf_dir, index_dir, n_cells=n_cells)
+        centroids = read()
+    if not os.path.isdir(os.path.join(index_dir, "pq_codebooks.parquet")):
+        # pre-v3 index (no PQ artifacts): rebuild in place
         build_ann_index(spark, sf_dir, index_dir, n_cells=n_cells)
         centroids = read()
     # mark the index live so the age-gated pruner never removes an
@@ -486,6 +508,171 @@ def ann_query_persisted_sq8(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
     )
+
+
+def ann_query_ivfadc(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    n_queries: int = 10,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 10,
+    n_cells: int | None = None,
+    queries: "DataFrame | list[tuple[int, list[float]]] | None" = None,
+) -> DataFrame:
+    """IVFADC — the composition the PQ docstring promises: persisted
+    IVF routing (partition-pruned probe scan) with PQ/ADC candidate
+    scoring inside the probe cells, then exact-cosine re-rank. This is
+    the Jégou-2011 production configuration: IVF prunes WHICH vectors
+    are scored, PQ prunes what scoring each one COSTS — at the
+    defaults a probe reads nprobe/n_cells of the corpus and scores it
+    at m lookups + m−1 adds per candidate over ~2 B/vec codes.
+
+    All build-time work (cell k-means, PQ codebooks, code assignment)
+    was paid once in ``build_ann_index``; at query time: centroids +
+    codebooks load from tiny parquet tables, per-query ADC lookup
+    tables are m·k_sub driver-side dot products, the index scan is
+    cell-pruned, and only k·rerank_factor float vectors per query are
+    touched for the re-rank. External query vectors via ``queries``;
+    the gate default reads the embeddings source with a pushed vec_id
+    predicate — never the index (same contract as the other serving
+    tiers).
+
+    The oracle composes the cell-routing k-means chain with the m
+    subspace codebook chains, probe restriction, the fixed-order ADC
+    sum, and the re-rank — the full serving stack re-derived on
+    DuckDB, hash-checked."""
+    from mito_spark.operators.pq import adc_expr, pq_luts
+
+    if index_dir is None:
+        index_dir = default_index_dir(sf_dir)
+    centroids = _ensure_index(spark, sf_dir, index_dir, n_cells)
+    book_rows = (
+        spark.read.parquet(os.path.join(index_dir, "pq_codebooks.parquet"))
+        .orderBy("s", "cell")
+        .collect()
+    )
+    m = 1 + max(r["s"] for r in book_rows)
+    codebooks: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in book_rows:
+        codebooks[r["s"]].append(list(r["c"]))
+    tagged = spark.read.parquet(os.path.join(index_dir, "tagged.parquet"))
+    qvecs = (
+        _default_queries(spark, sf_dir, n_queries)
+        if queries is None
+        else _coerce_queries(queries)
+    )
+    probes = [
+        (qid, q, *pq_luts(q, codebooks), cell)
+        for qid, q in qvecs
+        for cell in _nearest_cells(q, centroids, nprobe)
+    ]
+    probe_cells = sorted({p[-1] for p in probes})
+    probe_df = spark.createDataFrame(
+        probes,
+        "query_id long, q array<double>, "
+        + ", ".join(f"lt{s} array<double>" for s in range(m))
+        + ", cell int",
+    )
+    pruned = tagged.where(F.col("cell").isin(probe_cells))
+    cand = (
+        pruned.join(F.broadcast(probe_df), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc_expr(m).alias("adc"),
+            "q",
+            "v",
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    survivors = cand.withColumn("crank", F.row_number().over(w1)).where(
+        F.col("crank") <= k * rerank_factor
+    )
+    rerank = survivors.select(
+        "query_id", "neighbor_id", _cosine(F.col("q"), F.col("v")).alias("cos")
+    ).where(F.col("cos").isNotNull())
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _ivfadc_sql(
+    n_queries: int = 10,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 10,
+    n_cells: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+) -> str:
+    """Composed oracle: cell-routing k-means chain (tagged) + the m
+    PQ subspace chains (codes/luts) + probe restriction + fixed-order
+    ADC + exact re-rank."""
+    from mito_spark.operators.pq import PQ_M, _adc_sql, _lut_joins_sql, _pq_subspace_ctes
+    from mito_spark.operators.similarity import _kmeans_tagged_sql
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+        )
+
+    cos = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> q.q[i] * c2.v[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> q.q[i]*q.q[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> c2.v[i]*c2.v[i]))))"
+    )
+    adc = _adc_sql(PQ_M)
+    lut_joins = _lut_joins_sql(PQ_M, "p", "cj")
+    return (
+        _kmeans_tagged_sql(n_cells, iters, dim)
+        + _pq_subspace_ctes(dim=dim, n_queries=n_queries)
+        + f""", probe AS (
+  SELECT query_id, cell FROM (
+    SELECT t.vec_id AS query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {dist('t.v', 'c.c')} ASC, c.cell ASC) AS rn
+    FROM e t CROSS JOIN cent{iters} c
+    WHERE t.vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+), q AS (
+  SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < {n_queries}
+), cand AS (
+  SELECT p.query_id, g.vec_id AS neighbor_id, {adc} AS adc
+  FROM tagged g
+  JOIN probe p ON g.cell = p.cell
+  JOIN codes cj ON cj.vec_id = g.vec_id
+  {lut_joins}
+  WHERE g.vec_id <> p.query_id
+), survivors AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS crank
+    FROM cand
+  ) WHERE crank <= {k * rerank_factor}
+), rerank AS (
+  SELECT s.query_id, s.neighbor_id, {cos} AS cos
+  FROM survivors s JOIN q ON q.query_id = s.query_id
+       JOIN e c2 ON c2.vec_id = s.neighbor_id
+  WHERE {cos} IS NOT NULL
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rank
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rerank
+) WHERE rank <= {k}
+"""
+    )
+
+
+IVFADC_SQL = _ivfadc_sql()
 
 
 def _persisted_sq8_sql(

@@ -69,6 +69,79 @@ def _nearest_code_expr(centroids: list[list[float]], col: Column) -> Column:
     return F.array_min(pairs).getField("i")
 
 
+def train_pq_codebooks(
+    emb: DataFrame, m: int = PQ_M, k_sub: int = PQ_KSUB
+) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks on the shared hash sample.
+    The m chains are independent and each is a serial ladder of tiny
+    driver-coordinated jobs — run them as concurrent Spark jobs
+    (threads share the scheduler) so wall time is one chain, not m
+    (sf0.1 A/B: 17.9 → ~10.5 s end-to-end warm for the one-shot tier,
+    scheduling-noise bound ±2 s — the chains are tiny-sample jobs;
+    compute is not the cost at gate SFs). Shared by the one-shot tier
+    and the persisted IVFADC build."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    dim = len(emb.select("v").first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    train = _ivf_train_sample(emb).localCheckpoint()
+
+    def fit(s: int) -> list[list[float]]:
+        return _kmeans_centroids(
+            train.select("vec_id", F.slice("v", s * sub + 1, sub).alias("v")),
+            k_sub,
+            iters=PQ_ITERS,
+        )
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        return list(ex.map(fit, range(m)))
+
+
+def pq_code_columns(
+    codebooks: list[list[list[float]]], dim: int
+) -> list[Column]:
+    """The m code-assignment expressions (pc ride-along columns) for a
+    frame with a ``v`` vector column — shared by the one-shot tier and
+    the persisted index build."""
+    m = len(codebooks)
+    sub = dim // m
+    return [
+        _nearest_code_expr(codebooks[s], F.slice(F.col("v"), s * sub + 1, sub))
+        .cast("int")
+        .alias(f"c{s}")
+        for s in range(m)
+    ]
+
+
+def pq_luts(q: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Per-subspace ADC lookup tables for ONE query vector —
+    left-to-right double sums, the engines' shared evaluation order."""
+    m = len(codebooks)
+    sub = len(q) // m
+    out = []
+    for s in range(m):
+        qs = q[s * sub : (s + 1) * sub]
+        luts = []
+        for c in codebooks[s]:
+            tot = 0.0
+            for a, b in zip(qs, c):
+                tot += a * b
+            luts.append(tot)
+        out.append(luts)
+    return out
+
+
+def adc_expr(m: int) -> Column:
+    """The fixed left-associated ADC sum over lt{s}/c{s} columns."""
+    adc: Column | None = None
+    for s in range(m):
+        term = F.element_at(F.col(f"lt{s}"), F.col(f"c{s}") + 1)
+        adc = term if adc is None else adc + term
+    return adc
+
+
 def ann_pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -104,71 +177,27 @@ def ann_pq_topk(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dim = len(emb.select("v").first()["v"])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    # the m chains are independent and each is a serial ladder of tiny
-    # driver-coordinated jobs — run them as concurrent Spark jobs
-    # (threads share the scheduler) so wall time is one chain, not m
-    # (sf0.1 A/B: 17.9 → ~10.5 s end-to-end warm, scheduling-noise
-    # bound ±2 s — the chains are tiny-sample jobs; compute is not
-    # the cost at gate SFs)
-    from concurrent.futures import ThreadPoolExecutor
-
-    train = _ivf_train_sample(emb).localCheckpoint()
-
-    def fit(s: int) -> list[list[float]]:
-        return _kmeans_centroids(
-            train.select("vec_id", F.slice("v", s * sub + 1, sub).alias("v")),
-            k_sub,
-            iters=PQ_ITERS,
-        )
-
-    with ThreadPoolExecutor(max_workers=m) as ex:
-        codebooks = list(ex.map(fit, range(m)))
+    codebooks = train_pq_codebooks(emb, m=m, k_sub=k_sub)
     coded = emb.select(
-        "vec_id",
-        "v",
-        *[
-            _nearest_code_expr(codebooks[s], F.slice(F.col("v"), s * sub + 1, sub))
-            .cast("int")
-            .alias(f"c{s}")
-            for s in range(m)
-        ],
+        "vec_id", "v", *pq_code_columns(codebooks, dim)
     ).localCheckpoint()
     qrows = [
         (int(r["vec_id"]), list(r["v"]))
         for r in emb.where(F.col("vec_id") < n_queries).collect()
     ]
-    probes = []
-    for qid, q in qrows:
-        row: list = [qid, q]
-        for s in range(m):
-            qs = q[s * sub : (s + 1) * sub]
-            luts = []
-            for c in codebooks[s]:
-                tot = 0.0  # left-to-right, the engines' shared sum order
-                for a, b in zip(qs, c):
-                    tot += a * b
-                luts.append(tot)
-            row.append(luts)
-        probes.append(tuple(row))
+    probes = [(qid, q, *pq_luts(q, codebooks)) for qid, q in qrows]
     probe_df = spark.createDataFrame(
         probes,
         "query_id long, q array<double>, "
         + ", ".join(f"lt{s} array<double>" for s in range(m)),
     )
-    adc: Column | None = None
-    for s in range(m):
-        term = F.element_at(F.col(f"lt{s}"), F.col(f"c{s}") + 1)
-        adc = term if adc is None else adc + term  # fixed left-assoc chain
     cand = (
         coded.crossJoin(F.broadcast(probe_df))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            adc.alias("adc"),
+            adc_expr(m).alias("adc"),
             "q",
             "v",
         )
@@ -202,17 +231,84 @@ def _pq_sql(
     _kmeans_tagged_sql, slice-indexed), per-vector code assignment,
     per-query ADC lookup tables, the fixed-order ADC sum, and the
     exact-cosine re-rank — PQ re-derived from scratch on DuckDB."""
-    sub = dim // m
     hexes = ", ".join(f"'{h}'" for h in _IVF_TRAIN_HEX)
-    parts = [
-        f"""
+    header = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), train AS (
   SELECT vec_id, v FROM e
   WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ({hexes})
 )"""
-    ]
+    adc = _adc_sql(m)
+    lut_joins = _lut_joins_sql(m, "q", "g")
+    cos = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> q.q[i] * c2.v[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> q.q[i]*q.q[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> c2.v[i]*c2.v[i]))))"
+    )
+    tail = f""", q AS (
+  SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < {n_queries}
+), cand AS (
+  SELECT q.query_id, g.vec_id AS neighbor_id, {adc} AS adc
+  FROM codes g CROSS JOIN q
+  {lut_joins}
+  WHERE g.vec_id <> q.query_id
+), survivors AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS crank
+    FROM cand
+  ) WHERE crank <= {k * rerank_factor}
+), rerank AS (
+  SELECT s.query_id, s.neighbor_id, {cos} AS cos
+  FROM survivors s JOIN q ON q.query_id = s.query_id
+       JOIN e c2 ON c2.vec_id = s.neighbor_id
+  WHERE {cos} IS NOT NULL
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rank
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rerank
+) WHERE rank <= {k}
+"""
+    return header + _pq_subspace_ctes(m, k_sub, iters, dim, n_queries) + tail
+
+
+def _adc_sql(m: int) -> str:
+    """The fixed left-associated ADC addition chain over lut aliases —
+    mirrors adc_expr's Column chain exactly."""
+    adc = "l0.d"
+    for s in range(1, m):
+        adc = f"({adc} + l{s}.d)"
+    return adc
+
+
+def _lut_joins_sql(m: int, qid_alias: str, code_alias: str) -> str:
+    """The m lookup-table joins of the ADC candidate stage; the
+    query-id source differs between the one-shot twin (q) and the
+    IVFADC twin (the probe CTE)."""
+    return "\n  ".join(
+        f"JOIN lut{s} l{s} ON l{s}.query_id = {qid_alias}.query_id AND l{s}.cell = {code_alias}.c{s}"
+        for s in range(m)
+    )
+
+
+def _pq_subspace_ctes(
+    m: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    n_queries: int = 10,
+) -> str:
+    """The m per-subspace codebook chains + code assignment + per-query
+    lookup tables, as a CTE-list fragment appended after CTEs ``e`` and
+    ``train`` (either the one-shot header's or _kmeans_tagged_sql's —
+    identical definitions). Ends with the ``codes`` CTE (vec_id,
+    c0..c{m-1}) and ``lut{s}`` CTEs; shared by the one-shot PQ twin
+    and the persisted IVFADC twin."""
+    sub = dim // m
+    parts = []
     for s in range(m):
         lo = s * sub
 
@@ -267,48 +363,11 @@ WITH e AS (
     code_joins = "\n  ".join(
         f"JOIN s{s}code s{s}code_{s} ON s{s}code_{s}.vec_id = e.vec_id" for s in range(m)
     )
-    adc = "l0.d"
-    for s in range(1, m):
-        adc = f"({adc} + l{s}.d)"
-    lut_joins = "\n  ".join(
-        f"JOIN lut{s} l{s} ON l{s}.query_id = q.query_id AND l{s}.cell = g.c{s}"
-        for s in range(m)
-    )
-    cos = (
-        f"list_sum(list_transform(range(1, {dim + 1}), i -> q.q[i] * c2.v[i]))"
-        f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> q.q[i]*q.q[i])))"
-        f" * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> c2.v[i]*c2.v[i]))))"
-    )
     parts.append(f""", codes AS (
   SELECT e.vec_id, {code_cols}
   FROM e
   {code_joins}
-), q AS (
-  SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < {n_queries}
-), cand AS (
-  SELECT q.query_id, g.vec_id AS neighbor_id, {adc} AS adc
-  FROM codes g CROSS JOIN q
-  {lut_joins}
-  WHERE g.vec_id <> q.query_id
-), survivors AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS crank
-    FROM cand
-  ) WHERE crank <= {k * rerank_factor}
-), rerank AS (
-  SELECT s.query_id, s.neighbor_id, {cos} AS cos
-  FROM survivors s JOIN q ON q.query_id = s.query_id
-       JOIN e c2 ON c2.vec_id = s.neighbor_id
-  WHERE {cos} IS NOT NULL
-)
-SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rank
-FROM (
-  SELECT query_id, neighbor_id, cos,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-  FROM rerank
-) WHERE rank <= {k}
-""")
+)""")
     return "".join(parts)
 
 

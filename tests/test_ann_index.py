@@ -208,3 +208,30 @@ def test_pq_adc_recall_and_code_size(spark, sf_dir):
     approx = {(r["query_id"], r["neighbor_id"]) for r in got}
     assert len(approx & exact) / len(exact) >= 0.6  # ADC recall floor
     assert PQ_M * (PQ_KSUB - 1).bit_length() <= 16  # ≤2 B of code per vector
+
+
+def test_ivfadc_zero_kmeans_pruned_and_recall(spark, sf_dir, index_dir, monkeypatch):
+    """The composed serving stack: no training at query time, the only
+    index reads are cell-pruned probe scans, and ADC+re-rank recovers
+    most of the float-path results over the same probes."""
+    from mito_spark.operators import ann_index, pq, similarity
+
+    def boom(*a, **k):  # pragma: no cover - must not run
+        raise AssertionError("k-means ran at query time")
+
+    monkeypatch.setattr(similarity, "_kmeans_centroids", boom)
+    monkeypatch.setattr(ann_index, "_kmeans_centroids", boom)
+    monkeypatch.setattr(pq, "_kmeans_centroids", boom)
+    df = ann_index.ann_query_ivfadc(spark, sf_dir, index_dir=index_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [seg for seg in plan.split("FileScan") if "tagged.parquet" in seg[:500]]
+    assert scans
+    for seg in scans:
+        pf = seg.split("PartitionFilters:", 1)
+        assert len(pf) == 2 and "cell" in pf[1][:200], seg[:300]
+    flt = ann_index.ann_query_persisted(spark, sf_dir, index_dir=index_dir).collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    b = {(r["query_id"], r["neighbor_id"]) for r in flt}
+    assert len(a & b) / len(b) >= 0.7  # ADC recall over identical probes
