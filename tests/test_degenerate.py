@@ -43,6 +43,9 @@ DOC_OPS = [
     "bpe_merge_candidates",
     "bpe_learn_merges",
     "boilerplate_ngrams",
+    # r7
+    "bpe_learn_merges_bytes",
+    "bpe_encode",
 ]
 EMB_OPS = [
     "quantize_embeddings",
@@ -60,6 +63,11 @@ EMB_OPS = [
     "ann_cosine_topk_ivf",
     "semdedup",
     "embedding_cluster_profile",
+    # r7: PQ tiers (8-dim degen vectors split 4x2; codebooks train on
+    # the full-frame fallback) and the composed graph report
+    "ann_pq_topk",
+    "ann_ivfadc",
+    "graph_report",
 ]
 
 

@@ -439,6 +439,8 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "orders_priority_pivot",
         "lineitem_metrics_unpivot",
         "bpe_merge_candidates",
+        "bpe_learn_merges_bytes",
+        "bpe_encode",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
