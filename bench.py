@@ -164,6 +164,7 @@ HEADLINE = [
     # dominated (oracle row + totality test cover behavior)
     # new in r7
     "bpe_learn_merges_bytes",
+    "events_user_ewma",
     # bpe_encode excluded like label_propagation: its cost IS the
     # bpe_learn_merges loop it composes (benched above) plus one
     # projection; oracle row covers behavior.

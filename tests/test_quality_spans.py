@@ -441,6 +441,7 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "bpe_merge_candidates",
         "bpe_learn_merges_bytes",
         "bpe_encode",
+        "events_user_ewma",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
