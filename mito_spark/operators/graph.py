@@ -616,3 +616,117 @@ ORDER BY l.vec_id
 
 
 GRAPH_REPORT_SQL = _graph_report_sql()
+
+
+def graph_clustering(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over
+    the (symmetrized) kNN graph — the neighborhood-density signal that
+    separates documents sitting in tight near-duplicate clumps
+    (coefficient → 1: my neighbors know each other; prime semdedup
+    candidates) from hub-ish boundary points (→ 0). Watts & Strogatz
+    1998 local coefficient: C_v = 2·T_v / (deg_v·(deg_v−1)), NULL for
+    deg < 2 (undefined, not zero).
+
+    Plan: symmetrize + orient (a<b) the edge list once, count each
+    triangle exactly once as an ordered triple (a<b<c) via two
+    edge-keyed self-joins — the standard distributed triangle join
+    (node-keyed shuffles; hub skew is AQE's skew-join case), then one
+    explode to per-corner counts. Work is bounded by the kNN edge list
+    (|V|·k rows), never the corpus. Accepts a precomputed ``edges``
+    frame like the other graph consumers (build the graph once, feed
+    every analysis).
+    """
+    from mito_spark.operators.similarity import knn_graph
+
+    if edges is None:
+        edges = knn_graph(spark, sf_dir, k=k)
+    e = edges.select(
+        F.col("vec_id").cast("long").alias("u"),
+        F.col("neighbor_id").cast("long").alias("v"),
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).where(
+        F.col("u") != F.col("v")
+    ).distinct().localCheckpoint()
+    deg = sym.groupBy(F.col("u").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    und = sym.where(F.col("u") < F.col("v"))
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "vec_id", "left")
+        .select(
+            "vec_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                    6,
+                ),
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _graph_clustering_sql(k: int = 5) -> str:
+    from mito_spark.operators.similarity import _knn_graph_sql
+
+    return f"""
+WITH knn AS ({_knn_graph_sql(k=k)}),
+sym AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT vec_id AS u, neighbor_id AS v FROM knn
+    UNION ALL
+    SELECT neighbor_id AS u, vec_id AS v FROM knn
+  ) WHERE u <> v
+),
+deg AS (
+  SELECT u AS vec_id, COUNT(*) AS degree FROM sym GROUP BY u
+),
+und AS (
+  SELECT u, v FROM sym WHERE u < v
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_node AS (
+  SELECT node AS vec_id, COUNT(*) AS n_triangles FROM (
+    SELECT unnest([a, b, c]) AS node FROM tri
+  ) GROUP BY node
+)
+SELECT d.vec_id,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE)
+                       / (d.degree * (d.degree - 1)), 6)
+       END AS clustering_coeff
+FROM deg d LEFT JOIN per_node p ON d.vec_id = p.vec_id
+ORDER BY d.vec_id
+"""
+
+
+GRAPH_CLUSTERING_SQL = _graph_clustering_sql()

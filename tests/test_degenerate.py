@@ -68,6 +68,7 @@ EMB_OPS = [
     "ann_pq_topk",
     "ann_ivfadc",
     "graph_report",
+    "graph_clustering",
 ]
 
 

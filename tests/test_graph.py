@@ -151,3 +151,21 @@ def test_pagerank_precomputed_edges_match_default(spark, sf_dir):
         for r in knn_pagerank(spark, sf_dir, edges=knn_graph(spark, sf_dir, k=5)).collect()
     }
     assert default == reused
+
+
+def test_graph_clustering_known_graph(spark):
+    """Triangle counts and coefficients on a hand-checkable graph:
+    a triangle {0,1,2} plus a pendant 3-2 edge."""
+    from mito_spark.operators.graph import graph_clustering
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 2)], "vec_id long, neighbor_id long"
+    )
+    rows = {r["vec_id"]: r for r in graph_clustering(spark, "", edges=edges).collect()}
+    assert rows[0]["n_triangles"] == 1 and rows[0]["clustering_coeff"] == 1.0
+    assert rows[1]["n_triangles"] == 1 and rows[1]["clustering_coeff"] == 1.0
+    # node 2: degree 3, one triangle among 3 possible neighbor pairs
+    assert rows[2]["degree"] == 3 and rows[2]["n_triangles"] == 1
+    assert abs(rows[2]["clustering_coeff"] - round(1 / 3, 6)) < 1e-9
+    # pendant: degree 1 -> coefficient undefined (NULL), zero triangles
+    assert rows[3]["n_triangles"] == 0 and rows[3]["clustering_coeff"] is None
