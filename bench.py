@@ -165,6 +165,7 @@ HEADLINE = [
     # new in r7
     "bpe_learn_merges_bytes",
     "events_user_ewma",
+    "text_zipf_profile",
     # bpe_encode excluded like label_propagation: its cost IS the
     # bpe_learn_merges loop it composes (benched above) plus one
     # projection; oracle row covers behavior.

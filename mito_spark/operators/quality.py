@@ -349,3 +349,105 @@ SELECT len_bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        {', '.join(f'CAST(SUM(waste_{c}) AS BIGINT) AS pad_waste_{c}' for c in CTX_LENGTHS)}
 FROM binned GROUP BY len_bin ORDER BY len_bin
 """
+
+
+ZIPF_TOP = 1000
+
+
+def text_zipf_profile(
+    spark: SparkSession, sf_dir: str, top: int = ZIPF_TOP
+) -> DataFrame:
+    """Corpus-level Zipf-law fit: least-squares slope/intercept of
+    ln(frequency) vs ln(rank) over the ``top`` most frequent words —
+    the one-row corpus-health diagnostic curation pipelines watch
+    (natural language sits near slope −1; keyword spam, template
+    boilerplate, and synthetic text bend the log-log line, and a
+    round-over-round slope drift flags a contaminated crawl batch).
+
+    Plan: one tokenize+count shuffle to the word-frequency table, a
+    TakeOrdered for the top-``top`` rows (never a vocab-wide window —
+    at 100 TB the vocabulary is 10⁸ word types and a global
+    ROW_NUMBER over it would single-partition; the orderBy().limit()
+    form is a distributed top-k), then the regression moments over
+    ``top`` bounded points. Engine-exactness by the bigram-surprisal
+    recipe: each point's ln products are rounded at 9dp and summed as
+    DECIMAL(28,9) (order-free), the closed-form slope runs the same
+    double expression on both engines, output rounded at 6dp.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_vocab = wc.agg(F.count(F.lit(1)).alias("n_vocab"))
+    ranked = wc.orderBy(F.desc("n"), F.asc("w")).limit(top).localCheckpoint()
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.desc("n"), F.asc("w"))  # bounded: ≤ top rows
+    r = ranked.select("w", "n", F.row_number().over(w_rank).alias("rank"))
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("n").cast("double"))
+
+    def dec(c):
+        return F.round(c, 9).cast("decimal(28,9)")
+
+    pts = r.select(
+        dec(lx).alias("x"), dec(ly).alias("y"), dec(lx * ly).alias("xy"), dec(lx * lx).alias("xx")
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    k = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return (
+        agg.crossJoin(F.broadcast(n_vocab))  # 1×1
+        .select(
+            "n_vocab",
+            F.col("k").alias("n_fit"),
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round((sy - slope * sx) / k, 6).alias("zipf_intercept"),
+        )
+    )
+
+
+def _zipf_sql(top: int = ZIPF_TOP) -> str:
+    return rf"""
+WITH wc AS (
+  SELECT w, COUNT(*) AS n FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+), tot AS (
+  SELECT COUNT(*) AS n_vocab FROM wc
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+  FROM wc ORDER BY n DESC, w LIMIT {top}
+), pts AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+         CAST(ROUND(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y,
+         CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9)) AS xy,
+         CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(28,9)) AS xx
+  FROM ranked
+), agg AS (
+  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy, SUM(xy) AS sxy, SUM(xx) AS sxx
+  FROM pts
+)
+SELECT (SELECT n_vocab FROM tot) AS n_vocab,
+       CAST(k AS BIGINT) AS n_fit,
+       ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE) - (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(k AS DOUBLE), 6) AS zipf_intercept
+FROM agg
+"""
+
+
+ZIPF_SQL = _zipf_sql()

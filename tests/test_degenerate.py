@@ -46,6 +46,7 @@ DOC_OPS = [
     # r7
     "bpe_learn_merges_bytes",
     "bpe_encode",
+    "text_zipf_profile",
 ]
 EMB_OPS = [
     "quantize_embeddings",
