@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mito_spark.engine import load_table, spread
+from mito_spark.operators.topk import per_key_topk
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -69,12 +70,11 @@ def cosine_topk_bruteforce(
         )
         .where(F.col("cos").isNotNull())  # zero-norm vectors: no similarity defined
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
-    )
+    # two-stage top-k: the corpus-sized rank never collapses into
+    # n_queries partitions (operators/topk.py — exact, same results)
+    return per_key_topk(
+        joined, "query_id", [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
 
 
 def _cosine_sql(n_queries: int = 10, k: int = 10) -> str:
@@ -130,12 +130,9 @@ def cosine_topk_filtered(
         "label",
         _cosine(F.col("q"), F.col("v")).alias("cos"),
     ).where(F.col("cos").isNotNull())
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "label", F.round("cos", 6).alias("cos_sim"), "rank")
-    )
+    return per_key_topk(
+        joined, "query_id", [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "label", F.round("cos", 6).alias("cos_sim"), "rank")
 
 
 def _cosine_filtered_sql(n_queries: int = 10, k: int = 10) -> str:
@@ -289,12 +286,11 @@ def cosine_topk_lsh(
         )
         .where(F.col("cos").isNotNull())  # zero-norm vectors: no similarity defined
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
-    )
+    # two-stage top-k: the corpus-sized rank never collapses into
+    # n_queries partitions (operators/topk.py — exact, same results)
+    return per_key_topk(
+        joined, "query_id", [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
 
 
 def embedding_near_dup(
@@ -609,12 +605,11 @@ def cosine_topk_ivf(
         )
         .where(F.col("cos").isNotNull())  # zero-norm vectors: no similarity defined
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
-    )
+    # two-stage top-k: the corpus-sized rank never collapses into
+    # n_queries partitions (operators/topk.py — exact, same results)
+    return per_key_topk(
+        joined, "query_id", [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
 
 
 def _kmeans_tagged_sql(n_cells: int = 16, iters: int = 3, dim: int = 64) -> str:
@@ -777,26 +772,35 @@ def cosine_topk_sq8(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # slim candidate stage + two-stage top-k (operators/topk.py): the
+    # corpus-sized scoring emits ids + the integer score only — the
+    # floats SQ8 exists to shrink never enter the shuffle, and the cut
+    # doesn't collapse into n_queries partitions
     cand = (
-        coded.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        coded.select("vec_id", "code")
+        .join(
+            F.broadcast(queries.select("query_id", "qcode")),
+            F.col("vec_id") != F.col("query_id"),
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             int_dot.alias("iscore"),
-            F.col("q"),
-            F.col("v"),
         )
     )
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("iscore"), F.asc("neighbor_id"))
-    survivors = cand.withColumn("crank", F.row_number().over(w1)).where(
-        F.col("crank") <= k * rerank_factor
+    survivors = per_key_topk(
+        cand, "query_id", [F.desc("iscore"), F.asc("neighbor_id")], k * rerank_factor,
+        rank_name="crank",
+    ).select("query_id", "neighbor_id")
+    # phase 2: exact float re-rank — survivor ids broadcast back onto
+    # the float column (k·rerank_factor rows per query in the output)
+    rerank = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(queries.select("query_id", "q")), "query_id")
+        .select("query_id", "neighbor_id", _cosine(F.col("q"), F.col("v")).alias("cos"))
+        .where(F.col("cos").isNotNull())
     )
-    # phase 2: exact float re-rank of the survivors
-    rerank = survivors.select(
-        "query_id",
-        "neighbor_id",
-        _cosine(F.col("q"), F.col("v")).alias("cos"),
-    ).where(F.col("cos").isNotNull())
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         rerank.withColumn("rank", F.row_number().over(w2))

@@ -242,11 +242,18 @@ def test_ann_shuffles_carry_no_vectors(spark, sf_dir, index_dir):
 
     banned = {"v", "q", "code", "qcode", "pqcode"}
     banned |= {f"lt{s}" for s in range(8)} | {f"c{s}" for s in range(8)}
+    from mito_spark.operators import similarity
+
     dfs = {
         "pq": ann_pq_topk(spark, sf_dir),
         "persisted": ann_index.ann_query_persisted(spark, sf_dir, index_dir=index_dir),
         "sq8": ann_index.ann_query_persisted_sq8(spark, sf_dir, index_dir=index_dir),
         "ivfadc": ann_index.ann_query_ivfadc(spark, sf_dir, index_dir=index_dir),
+        "oneshot_brute": similarity.cosine_topk_bruteforce(spark, sf_dir),
+        "oneshot_filtered": similarity.cosine_topk_filtered(spark, sf_dir),
+        "oneshot_lsh": similarity.cosine_topk_lsh(spark, sf_dir),
+        "oneshot_ivf": similarity.cosine_topk_ivf(spark, sf_dir),
+        "oneshot_sq8": similarity.cosine_topk_sq8(spark, sf_dir),
     }
     for name, df in dfs.items():
         exchanges = _shuffle_exchange_inputs(df)
