@@ -179,6 +179,9 @@ HEADLINE = [
     # serving tiers: its build (cells + codebooks + codes) amortizes
     # in the untimed warmup, the measured number is the steady-state
     # pruned-probe + ADC + re-rank query cost.
+    # new in r8: ann_pq_recall_report excluded by the composition rule
+    # (its cost is the ann_pq_topk training chains + the benched brute
+    # tier + a bounded join; oracle row hash-checks the measurement)
 ]
 
 

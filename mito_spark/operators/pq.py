@@ -310,6 +310,82 @@ def ann_pq_topk(
     )
 
 
+def ann_pq_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    m: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    rerank_factor: int = 10,
+) -> DataFrame:
+    """MEASURED per-query recall@k of the PQ/ADC tier against exact
+    brute-force cosine over the same corpus — the serving-quality
+    report a retrieval rollout watches beside its quantization config
+    (the ANN sibling of dedup's ``lsh_recall_report``: banding math /
+    quantization theory is a model; this checks it on the data).
+
+    Output: one row per query (query_id, n_exact, n_hit, recall_at_k),
+    ordered by query. Both legs are existing audited tiers; the exact
+    leg is the ground truth (recall 1.0 by construction), so
+    n_hit ≤ n_exact and the number that matters is their ratio. The
+    oracle composes both twins' full SQL as CTEs — the measurement
+    itself is hash-checked, not just the legs.
+
+    Scale shape: each leg is its own audited plan (slim shuffles,
+    two-stage top-k); the comparison joins two k·n_queries-row frames
+    — bounded work after the legs."""
+    from mito_spark.operators.similarity import cosine_topk_bruteforce
+
+    approx = ann_pq_topk(
+        spark, sf_dir, n_queries=n_queries, k=k, m=m, k_sub=k_sub,
+        rerank_factor=rerank_factor,
+    )
+    exact = cosine_topk_bruteforce(spark, sf_dir, n_queries=n_queries, k=k)
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact").cast("double"), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _pq_recall_sql(n_queries: int = 10, k: int = 10) -> str:
+    """Composed oracle: the full PQ twin and the brute-force twin as
+    CTEs, left-joined per (query, neighbor) — CAST the hit SUM to
+    BIGINT (DuckDB SUM(int) is HUGEINT, which pandas floats)."""
+    from mito_spark.operators.similarity import _cosine_sql
+
+    return f"""
+WITH pq_hits AS ({_pq_sql(n_queries, k)}),
+exact_hits AS ({_cosine_sql(n_queries, k)})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_k
+FROM exact_hits e
+LEFT JOIN pq_hits a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 def _pq_sql(
     n_queries: int = 10,
     k: int = 10,
@@ -477,3 +553,4 @@ def _pq_subspace_ctes(
 
 
 PQ_SQL = _pq_sql()
+PQ_RECALL_SQL = _pq_recall_sql()

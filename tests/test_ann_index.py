@@ -352,3 +352,30 @@ def test_ivfadc_zero_kmeans_pruned_and_recall(spark, sf_dir, index_dir, monkeypa
     a = {(r["query_id"], r["neighbor_id"]) for r in rows}
     b = {(r["query_id"], r["neighbor_id"]) for r in flt}
     assert len(a & b) / len(b) >= 0.7  # ADC recall over identical probes
+
+
+def test_pq_recall_report_matches_set_arithmetic(spark, sf_dir):
+    """The report's per-query numbers must equal recall computed
+    directly from the two legs' outputs (n_hit = |approx ∩ exact|,
+    n_exact = |exact|), and stay within the ADC recall floor overall."""
+    from mito_spark.operators.pq import ann_pq_recall_report, ann_pq_topk
+    from mito_spark.operators.similarity import cosine_topk_bruteforce
+
+    rows = {r["query_id"]: r for r in ann_pq_recall_report(spark, sf_dir).collect()}
+    assert rows
+    approx: dict = {}
+    for r in ann_pq_topk(spark, sf_dir).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact: dict = {}
+    for r in cosine_topk_bruteforce(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(rows) == set(exact)
+    for qid, r in rows.items():
+        want_hit = len(approx.get(qid, set()) & exact[qid])
+        assert r["n_exact"] == len(exact[qid])
+        assert r["n_hit"] == want_hit
+        assert abs(r["recall_at_k"] - round(want_hit / len(exact[qid]), 6)) < 1e-9
+    total = sum(r["n_hit"] for r in rows.values()) / sum(
+        r["n_exact"] for r in rows.values()
+    )
+    assert total >= 0.6  # the ADC recall floor, now measured as a report
