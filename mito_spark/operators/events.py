@@ -568,13 +568,26 @@ def events_user_ewma(
     """
     if fold_max_days is None:
         fold_max_days = EWMA_FOLD_MAX_DAYS
-    a_str, b_str = _ewma_decimal_literals(alpha)
-    a_lit = F.lit(a_str).cast("decimal(5,4)")
-    b_lit = F.lit(b_str).cast("decimal(5,4)")
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.sum(F.col("value").cast("decimal(18,4)")).alias("xd")
     )
+    return _ewma_over_daily(daily, alpha, fold_max_days).orderBy("user_id", "day")
+
+
+def _ewma_over_daily(
+    daily: DataFrame, alpha: str, fold_max_days: int
+) -> DataFrame:
+    """The shared EWMA machinery over a (user_id, day, xd DECIMAL(18,4))
+    frame — observed-days and calendar-spine variants differ only in
+    which daily frame they feed in. Returns the unordered
+    (user_id, day, daily_value, ewma) rows: JVM decimal fold for users
+    within ``fold_max_days``, the linear Python-decimal kernel beyond
+    it (probe-once, so the common all-short case keeps the single-
+    projection plan)."""
+    a_str, b_str = _ewma_decimal_literals(alpha)
+    a_lit = F.lit(a_str).cast("decimal(5,4)")
+    b_lit = F.lit(b_str).cast("decimal(5,4)")
     arr = daily.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(
@@ -624,7 +637,84 @@ def events_user_ewma(
             )
         )
         out = short.unionByName(long_users)
-    return out.orderBy("user_id", "day")
+    return out
+
+
+def events_user_ewma_calendar(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: str = EWMA_ALPHA,
+    fold_max_days: int | None = None,
+) -> DataFrame:
+    """Calendar-decay EWMA — the date-spine twin events_user_ewma's
+    docstring promises: gap days DO decay the average. Each user's
+    daily series is completed to every calendar day between their
+    first and last observed day (x = 0 on inactive days), then the
+    same exact-decimal recurrence runs over the spine — so a user who
+    goes quiet sees their smoothed activity decay toward zero at rate
+    (1−α) per day instead of freezing at its last observed value (the
+    feature-store semantics for staleness-aware activity features).
+
+    Output: one row per CALENDAR day in each user's span
+    (user_id, day, daily_value — 0.0 on gap days — and ewma).
+
+    Scale shape: the spine explode is bounded by users × calendar span
+    (years → ~10³ rows/user, the same bound the fold threshold
+    enforces); the left join back to observed days is user+day keyed;
+    everything downstream reuses the audited _ewma_over_daily
+    machinery, including the linear-kernel route for spans past
+    ``fold_max_days``."""
+    if fold_max_days is None:
+        fold_max_days = EWMA_FOLD_MAX_DAYS
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("xd")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    completed = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("xd", F.lit(0).cast("decimal(18,4)")).alias("xd"),
+    )
+    return _ewma_over_daily(completed, alpha, fold_max_days).orderBy(
+        "user_id", "day"
+    )
+
+
+def _ewma_calendar_sql(alpha: str = EWMA_ALPHA) -> str:
+    """Oracle: the observed-daily CTE completed to a per-user calendar
+    spine (DuckDB generate_series, 1-day step), zeros on gap days,
+    then the identical list_reduce recurrence."""
+    spine = """
+WITH obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,4))) AS xd
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY user_id
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                              CAST(d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), daily AS (
+  SELECT s.user_id, s.day,
+         CAST(COALESCE(o.xd, 0) AS DECIMAL(28,9)) AS x
+  FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day
+)"""
+    base = _ewma_sql(alpha)
+    marker = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,9)) AS x
+  FROM events GROUP BY 1, 2
+)"""
+    assert marker in base  # splice point; fail at import, not gate time
+    return base.replace(marker, spine)
 
 
 def _ewma_sql(alpha: str = EWMA_ALPHA) -> str:
@@ -658,3 +748,4 @@ ORDER BY user_id, day
 
 
 EWMA_SQL = _ewma_sql()
+EWMA_CALENDAR_SQL = _ewma_calendar_sql()

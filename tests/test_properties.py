@@ -615,3 +615,33 @@ def test_ewma_kernel_matches_fold_and_routes_long_histories(spark, sf_dir, tmp_p
         tuple(r) for r in events_user_ewma(spark, d, fold_max_days=10_000).collect()
     ]
     assert len(got) == 3000 and got == want
+
+
+def test_ewma_calendar_decays_on_gap_days(spark, tmp_path):
+    """The calendar variant's contract on a known series: gap days
+    carry x=0, so ewma decays by exactly (1−α) per quiet day (at 9dp
+    rounding), while the observed-days variant skips them entirely."""
+    import datetime
+
+    from mito_spark.operators.events import (
+        events_user_ewma,
+        events_user_ewma_calendar,
+    )
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 12), 7, "click", 10.0, "{}"),
+        (2, datetime.datetime(2024, 1, 4, 9), 7, "click", 20.0, "{}"),
+    ]
+    d = str(tmp_path / "gapdays")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    cal = {r["day"].date().isoformat(): r for r in events_user_ewma_calendar(spark, d).collect()}
+    obs = [tuple(r) for r in events_user_ewma(spark, d).collect()]
+    assert len(obs) == 2 and len(cal) == 4  # Jan 1..4 inclusive
+    assert cal["2024-01-01"]["ewma"] == 10.0  # seed = x_0
+    assert abs(cal["2024-01-02"]["ewma"] - 7.0) < 1e-9  # 0.3*0 + 0.7*10
+    assert abs(cal["2024-01-03"]["ewma"] - 4.9) < 1e-9  # 0.7^2 * 10
+    assert cal["2024-01-02"]["daily_value"] == 0.0
+    assert abs(cal["2024-01-04"]["ewma"] - (0.3 * 20 + 0.7 * 4.9)) < 1e-9

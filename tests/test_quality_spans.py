@@ -442,6 +442,8 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "bpe_learn_merges_bytes",
         "bpe_encode",
         "events_user_ewma",
+        "events_user_ewma_calendar",
+        "ann_pq_recall_report",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
