@@ -49,6 +49,12 @@ from mito_spark.operators.similarity import (
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# On-disk index layout version — also baked into default_index_dir's
+# tag. Explicit index_dirs carry a _LAYOUT marker so a reader from a
+# newer build validates the layout with one os.path read (never a
+# per-query listing of the partitioned table).
+_INDEX_LAYOUT = "v4"
+
 
 def default_index_dir(sf_dir: str) -> str:
     """Deterministic per-corpus index location under the repo's
@@ -63,7 +69,7 @@ def default_index_dir(sf_dir: str) -> str:
     # codes into a 2-byte binary column and trains/codes them on unit
     # vectors) — bumping it orphans indexes with the old schema
     # instead of serving them to readers that expect the new columns
-    parts = ["v4", os.path.abspath(sf_dir)]
+    parts = [_INDEX_LAYOUT, os.path.abspath(sf_dir)]
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, name))
@@ -157,6 +163,12 @@ def build_ann_index(
         .partitionBy("cell")
         .parquet(os.path.join(index_dir, "tagged.parquet"))
     )
+    # layout marker, written LAST: readers validate the on-disk layout
+    # with one os.path read instead of listing the partitioned table's
+    # footers per query (and a crashed half-built index never carries
+    # the marker, so it is rebuilt rather than served)
+    with open(os.path.join(index_dir, "_LAYOUT"), "w") as fh:
+        fh.write(_INDEX_LAYOUT)
 
 
 def _nearest_cells(q: list[float], centroids: list[tuple[int, list[float]]], nprobe: int) -> list[int]:
@@ -235,14 +247,12 @@ def _ensure_index(
     if n_cells is not None and len(centroids) != n_cells:
         build_ann_index(spark, sf_dir, index_dir, n_cells=n_cells)
         centroids = read()
-    if not os.path.isdir(os.path.join(index_dir, "pq_codebooks.parquet")):
-        # pre-v3 index (no PQ artifacts): rebuild in place
-        build_ann_index(spark, sf_dir, index_dir, n_cells=n_cells)
-        centroids = read()
-    elif "pqcode" not in spark.read.parquet(
-        os.path.join(index_dir, "tagged.parquet")
-    ).columns:
-        # pre-v4 index (int-array PQ codes, unnormalized): rebuild
+    marker = os.path.join(index_dir, "_LAYOUT")
+    layout = open(marker).read().strip() if os.path.isfile(marker) else None
+    if layout != _INDEX_LAYOUT:
+        # pre-v4 index (no marker: int-array PQ codes, unnormalized
+        # codebooks, or no PQ artifacts at all) or an interrupted
+        # build: rebuild in place
         build_ann_index(spark, sf_dir, index_dir, n_cells=n_cells)
         centroids = read()
     # mark the index live so the age-gated pruner never removes an
