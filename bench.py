@@ -166,6 +166,8 @@ HEADLINE = [
     "bpe_learn_merges_bytes",
     "events_user_ewma",
     "text_zipf_profile",
+    # new in r8
+    "events_user_ewma_calendar",
     # bpe_encode excluded like label_propagation: its cost IS the
     # bpe_learn_merges loop it composes (benched above) plus one
     # projection; oracle row covers behavior.

@@ -482,8 +482,11 @@ def ann_query_persisted_sq8(
     survivors are re-ranked with the exact float cosine. Zero k-means
     and zero quantization work at query time — both were paid once at
     build. (Codes are stored as array<long> — Spark has no int8 array
-    type; the 100 TB storage swap-in is packing them into a binary
-    column, same as the one-shot SQ8 tier documents.)
+    type. On disk that is cheaper than it looks: parquet
+    dictionary+RLE bit-packs low-cardinality int arrays, so a packed
+    binary column is an IN-FLIGHT width win, not a parquet-disk win —
+    measured in BENCH_NOTES r8; the PQ codes, which ARE scanned per
+    probe, use the packed form.)
 
     ``queries`` takes external query vectors (DataFrame or (id, vector)
     list — the production shape); the gate default reads them from the

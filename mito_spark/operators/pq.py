@@ -143,7 +143,14 @@ def pack_codes_expr(m: int = PQ_M, k_sub: int = PQ_KSUB) -> Column:
     binary column of ceil(m·log2(k_sub)/8) bytes — 2 B/vec at the
     defaults, the storage swap-in the r7 docstrings promised (VERDICT
     r7 next#3). Pure JVM: an integer shift-accumulate, hex, unhex.
-    Sub-byte tail bits are left-aligned (zero pad at the LSB end)."""
+    Sub-byte tail bits are left-aligned (zero pad at the LSB end).
+
+    Measured trade (BENCH_NOTES r8): this is NOT a parquet-disk win —
+    parquet's dictionary+RLE already bit-packs low-cardinality int
+    arrays to comparable bytes. The wins are in-flight width (a 2 B
+    binary vs UnsafeArrayData's ~8 B header + 4 B/element whenever
+    codes are scanned or cached) and encoder-independence (2 B/vec
+    holds in any storage format, not just parquet's encoder)."""
     bits = (k_sub - 1).bit_length()
     total_bits = m * bits
     nbytes = (total_bits + 7) // 8
@@ -242,10 +249,9 @@ def ann_pq_topk(
     broadcast probe frame.
 
     At 100 TB: the coded table is the only corpus-sized operand in the
-    scoring join (2 B/vec at the defaults vs 256 B of floats
-    (m·log2(k_sub) bits); Spark's narrowest array element is what it
-    is — the storage swap-in is bit-packing codes into a binary
-    column), and the tier composes with the persisted IVF index by
+    scoring join — 2 B/vec at the defaults (m·log2(k_sub) bits, the
+    packed binary form `pack_codes_expr` documents) vs 256 B of
+    floats — and the tier composes with the persisted IVF index by
     scoring inside probe cells (IVFADC). The ADC ranking is
     approximate by construction; the oracle proves the ENGINE is
     exact: codebooks, code assignment, lookup tables, the ADC sum
