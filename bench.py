@@ -168,6 +168,7 @@ HEADLINE = [
     "text_zipf_profile",
     # new in r8
     "events_user_ewma_calendar",
+    "kn_bigram_perplexity",
     # bpe_encode excluded like label_propagation: its cost IS the
     # bpe_learn_merges loop it composes (benched above) plus one
     # projection; oracle row covers behavior.

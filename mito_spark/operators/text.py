@@ -695,6 +695,170 @@ FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
 """
 
 
+def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PERPLEXITY under an interpolated Kneser-Ney bigram
+    model fit on the corpus (Kneser & Ney 1995; Chen & Goodman 1999) —
+    the top rung of the repo's LM-quality ladder (unigram → add-1
+    bigram → KN bigram) and the model class the CCNet-style
+    perplexity-filtering pipelines actually use (count-based LM à la
+    KenLM, arXiv:1911.00359):
+
+        p(b|a)  = (c(a,b) − D)/c(a·) + λ(a)·p_cont(b)
+        λ(a)    = D · N1+(a·) / c(a·)
+        p_cont(b) = N1+(·b) / N1+(··)
+
+    with the discount ESTIMATED from bigram counts-of-counts,
+    D = n₁/(n₁ + 2n₂) (Ney-Essen-Kneser; 0.5 fallback when the corpus
+    has no singleton/doubleton types). Continuation probability —
+    "how many distinct contexts does this word follow?" — is what
+    separates KN from naive discounting: frequent-but-burstable words
+    ("Francisco") get low continuation mass, so boilerplate and
+    keyword-stuffed documents score as the anomalies they are.
+
+    Plan (the bigram_surprisal shape + three TYPE-table aggregates):
+    ONE corpus scan+tokenize (checkpointed), pair arrays checkpointed
+    before the explode (Generate rule), per-doc rollup → bigram TYPE
+    table ``cb`` — checkpointed, because five consumers read it (the
+    scoring join, c(a·), N1+(a·), N1+(·b), counts-of-counts) and each
+    would otherwise re-run the explode and both shuffles. All model
+    tables key on a word (shuffle joins, broadcast-eligible when
+    small); only the 1-row (N1+(··), D) frame broadcasts
+    unconditionally. Contributions round to 9dp and sum as
+    DECIMAL(28,9) — order-free, so the DuckDB twin matches
+    bit-for-bit; perplexity is exp() of the 6dp-ROUNDED cross-entropy
+    (both engines exponentiate the identical double; the 1-ulp
+    exp/ln divergence between libms is absorbed by the same rounding
+    discipline every surprisal operator uses).
+
+    Output: doc_id, n_bigrams, kn_xent (mean −ln p, 6dp), kn_ppl =
+    exp(kn_xent) (6dp). Documents with fewer than two tokens have no
+    bigrams: n_bigrams=0, NULL xent/ppl (absent evidence is not zero
+    surprisal).
+
+    At 100 TB: every model table is a reduction of the corpus (the
+    bigram type table and smaller); nothing corpus-sized is ever
+    broadcast or collected, and the dominant cost stays the one
+    tokenize scan + the pair shuffle — identical to bigram_surprisal,
+    whose scaling is measured in BENCH_NOTES.
+    """
+    from mito_spark.engine import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
+    pairs_col = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("a"),
+                F.element_at(F.col("toks"), i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    staged = toked.select("doc_id", pairs_col.alias("pairs")).localCheckpoint()
+    pd = (
+        staged.select("doc_id", F.explode("pairs").alias("p"))
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the bigram TYPE table: five consumers below — materialize once
+    cb = pd.groupBy("a", "b").agg(F.sum("n").alias("cab")).localCheckpoint()
+    ctx = cb.groupBy("a").agg(F.sum("cab").alias("ca"))
+    n1a = cb.groupBy("a").agg(F.count(F.lit(1)).alias("n1a"))
+    n1b = cb.groupBy("b").agg(F.count(F.lit(1)).alias("n1b"))
+    coc = cb.agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.sum(F.when(F.col("cab") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("cab") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    konst = coc.select(
+        "tot",
+        F.when(F.col("n1") + 2 * F.col("n2") == 0, F.lit(0.5))
+        .otherwise(F.col("n1").cast("double") / (F.col("n1") + 2 * F.col("n2")))
+        .alias("dd"),
+    )
+    # identical expression tree on both engines: term1 + lambda * pcont
+    p = (F.col("cab").cast("double") - F.col("dd")) / F.col("ca").cast("double") + F.col(
+        "dd"
+    ) * F.col("n1a").cast("double") / F.col("ca").cast("double") * (
+        F.col("n1b").cast("double") / F.col("tot").cast("double")
+    )
+    scored = (
+        pd.join(cb, ["a", "b"])
+        .join(ctx, "a")
+        .join(n1a, "a")
+        .join(n1b, "b")
+        .crossJoin(F.broadcast(konst))
+        .select(
+            "doc_id",
+            "n",
+            F.round(F.col("n") * -F.log(p), 9).cast("decimal(28,9)").alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("total"), F.sum("n").alias("n_bigrams"))
+    )
+    xent = F.round(F.col("total").cast("double") / F.col("n_bigrams"), 6)
+    return (
+        staged.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            xent.alias("kn_xent"),
+            F.round(F.exp(xent), 6).alias("kn_ppl"),
+        )
+    )
+
+
+KN_PERPLEXITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
+  FROM toks WHERE len(t) >= 2
+), pd AS (
+  SELECT doc_id, p[1] AS a, p[2] AS b, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3
+), cb AS (
+  SELECT a, b, CAST(SUM(n) AS BIGINT) AS cab FROM pd GROUP BY a, b
+), ctx AS (
+  SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM cb GROUP BY a
+), n1a AS (
+  SELECT a, COUNT(*) AS n1a FROM cb GROUP BY a
+), contb AS (
+  SELECT b, COUNT(*) AS n1b FROM cb GROUP BY b
+), coc AS (
+  SELECT COUNT(*) AS tot,
+         CAST(SUM(CASE WHEN cab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN cab = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM cb
+), konst AS (
+  SELECT tot,
+         CASE WHEN n1 + 2*n2 = 0 THEN 0.5
+              ELSE CAST(n1 AS DOUBLE) / (n1 + 2*n2) END AS dd
+  FROM coc
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(CAST(ROUND(n * -ln(
+           (CAST(cab AS DOUBLE) - dd) / CAST(ca AS DOUBLE)
+           + dd * CAST(n1a AS DOUBLE) / CAST(ca AS DOUBLE)
+             * (CAST(n1b AS DOUBLE) / CAST(tot AS DOUBLE))
+         ), 9) AS DECIMAL(28,9))) AS DOUBLE) / SUM(n), 6) AS kn_xent
+  FROM pd JOIN cb USING (a, b) JOIN ctx USING (a)
+          JOIN n1a USING (a) JOIN contb USING (b) CROSS JOIN konst
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       s.kn_xent,
+       ROUND(exp(s.kn_xent), 6) AS kn_ppl
+FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+"""
+
+
 BPE_TOP_MERGES = 20
 
 

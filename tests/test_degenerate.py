@@ -40,6 +40,10 @@ DOC_OPS = [
     "jaccard_prefix_join",
     # r6
     "text_bigram_surprisal",
+    # r8: KN perplexity (empty/whitespace/single-token docs must get
+    # n_bigrams=0 + NULLs; the 1-real-doc corpus exercises the
+    # counts-of-counts discount fallback path)
+    "kn_bigram_perplexity",
     "bpe_merge_candidates",
     "bpe_learn_merges",
     "boilerplate_ngrams",

@@ -444,6 +444,7 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "events_user_ewma",
         "events_user_ewma_calendar",
         "ann_pq_recall_report",
+        "kn_bigram_perplexity",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
@@ -643,6 +644,77 @@ def test_bigram_surprisal_detects_shuffled_text(spark, tmp_path):
     ug = {r["doc_id"]: r["mean_surprisal"] for r in unigram_surprisal(spark, d).collect()}
     assert bg[10] > bg[0]  # bigram model flags the shuffle
     assert abs(ug[10] - ug[0]) < 1e-6  # unigram model cannot see it
+
+
+def _py_kn_reference(docs: dict[int, list[str]]):
+    """Pure-Python interpolated Kneser-Ney bigram model (Chen &
+    Goodman 1999) with the operator's exact expression tree and
+    rounding discipline — the oracle-independent ground truth."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    cb: Counter = Counter()
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            cb[(a, b)] += 1
+    ca: Counter = Counter()
+    n1a: Counter = Counter()
+    n1b: Counter = Counter()
+    for (a, b), c in cb.items():
+        ca[a] += c
+        n1a[a] += 1
+        n1b[b] += 1
+    tot = len(cb)
+    n1 = sum(1 for c in cb.values() if c == 1)
+    n2 = sum(1 for c in cb.values() if c == 2)
+    dd = 0.5 if n1 + 2 * n2 == 0 else n1 / (n1 + 2 * n2)
+    out = {}
+    for d, toks in docs.items():
+        pairs = Counter(zip(toks, toks[1:]))
+        if not pairs:
+            out[d] = (0, None, None)
+            continue
+        total = Decimal(0)
+        n_bg = 0
+        for (a, b), n in pairs.items():
+            p = (cb[(a, b)] - dd) / ca[a] + dd * n1a[a] / ca[a] * (n1b[b] / tot)
+            total += Decimal(str(round(n * -math.log(p), 9)))
+            n_bg += n
+        xent = round(float(total) / n_bg, 6)
+        out[d] = (n_bg, xent, round(math.exp(xent), 6))
+    return out
+
+
+def test_kn_perplexity_matches_python_reference(spark, tmp_path):
+    """kn_bigram_perplexity must reproduce a pure-Python interpolated
+    KN model — discount estimation (n1/(n1+2n2)), continuation
+    probabilities, per-doc cross-entropy, and perplexity."""
+    from mito_spark.operators.text import kn_bigram_perplexity
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox naps under the old tree",
+        2: "dog the over quick lazy brown the jumps fox",  # shuffled
+        3: "the the the the",  # repetitive
+        4: "only",  # no bigrams
+        5: "",  # empty
+    }
+    d = _write_docs(spark, tmp_path, list(texts.items()))
+    expect = _py_kn_reference({i: t.split() for i, t in texts.items()})
+    got = {r["doc_id"]: r for r in kn_bigram_perplexity(spark, d).collect()}
+    assert set(got) == set(expect)
+    for i, (n_bg, xent, ppl) in expect.items():
+        assert got[i]["n_bigrams"] == n_bg
+        if xent is None:
+            assert got[i]["kn_xent"] is None and got[i]["kn_ppl"] is None
+        else:
+            assert got[i]["kn_xent"] == pytest.approx(xent, abs=2e-6)
+            assert got[i]["kn_ppl"] == pytest.approx(ppl, rel=2e-6)
+    # the model ladder's point: the shuffled doc is the anomaly, and
+    # the repetitive doc is the most predictable thing in the corpus
+    assert got[2]["kn_ppl"] > got[0]["kn_ppl"]
+    assert got[3]["kn_ppl"] < got[0]["kn_ppl"]
 
 
 def test_bpe_merges_count_occurrences_not_docs(spark, tmp_path):
