@@ -169,6 +169,7 @@ HEADLINE = [
     # new in r8
     "events_user_ewma_calendar",
     "kn_bigram_perplexity",
+    "weighted_sample_es",
     # bpe_encode excluded like label_propagation: its cost IS the
     # bpe_learn_merges loop it composes (benched above) plus one
     # projection; oracle row covers behavior.

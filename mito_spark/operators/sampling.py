@@ -203,3 +203,83 @@ SELECT doc_id, shard,
        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
 FROM sharded
 """
+
+
+WEIGHTED_SAMPLE_K = 20
+# 2^60 — exactly representable as a double, so u = (v+1)/2^60 is an
+# exact binary scaling of the 15-hex-digit md5 integer on both engines
+_U_DENOM = "1152921504606846976.0"
+
+
+def weighted_sample_es(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = WEIGHTED_SAMPLE_K,
+    salt: str = "wsample:v1",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement, k docs per
+    source stratum, weight = document length — the Efraimidis-Spirakis
+    exponential-race reservoir (Inf. Proc. Letters 97(5), 2006) in its
+    distributed top-k form: each item draws a deterministic uniform
+    u from md5(salt:doc_id) and is ranked by
+
+        es_key = ln(u) / w          (equivalent to ranking u^(1/w))
+
+    — the k largest keys per stratum are EXACTLY a weight-proportional
+    sample without replacement (P(item wins a slot) follows the
+    sequential w_i/Σw_remaining race). This is the principled form of
+    "sample long documents proportionally more" that a training-mix
+    builder wants, and the md5-based u makes it reproducible across
+    runs, engines, and partitionings (the repo's hash_split/
+    corpus_shuffle discipline — never a rand() call).
+
+    Plan: one scan projecting a SLIM (source, doc_id, w, es_key)
+    frame, then the shared exact two-stage ``per_key_topk`` — no
+    global sort, no stratum-count parallelism collapse, nothing
+    corpus-sized past the scan. Items with w ≤ 0 are excluded by
+    definition (zero weight = zero selection probability).
+
+    Engine exactness: u is an exact power-of-two scaling of the first
+    15 md5 hex digits, and es_key is ROUNDED to 9dp before ranking so
+    both engines rank the identical total order (doc_id breaks ties)
+    — the 1-ulp ln() divergence between libms cannot reorder the
+    sample. Output: (source, doc_id, n_chars, es_key, es_rank).
+    """
+    from mito_spark.operators.topk import per_key_topk
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (v.cast("double") + 1) / F.lit(float(_U_DENOM))
+    es_key = F.round(F.log(u) / F.col("n_chars").cast("double"), 9)
+    slim = docs.select("source", "doc_id", "n_chars", es_key.alias("es_key"))
+    return per_key_topk(
+        slim,
+        "source",
+        [F.col("es_key").desc(), F.col("doc_id").asc()],
+        k,
+        rank_name="es_rank",
+    ).select("source", "doc_id", "n_chars", "es_key", "es_rank")
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH cand AS (
+  SELECT source, doc_id, n_chars,
+         ROUND(ln((CAST(CAST('0x' || substring(md5('wsample:v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 1)
+                  / {_U_DENOM})
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM documents
+  WHERE n_chars > 0
+), ranked AS (
+  SELECT source, doc_id, n_chars, es_key,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS es_rank
+  FROM cand
+)
+SELECT source, doc_id, n_chars, es_key, es_rank
+FROM ranked WHERE es_rank <= {WEIGHTED_SAMPLE_K}
+"""

@@ -42,8 +42,11 @@ DOC_OPS = [
     "text_bigram_surprisal",
     # r8: KN perplexity (empty/whitespace/single-token docs must get
     # n_bigrams=0 + NULLs; the 1-real-doc corpus exercises the
-    # counts-of-counts discount fallback path)
+    # counts-of-counts discount fallback path); weighted sampling
+    # (the n_chars=0 doc is excluded by the w>0 rule, strata smaller
+    # than k return whole strata)
     "kn_bigram_perplexity",
+    "weighted_sample_es",
     "bpe_merge_candidates",
     "bpe_learn_merges",
     "boilerplate_ngrams",

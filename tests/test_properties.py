@@ -645,3 +645,50 @@ def test_ewma_calendar_decays_on_gap_days(spark, tmp_path):
     assert abs(cal["2024-01-03"]["ewma"] - 4.9) < 1e-9  # 0.7^2 * 10
     assert cal["2024-01-02"]["daily_value"] == 0.0
     assert abs(cal["2024-01-04"]["ewma"] - (0.3 * 20 + 0.7 * 4.9)) < 1e-9
+
+
+def test_weighted_sample_es_matches_python_reference(spark):
+    """weighted_sample_es must reproduce a pure-Python
+    Efraimidis-Spirakis race over the same md5-derived uniforms —
+    selection, ordering, and keys, per stratum."""
+    import hashlib
+    import math
+
+    import duckdb
+    import pytest
+
+    from mito_spark.operators.sampling import (
+        WEIGHTED_SAMPLE_K,
+        weighted_sample_es,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT source, doc_id, n_chars FROM read_parquet('{sf}/documents.parquet') WHERE n_chars > 0"
+    ).fetchall()
+    by_src: dict[str, list] = {}
+    for source, doc_id, n_chars in docs:
+        v = int(hashlib.md5(f"wsample:v1:{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (v + 1) / 1152921504606846976.0
+        key = round(math.log(u) / float(n_chars), 9)
+        by_src.setdefault(source, []).append((-key, doc_id, n_chars))
+    expect = {}
+    for source, items in by_src.items():
+        items.sort()
+        for rank, (negkey, doc_id, n_chars) in enumerate(items[:WEIGHTED_SAMPLE_K], 1):
+            expect[(source, doc_id)] = (n_chars, -negkey, rank)
+    got = {
+        (r["source"], r["doc_id"]): (r["n_chars"], r["es_key"], r["es_rank"])
+        for r in weighted_sample_es(spark, sf).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n_chars, key, rank) in expect.items():
+        gn, gk, gr = got[k]
+        assert gn == n_chars and gr == rank
+        assert gk == pytest.approx(key, abs=1e-9)
+    # the race is weight-proportional: heavy docs are over-represented
+    # relative to their population share in every stratum big enough
+    # to have losers (a statistical property, asserted in aggregate)
+    sel_w = sum(n for n, _, _ in expect.values()) / len(expect)
+    pop_w = sum(n for _, _, n in docs) / len(docs)
+    assert sel_w > pop_w

@@ -445,6 +445,7 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "events_user_ewma_calendar",
         "ann_pq_recall_report",
         "kn_bigram_perplexity",
+        "weighted_sample_es",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
