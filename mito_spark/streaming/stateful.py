@@ -498,3 +498,106 @@ def streaming_user_ewma(events: DataFrame, alpha: str = "0.3") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _ewma_calendar_step_factory(a_str: str, b_str: str):
+    def step(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+        a, b = Decimal(a_str), Decimal(b_str)
+        q9 = Decimal("1e-9")
+        cur_day, cur_sum4, prev_str = (
+            state.get if state.exists else (None, 0, None)
+        )
+        prev = Decimal(prev_str) if prev_str is not None else None
+        buf = [pdf[["ts", "value"]] for pdf in batches if not pdf.empty]
+        out_rows = []
+        if buf:
+            allrows = pd.concat(buf, ignore_index=True)
+            days = allrows["ts"].dt.normalize()
+            with localcontext() as ctx:
+                ctx.prec = 60
+                for day, grp in allrows.assign(_day=days).groupby("_day", sort=True):
+                    epoch_day = int(day.value // 86_400_000_000_000)
+                    s4 = 0
+                    for v in grp["value"]:
+                        s4 += int(
+                            Decimal(float(v)).quantize(
+                                Decimal("0.0001"), rounding=ROUND_HALF_UP
+                            )
+                            * 10_000
+                        )
+                    if cur_day is None:
+                        cur_day, cur_sum4 = epoch_day, s4
+                    elif epoch_day > cur_day:
+                        # close the open day, then DECAY-AND-EMIT every
+                        # calendar gap day up to the new one (x = 0):
+                        # this is the spine the batch operator joins in
+                        x = Decimal(cur_sum4) / 10_000
+                        prev = x if prev is None else (
+                            a * x + b * prev
+                        ).quantize(q9, rounding=ROUND_HALF_UP)
+                        for g in range(cur_day + 1, epoch_day):
+                            e = (a * Decimal(0) + b * prev).quantize(
+                                q9, rounding=ROUND_HALF_UP
+                            )
+                            out_rows.append(
+                                (key[0], pd.Timestamp(g * 86_400, unit="s"), 0.0, float(e))
+                            )
+                            prev = e
+                        cur_day, cur_sum4 = epoch_day, s4
+                    else:
+                        cur_sum4 += s4
+                    x = Decimal(cur_sum4) / 10_000
+                    e = x if prev is None else (a * x + b * prev).quantize(
+                        q9, rounding=ROUND_HALF_UP
+                    )
+                    out_rows.append(
+                        (
+                            key[0],
+                            pd.Timestamp(cur_day * 86_400, unit="s"),
+                            float(x),
+                            float(e),
+                        )
+                    )
+        state.update(
+            (cur_day, cur_sum4, str(prev) if prev is not None else None)
+        )
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "day", "daily_value", "ewma"]
+        )
+
+    return step
+
+
+def streaming_user_ewma_calendar(
+    events: DataFrame, alpha: str = "0.3"
+) -> DataFrame:
+    """Streaming twin of ``events.events_user_ewma_calendar`` — the
+    calendar-decay recurrence as a stream. Identical state to
+    ``streaming_user_ewma`` (open day, exact DECIMAL(18,4) running
+    sum, previous ewma as an exact decimal string — three scalars per
+    key); the difference is purely in day-close handling: when an
+    event for a LATER day arrives, every calendar day in the gap is
+    closed with x = 0 and its decayed ewma row is emitted — the
+    lazily-materialized form of the batch operator's date spine, so a
+    user's quiet days appear in the output as soon as the event that
+    bounds them arrives. Rows per key = calendar span (the batch
+    spine's own bound); state stays O(keys)·3 scalars regardless.
+
+    Same in-order contract and decimal discipline as the observed-days
+    twin; the LAST update-mode row per (user, day) equals the batch
+    operator exactly (batch-vs-stream equality pytest-proven over
+    staggered micro-batches, gap days included)."""
+    from mito_spark.operators.events import _ewma_decimal_literals
+
+    a_str, b_str = _ewma_decimal_literals(alpha)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_calendar_step_factory(a_str, b_str),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -570,3 +570,63 @@ def test_streaming_user_ewma_matches_batch_multibatch(spark, sf_dir, tmp_path):
         for r in events_user_ewma(spark, d).collect()
     }
     assert len(want) > 50 and got == want
+
+
+def test_streaming_user_ewma_calendar_matches_batch_multibatch(spark, sf_dir, tmp_path):
+    """Calendar-decay twin: three ts-ordered micro-batches; gap-day
+    rows (x=0, decayed) must materialize exactly as the batch date
+    spine produces them, and the LAST update-mode row per (user, day)
+    must equal the batch operator bit-for-bit."""
+    import os
+    import time
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.events import events_user_ewma_calendar
+    from mito_spark.streaming.stateful import streaming_user_ewma_calendar
+
+    ev = load_table(spark, sf_dir, "events").where("user_id < 30")
+    d = str(tmp_path / "ewmacal")
+    dest = d + "/events.parquet"
+    lo, hi = ev.selectExpr("min(ts)", "max(ts)").first()
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span]
+    slices = [
+        ev.where(F.col("ts") < cuts[0]),
+        ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.where(F.col("ts") >= cuts[1]),
+    ]
+    seen: set = set()
+    base_t = time.time()
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("append").parquet(dest)
+        for f in os.listdir(dest):
+            if f in seen:
+                continue
+            seen.add(f)
+            fp = os.path.join(dest, f)
+            os.utime(fp, (base_t + 100 * i, base_t + 100 * i))
+    schema = spark.read.parquet(dest).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    out = []
+    sink = ChannelSink("ewmacalstream", lambda b, _i: out.extend(b.collect()))
+    q = sink.send_to(
+        streaming_user_ewma_calendar(stream), output_mode="update", availableNow=True
+    )
+    q.awaitTermination(180)
+    sink.close()
+
+    got = {}
+    for r in out:
+        got[(r.user_id, r.day)] = (r.daily_value, r.ewma)
+    want = {
+        (r.user_id, r.day): (r.daily_value, r.ewma)
+        for r in events_user_ewma_calendar(spark, d).collect()
+    }
+    # the calendar spine is strictly larger than the observed-day set
+    # whenever any user has a quiet day — require real gap coverage
+    assert sum(1 for (_, _day), (v, _) in want.items() if v == 0.0) > 0
+    assert len(want) > 50 and got == want
