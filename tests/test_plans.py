@@ -281,3 +281,33 @@ def test_pagerank_plan_growth_is_bounded(spark, sf_dir):
     # a fully inlined 3-round plan would nest >= 6 shuffle joins; the
     # checkpointed plan keeps the visible operator count small
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 3
+
+
+def test_kn_perplexity_stays_jvm_side(spark, sf_dir):
+    """The KN model chain (type-table aggregates + scoring joins) is
+    pure DataFrame: no Python eval nodes, no cartesian fallback, and
+    the 1-row (tot, D) constants frame broadcasts."""
+    from mito_spark.operators.text import kn_bigram_perplexity
+
+    plan = _plan(kn_bigram_perplexity(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "CartesianProduct"):
+        assert node not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row konst cross join
+
+
+def test_weighted_sample_uses_two_stage_topk(spark, sf_dir):
+    """weighted_sample_es must rank via per_key_topk: every WindowExec
+    partitions by a real key (never an empty spec = single-partition
+    global sort), and the pre-rank stage partitions by
+    (source, input-partition id) so no stage collapses to
+    n_strata partitions."""
+    from mito_spark.operators.sampling import weighted_sample_es
+
+    plan = _plan(weighted_sample_es(spark, sf_dir))
+    assert "Window" in plan
+    # an empty partition spec renders as "Window [..], [..]" with no
+    # partitionBy list — assert both windows carry partition keys
+    assert "_tk_part" in plan  # stage-1 salt key present
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert node not in plan
