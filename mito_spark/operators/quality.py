@@ -451,3 +451,90 @@ FROM agg
 
 
 ZIPF_SQL = _zipf_sql()
+
+
+# --- CCNet-style perplexity filtering (head / middle / tail) ---------
+
+PPL_TERCILES = (1 / 3, 2 / 3)
+
+
+def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-document perplexity filter (arXiv:1911.00359
+    §4.4): score every document's perplexity under the corpus-fit
+    interpolated Kneser-Ney bigram LM (text.kn_bigram_perplexity — the
+    KenLM stand-in), split the scored corpus into ``head`` / ``middle``
+    / ``tail`` at the perplexity TERCILES, and emit the keep verdict
+    the CCNet recipe ships (drop the tail; unscorable docs — fewer
+    than two tokens, so no bigram evidence — are 'unscored' and
+    dropped).
+
+    This is the quality pass the published pre-training pipelines
+    (CCNet, LLaMA, RedPajama) run between dedup and sampling; the
+    reference exposes the predicate algebra users would compose it
+    from by hand (lib/strings.go, processor chains) — here it is a
+    first-class operator.
+
+    Scale design (the surprisal_buckets discipline): NO global NTILE
+    over documents (a single-partition sort of the corpus). The two
+    tercile cutoffs are ONE aggregate row over the per-doc frame,
+    broadcast back, and the bucket is a pure column expression. The
+    cutoff aggregate is exact ``percentile`` so the DuckDB twin
+    (quantile_cont — same type-7 linear interpolation over identical
+    6dp-rounded doubles) matches bit-for-bit; at 100 TB swap in
+    ``percentile_approx`` (mergeable sketch, same plan shape) or
+    CCNet's own move — fixed per-language cutoffs fit once on the LM
+    corpus — with no other change. The per-doc frame is checkpointed
+    once: the cutoff aggregate and the final projection both read it,
+    and re-running it would repeat the KN chain's tokenize scan and
+    pair shuffle (its cost profile is kn_bigram_perplexity's, measured
+    in BENCH_NOTES).
+    """
+    from mito_spark.operators.text import kn_bigram_perplexity
+
+    per_doc = kn_bigram_perplexity(spark, sf_dir).localCheckpoint()
+    cutoffs = per_doc.agg(
+        F.expr(
+            f"percentile(kn_ppl, array({PPL_TERCILES[0]!r}, {PPL_TERCILES[1]!r}))"
+        ).alias("cuts")
+    )
+    c1 = F.element_at(F.col("cuts"), 1)
+    c2 = F.element_at(F.col("cuts"), 2)
+    bucket = (
+        F.when(F.col("kn_ppl").isNull(), F.lit("unscored"))
+        .when(F.col("kn_ppl") > c2, F.lit("tail"))
+        .when(F.col("kn_ppl") > c1, F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return per_doc.crossJoin(F.broadcast(cutoffs)).select(
+        "doc_id",
+        "n_bigrams",
+        "kn_ppl",
+        bucket.alias("bucket"),
+        bucket.isin("head", "middle").alias("keep"),
+    )
+
+
+def _doc_perplexity_filter_sql() -> str:
+    from mito_spark.operators.text import KN_PERPLEXITY_SQL
+
+    c1, c2 = PPL_TERCILES
+    return f"""
+WITH kn AS (
+{KN_PERPLEXITY_SQL}
+), cuts AS (
+  SELECT quantile_cont(kn_ppl, [{c1!r}, {c2!r}]) AS cuts FROM kn
+), bucketed AS (
+  SELECT doc_id, n_bigrams, kn_ppl,
+         CASE WHEN kn_ppl IS NULL THEN 'unscored'
+              WHEN kn_ppl > cuts[2] THEN 'tail'
+              WHEN kn_ppl > cuts[1] THEN 'middle'
+              ELSE 'head' END AS bucket
+  FROM kn CROSS JOIN cuts
+)
+SELECT doc_id, n_bigrams, kn_ppl, bucket,
+       bucket IN ('head', 'middle') AS keep
+FROM bucketed
+"""
+
+
+DOC_PERPLEXITY_FILTER_SQL = _doc_perplexity_filter_sql()
