@@ -130,3 +130,110 @@ def merge_hll_sketches(parts: DataFrame, sketch_col: str, key_col: str) -> DataF
     return parts.groupBy(key_col).agg(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("distinct_estimate")
     )
+
+
+# --- Heavy hitters: Misra-Gries candidates + exact verify ------------
+
+# report every term with frequency >= HH_NUM/HH_DEN of all tokens
+HH_NUM, HH_DEN = 1, 500
+# no-false-negative bound needs ceil(DEN/NUM) counters; 2x margin is
+# ~free (the summary is per-partition, bounded, never shuffled wide)
+MG_CAPACITY = 2 * HH_DEN
+
+
+def _mg_partition(batches):
+    """Per-partition Misra-Gries summary in its mergeable form
+    (Agarwal et al., "Mergeable Summaries", SODA'12): fold each Arrow
+    batch's value_counts into at most MG_CAPACITY counters; when the
+    dict overflows, subtract the (K+1)-th largest count from all and
+    drop the non-positive — the batched equivalent of the classic
+    decrement step, same guarantee: any term with partition count
+    > n_p/(K+1) survives. Emits the candidate terms plus one
+    term=NULL row carrying the partition's exact token count (so the
+    corpus total needs no second scan)."""
+    import pandas as pd
+
+    counters: dict = {}
+    n_tokens = 0
+    for pdf in batches:
+        vc = pdf["term"].value_counts()
+        n_tokens += int(vc.sum())
+        for t, c in vc.items():
+            counters[t] = counters.get(t, 0) + int(c)
+        if len(counters) > MG_CAPACITY:
+            cut = sorted(counters.values(), reverse=True)[MG_CAPACITY]
+            counters = {t: c - cut for t, c in counters.items() if c > cut}
+    yield pd.DataFrame(
+        {
+            "term": list(counters.keys()) + [None],
+            "n": [None] * len(counters) + [n_tokens],
+        }
+    )
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters — every term with frequency >=
+    HH_NUM/HH_DEN of all tokens, with exact count and share — via the
+    two-pass candidates-then-verify pattern (Misra-Gries per
+    partition, then exact counts restricted to the candidate union).
+
+    Why not one groupBy+HAVING: that shuffles the FULL vocabulary
+    (web-scale corpora: ~1e9 distinct tokens of typos/URLs/hashes,
+    nearly all of it garbage that can never reach the threshold). The
+    MG pass emits <= 2/phi candidate rows per partition with ZERO
+    shuffle, the candidate union is guaranteed a superset of every
+    true heavy hitter (count >= N/DEN > N/(capacity+1) implies
+    partition count > n_p/(capacity+1) somewhere, which MG retains),
+    and the verify pass counts ONLY candidate tokens — the shuffle
+    carries candidates x partitions rows, independent of vocabulary
+    size. Final output is exact and partitioning-invariant (the
+    candidate SET varies with partitioning; the verified filter does
+    not — pinned by the partition-invariance net).
+
+    The threshold compares in integer arithmetic (cnt * DEN >=
+    NUM * N) — no float boundary to diverge between engines. Python
+    appears only inside the Arrow-batched MG fold (vectorized
+    value_counts per batch, bounded dict merge); the verify pass is
+    pure JVM.
+    """
+    from mito_spark.engine import spread
+    from mito_spark.operators.text import _tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("term"))
+    # one MG scan feeds both the total and the candidate set
+    summary = toks.mapInPandas(
+        _mg_partition, schema="term string, n bigint"
+    ).localCheckpoint()
+    tot = summary.agg(F.sum("n").alias("n_total"))
+    cand = summary.where(F.col("term").isNotNull()).select("term").distinct()
+    return (
+        toks.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * HH_DEN >= HH_NUM * F.col("n_total"))
+        .select(
+            "term",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("share"),
+        )
+    )
+
+
+HEAVY_HITTERS_SQL = rf"""
+WITH terms AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM terms
+), cnts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM terms GROUP BY term
+)
+SELECT term, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / n_total, 6) AS share
+FROM cnts CROSS JOIN tot
+WHERE cnt * {HH_DEN} >= {HH_NUM} * n_total
+"""

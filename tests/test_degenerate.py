@@ -54,6 +54,12 @@ DOC_OPS = [
     "bpe_learn_merges_bytes",
     "bpe_encode",
     "text_zipf_profile",
+    # r8: perplexity filter (all-NULL-ppl corpora leave percentile()
+    # NULL cutoffs; every doc must land in 'unscored'/keep=false, not
+    # crash) and heavy hitters (tiny corpus: every term is a hitter;
+    # empty/whitespace docs contribute no tokens)
+    "doc_perplexity_filter",
+    "heavy_hitters",
 ]
 EMB_OPS = [
     "quantize_embeddings",

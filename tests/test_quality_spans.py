@@ -446,6 +446,8 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "ann_pq_recall_report",
         "kn_bigram_perplexity",
         "weighted_sample_es",
+        "doc_perplexity_filter",
+        "heavy_hitters",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):

@@ -72,3 +72,50 @@ def test_hll_sketches_merge_losslessly(spark, exact):
         .collect()
     }
     assert merged == one_pass
+
+
+# ---------- heavy hitters: MG guarantee + input-layout invariance ----
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark, tmp_path):
+    """The two-pass MG+verify answer must EQUAL the exact one-pass
+    groupBy answer (no false negatives is the MG guarantee; no false
+    positives because the verify pass recounts exactly), and must not
+    depend on the input file layout (different partitionings produce
+    different candidate SETS but the same verified output)."""
+    import random
+
+    from mito_spark.operators.sketches import HH_DEN, HH_NUM, heavy_hitters
+
+    rng = random.Random(7)
+    # zipf-ish corpus: a few hot words, a long unique tail
+    words = []
+    for i in range(40):
+        words += [f"hot{i}"] * (400 - 9 * i)
+    words += [f"tail{i}" for i in range(5000)]
+    rng.shuffle(words)
+    docs = [
+        (i, " ".join(words[i * 50 : (i + 1) * 50]))
+        for i in range((len(words) + 49) // 50)
+    ]
+    results = {}
+    for nparts in (1, 13):
+        td = str(tmp_path / f"p{nparts}")
+        spark.createDataFrame(docs, "doc_id long, text string").repartition(
+            nparts
+        ).write.parquet(f"{td}/documents.parquet")
+        results[nparts] = {
+            tuple(r) for r in heavy_hitters(spark, td).collect()
+        }
+    assert results[1] == results[13]
+    # brute-force exact answer
+    n = len(words)
+    from collections import Counter
+
+    exact = {
+        (t, c, round(c / n, 6))
+        for t, c in Counter(words).items()
+        if c * HH_DEN >= HH_NUM * n
+    }
+    assert results[1] == exact
+    assert len(exact) > 5  # the probe corpus must actually have hitters
