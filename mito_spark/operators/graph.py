@@ -777,3 +777,153 @@ ORDER BY d.vec_id
 
 GRAPH_CLUSTERING_SQL = _graph_clustering_sql()
 GRAPH_REPORT_SQL = _graph_report_sql()
+
+
+# --- k-core decomposition (iterative peeling, unrolled) --------------
+
+KCORE_K = 4
+KCORE_ROUNDS = 12
+
+
+def graph_kcore(
+    spark: SparkSession,
+    sf_dir: str,
+    kcore: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    k: int = 5,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """k-core membership over the (symmetrized) kNN graph by iterative
+    peeling (Seidman 1983; Batagelj-Zaversnik): each round drops every
+    node whose degree within the surviving subgraph is < ``kcore``.
+    The k-core is the density backbone a curation pipeline keeps when
+    it wants only documents embedded in mutually-similar regions
+    (boilerplate farms and template clusters survive; isolated and
+    chain-like points peel off) — the graph-native complement of
+    semdedup's centroid view.
+
+    Determinism contract: BOTH engines unroll exactly ``rounds`` peel
+    rounds — no fixpoint test, so there is no convergence-detection
+    divergence at any scale; once peeling stabilizes, further rounds
+    are identity, and convergence within the default budget is
+    pytest-pinned at the gate SFs (tests/test_graph.py runs rounds+1
+    and asserts identical membership). The production form adds the
+    CC-style signature check (_signature) to stop early — same plan
+    per round, one extra 1-row aggregate.
+
+    Scale shape: every round is two alive-semi-joins on the edge list
+    + one node-keyed count — all shuffles keyed on node id over a
+    frame bounded by |V|·k (the kNN edge list, never the corpus), with
+    per-round localCheckpoint (the MMR plan-growth lesson). Accepts a
+    precomputed ``edges`` frame like every other graph consumer.
+
+    Output: one row per graph node — vec_id, in_kcore, and the node's
+    degree within the final core (NULL for peeled nodes).
+    """
+    from mito_spark.operators.similarity import knn_graph
+
+    if edges is None:
+        edges = knn_graph(spark, sf_dir, k=k)
+    e = edges.select(
+        F.col("vec_id").cast("long").alias("u"),
+        F.col("neighbor_id").cast("long").alias("v"),
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("u").alias("vec_id")).distinct().localCheckpoint()
+    alive = nodes
+    for _ in range(rounds):
+        alive = (
+            sym.join(alive.select(F.col("vec_id").alias("u")), "u")
+            .join(alive.select(F.col("vec_id").alias("v")), "v")
+            .groupBy(F.col("u").alias("vec_id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= kcore)
+            .select("vec_id")
+            .localCheckpoint()
+        )
+    core_deg = (
+        sym.join(alive.select(F.col("vec_id").alias("u")), "u")
+        .join(alive.select(F.col("vec_id").alias("v")), "v")
+        .groupBy(F.col("u").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    in_core = alive.select("vec_id", F.lit(True).alias("alive"))
+    return (
+        nodes.join(in_core, "vec_id", "left")
+        .join(core_deg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("alive", F.lit(False)).alias("in_kcore"),
+            F.when(
+                F.col("alive").isNotNull(),
+                F.coalesce("core_degree", F.lit(0)),
+            ).alias("core_degree"),
+        )
+    )
+
+
+def _kcore_ctes(
+    kcore: int = KCORE_K, rounds: int = KCORE_ROUNDS, prefix: str = ""
+) -> tuple[list[str], str]:
+    """Namespaced unrolled peel chain over a shared ``knn`` CTE (the
+    _lp_ctes / _clustering_ctes composition convention). Ends with the
+    final alive set; also defines {p}ka0 (all nodes) and {p}kcd (core
+    degrees)."""
+    p = prefix
+    parts = [
+        f"""{p}ksym AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT vec_id AS u, neighbor_id AS v FROM knn
+    UNION ALL
+    SELECT neighbor_id AS u, vec_id AS v FROM knn
+  ) WHERE u <> v
+)""",
+        f"{p}ka0 AS MATERIALIZED (SELECT DISTINCT u AS vec_id FROM {p}ksym)",
+    ]
+    for r in range(1, rounds + 1):
+        # MATERIALIZED is load-bearing: each round references the
+        # previous alive set twice, and DuckDB inlines plain CTEs -
+        # 12 unrolled rounds would otherwise duplicate the knn scan
+        # 2^12 times (observed as 'Too many open files')
+        parts.append(f"""{p}ka{r} AS MATERIALIZED (
+  SELECT e.u AS vec_id FROM {p}ksym e
+  JOIN {p}ka{r - 1} x ON e.u = x.vec_id
+  JOIN {p}ka{r - 1} y ON e.v = y.vec_id
+  GROUP BY e.u HAVING COUNT(*) >= {kcore}
+)""")
+    parts.append(f"""{p}kcd AS (
+  SELECT e.u AS vec_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+  FROM {p}ksym e
+  JOIN {p}ka{rounds} x ON e.u = x.vec_id
+  JOIN {p}ka{rounds} y ON e.v = y.vec_id
+  GROUP BY e.u
+)""")
+    return parts, f"{p}ka{rounds}"
+
+
+def _kcore_sql(
+    kcore: int = KCORE_K, rounds: int = KCORE_ROUNDS, k: int = 5
+) -> str:
+    from mito_spark.operators.similarity import _knn_graph_sql
+
+    ctes, final = _kcore_ctes(kcore, rounds)
+    return (
+        ",\n".join([f"WITH knn AS ({_knn_graph_sql(k=k)})"] + ctes)
+        + f"""
+SELECT n.vec_id,
+       a.vec_id IS NOT NULL AS in_kcore,
+       CASE WHEN a.vec_id IS NOT NULL
+            THEN CAST(COALESCE(cd.core_degree, 0) AS BIGINT) END AS core_degree
+FROM ka0 n
+LEFT JOIN {final} a ON n.vec_id = a.vec_id
+LEFT JOIN kcd cd ON n.vec_id = cd.vec_id
+"""
+    )
+
+
+KCORE_SQL = _kcore_sql()

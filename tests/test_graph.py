@@ -169,3 +169,46 @@ def test_graph_clustering_known_graph(spark):
     assert abs(rows[2]["clustering_coeff"] - round(1 / 3, 6)) < 1e-9
     # pendant: degree 1 -> coefficient undefined (NULL), zero triangles
     assert rows[3]["n_triangles"] == 0 and rows[3]["clustering_coeff"] is None
+
+
+# ---------- k-core ----------
+
+
+def test_kcore_known_graph(spark):
+    """4-clique + pendant chain: the 3-core is exactly the clique,
+    each clique member with core degree 3; chain nodes peel off."""
+    from mito_spark.operators.graph import graph_kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(
+        clique + chain, "vec_id long, neighbor_id long"
+    )
+    got = {
+        r.vec_id: (r.in_kcore, r.core_degree)
+        for r in graph_kcore(spark, "", kcore=3, edges=edges).collect()
+    }
+    assert got == {
+        0: (True, 3),
+        1: (True, 3),
+        2: (True, 3),
+        3: (True, 3),
+        10: (False, None),
+        11: (False, None),
+        12: (False, None),
+    }
+
+
+def test_kcore_converges_within_budget(spark, sf_dir):
+    """The unrolled KCORE_ROUNDS budget must reach the true fixpoint
+    at the gate SF: one extra round changes nothing. (Both engines
+    unroll the same rounds, so correctness never depends on this —
+    this pins the SEMANTIC claim that the output IS the k-core.)"""
+    from mito_spark.operators.graph import KCORE_ROUNDS, graph_kcore
+
+    a = {tuple(r) for r in graph_kcore(spark, sf_dir, rounds=KCORE_ROUNDS).collect()}
+    b = {
+        tuple(r)
+        for r in graph_kcore(spark, sf_dir, rounds=KCORE_ROUNDS + 1).collect()
+    }
+    assert a == b
