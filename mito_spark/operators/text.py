@@ -1365,3 +1365,104 @@ WITH words AS (
 
 
 BPE_BYTES_SQL = _bpe_bytes_sql()
+
+
+def tokenizer_fertility(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """Per-language tokenizer fertility report: how well the learned
+    merge table serves each language slice of the corpus — tokens per
+    word (fertility; ACL multilingual-tokenizer literature's headline
+    number: a vocab trained on the corpus majority tokenizes minority
+    languages into more pieces) and characters per emitted token. The
+    fairness check a multilingual pipeline runs BEFORE committing a
+    tokenizer: a language whose fertility is an outlier is paying more
+    of its context window for the same text.
+
+    Composes three existing chains without new machinery: the shared
+    word-level BPE learn loop (_bpe_learn — identical merge table as
+    bpe_learn_merges/bpe_encode), the JVM-only marker language-ID
+    projection (lang_id), and a chars-per-doc scan projection. All
+    ratios are quotients of exact integer SUMS rounded at 6dp — no
+    float accumulation, both engines agree bit-for-bit. Here merges
+    JOIN whitespace words, so fertility <= 1 and lower = the vocab
+    compresses that language harder; with a subword trainer the same
+    report reads > 1, pieces per word.
+
+    Scale: everything the learn loop costs plus one doc-keyed join
+    fan-in and a |languages|-row aggregate; nothing new grows with the
+    corpus.
+    """
+    from mito_spark.engine import spread
+
+    _merges, cur = _bpe_learn(spark, sf_dir, rounds)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        F.size(_tokens(F.lower(F.col("text")))).alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    langs = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    enc = cur.select("doc_id", F.size("toks").alias("n_bpe"))
+    return (
+        base.join(enc, "doc_id")
+        .join(langs, "doc_id")
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe").alias("n_tokens_bpe"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            "predicted_lang",
+            "n_docs",
+            "n_words",
+            "n_tokens_bpe",
+            "n_chars",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(
+                    F.col("n_tokens_bpe").cast("double")
+                    / F.col("n_words").cast("double"),
+                    6,
+                ),
+            ).alias("fertility"),
+            F.when(
+                F.col("n_tokens_bpe") > 0,
+                F.round(
+                    F.col("n_chars").cast("double")
+                    / F.col("n_tokens_bpe").cast("double"),
+                    6,
+                ),
+            ).alias("chars_per_token"),
+        )
+        .orderBy("predicted_lang")
+    )
+
+
+def _tokenizer_fertility_sql(rounds: int = BPE_ROUNDS) -> str:
+    return f"""
+WITH enc AS ({_bpe_learn_chain(rounds)}
+  SELECT t0.doc_id, len(t0.toks) AS n_words, len(t{rounds}.toks) AS n_bpe
+  FROM t0 JOIN t{rounds} USING (doc_id)
+), lid AS ({LANG_ID_SQL}
+), chars AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+)
+SELECT predicted_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_tokens_bpe,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CASE WHEN SUM(n_words) > 0
+            THEN ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words), 6) END AS fertility,
+       CASE WHEN SUM(n_bpe) > 0
+            THEN ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 6) END AS chars_per_token
+FROM enc JOIN lid USING (doc_id) JOIN chars USING (doc_id)
+GROUP BY predicted_lang
+ORDER BY predicted_lang
+"""
+
+
+TOKENIZER_FERTILITY_SQL = _tokenizer_fertility_sql()

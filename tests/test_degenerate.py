@@ -60,6 +60,9 @@ DOC_OPS = [
     # empty/whitespace docs contribute no tokens)
     "doc_perplexity_filter",
     "heavy_hitters",
+    # r8: fertility on a corpus whose docs are empty/whitespace/1-token
+    # (zero-word docs land in 'und' with NULL ratios, not crash)
+    "tokenizer_fertility",
 ]
 EMB_OPS = [
     "quantize_embeddings",

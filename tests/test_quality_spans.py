@@ -448,6 +448,7 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "weighted_sample_es",
         "doc_perplexity_filter",
         "heavy_hitters",
+        "tokenizer_fertility",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
