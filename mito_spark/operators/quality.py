@@ -538,3 +538,103 @@ FROM bucketed
 
 
 DOC_PERPLEXITY_FILTER_SQL = _doc_perplexity_filter_sql()
+
+
+# --- Filter attribution: which quality pass removes what -------------
+
+
+def filter_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint attribution across the three standard curation passes —
+    C4 heuristics (c4_quality_filters.keep), Gopher repetition rules
+    (NOT repetition_quality.repetition_flag), and the CCNet perplexity
+    tail cut (doc_perplexity_filter.keep) — as the full 2x2x2 verdict
+    table: one row per (c4_keep, rep_keep, ppl_keep) combination with
+    document count, token mass, and corpus shares. This is the ablation
+    a curation team reads before ordering/tuning filters: the
+    one-filter-unique cells say what each pass alone is buying, the
+    all-False cell what everything agrees is garbage, and the
+    keep_all row the corpus that survives the full stack.
+
+    Pure composition: three per-doc frames the repo already oracles,
+    joined on doc_id (co-partitioned one-key shuffles), one 8-row
+    aggregate. Shares are quotients of exact integer sums against the
+    1-row corpus totals (broadcast), rounded at 6dp.
+    """
+    from mito_spark.operators.decontam import repetition_quality
+    from mito_spark.operators.text import token_count
+
+    c4 = c4_quality_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c4_keep")
+    )
+    rep = repetition_quality(spark, sf_dir).select(
+        "doc_id", (~F.col("repetition_flag")).alias("rep_keep")
+    )
+    ppl = doc_perplexity_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ppl_keep")
+    )
+    toks = token_count(spark, sf_dir).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    joined = toks.join(c4, "doc_id").join(rep, "doc_id").join(ppl, "doc_id")
+    totals = joined.agg(
+        F.count(F.lit(1)).alias("tot_docs"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    return (
+        joined.groupBy("c4_keep", "rep_keep", "ppl_keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "c4_keep",
+            "rep_keep",
+            "ppl_keep",
+            (F.col("c4_keep") & F.col("rep_keep") & F.col("ppl_keep")).alias(
+                "keep_all"
+            ),
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("tot_docs").cast("double"), 6
+            ).alias("doc_share"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"),
+                6,
+            ).alias("token_share"),
+        )
+        .orderBy("c4_keep", "rep_keep", "ppl_keep")
+    )
+
+
+def _filter_attribution_sql() -> str:
+    from mito_spark.operators.decontam import REPETITION_SQL
+    from mito_spark.operators.text import TOKEN_COUNT_SQL
+
+    return f"""
+WITH c4f AS ({C4_SQL}
+), rep AS ({REPETITION_SQL}
+), ppl AS ({DOC_PERPLEXITY_FILTER_SQL}
+), tc AS ({TOKEN_COUNT_SQL}
+), joined AS (
+  SELECT tc.doc_id, CAST(tc.n_tokens AS BIGINT) AS n_tokens,
+         c4f.keep AS c4_keep,
+         NOT rep.repetition_flag AS rep_keep,
+         ppl.keep AS ppl_keep
+  FROM tc JOIN c4f ON tc.doc_id = c4f.doc_id
+          JOIN rep ON tc.doc_id = rep.doc_id
+          JOIN ppl ON tc.doc_id = ppl.doc_id
+), totals AS (
+  SELECT COUNT(*) AS tot_docs, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+  FROM joined
+)
+SELECT c4_keep, rep_keep, ppl_keep,
+       (c4_keep AND rep_keep AND ppl_keep) AS keep_all,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / tot_docs, 6) AS doc_share,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / tot_tokens, 6) AS token_share
+FROM joined CROSS JOIN totals
+GROUP BY c4_keep, rep_keep, ppl_keep, tot_docs, tot_tokens
+ORDER BY c4_keep, rep_keep, ppl_keep
+"""
+
+
+FILTER_ATTRIBUTION_SQL = _filter_attribution_sql()

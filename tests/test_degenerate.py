@@ -63,6 +63,7 @@ DOC_OPS = [
     # r8: fertility on a corpus whose docs are empty/whitespace/1-token
     # (zero-word docs land in 'und' with NULL ratios, not crash)
     "tokenizer_fertility",
+    "filter_attribution_report",
 ]
 EMB_OPS = [
     "quantize_embeddings",

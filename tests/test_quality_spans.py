@@ -449,6 +449,7 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "doc_perplexity_filter",
         "heavy_hitters",
         "tokenizer_fertility",
+        "filter_attribution_report",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
