@@ -311,3 +311,47 @@ def test_weighted_sample_uses_two_stage_topk(spark, sf_dir):
     assert "_tk_part" in plan  # stage-1 salt key present
     for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert node not in plan
+
+
+def test_heavy_hitters_verify_pass_broadcasts_candidates(spark, sf_dir):
+    """The exact verify pass must semi-join tokens against a BROADCAST
+    candidate set (candidates are bounded by partitions x capacity, so
+    a shuffle join there would be a planning bug), the MG stage is the
+    only Python node, and the totals frame joins as a broadcast 1-row
+    cross join."""
+    from mito_spark.operators.sketches import heavy_hitters
+
+    plan = _plan(heavy_hitters(spark, sf_dir))
+    # the MG fold lives behind the summary localCheckpoint, so the
+    # final (verify-pass) plan must contain NO Python nodes at all
+    assert "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan  # candidate semi-join
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_doc_perplexity_filter_broadcasts_cutoffs(spark, sf_dir):
+    """Bucket assignment must be a column expression against broadcast
+    tercile cutoffs — never a global NTILE/rank (a WindowExec with an
+    empty partition spec would single-partition the corpus)."""
+    from mito_spark.operators.quality import doc_perplexity_filter
+
+    plan = _plan(doc_perplexity_filter(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cutoffs frame
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_kcore_round_plan_growth_is_bounded(spark, sf_dir):
+    """Each peel round must start from the checkpointed alive set: the
+    final-round plan may not re-embed all 12 rounds of joins (the MMR
+    plan-growth lesson)."""
+    from mito_spark.operators.graph import graph_kcore
+
+    plan = _plan(graph_kcore(spark, sf_dir))
+    # per-round: two alive semi-joins; final: core-degree joins + the
+    # output assembly — an inlined 12-round chain would show ~30 joins
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 8
+    assert "CartesianProduct" not in plan
