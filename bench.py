@@ -186,6 +186,16 @@ HEADLINE = [
     # new in r8: ann_pq_recall_report excluded by the composition rule
     # (its cost is the ann_pq_topk training chains + the benched brute
     # tier + a bounded join; oracle row hash-checks the measurement)
+    "heavy_hitters",
+    "jl_projection_report",
+    # doc_perplexity_filter / filter_attribution_report /
+    # tokenizer_fertility / graph_kcore excluded by the composition
+    # rule: their cost IS the benched chains they compose
+    # (kn_bigram_perplexity, the C4/Gopher passes, bpe_learn_merges,
+    # knn_graph) plus bounded rollups; oracle rows cover behavior.
+    # cluster_silhouette excluded like embedding_cluster_profile /
+    # IVF / semdedup: k-means TRAINING dominates at gate SF; the
+    # scoring pass it adds is one projection + one groupBy.
 ]
 
 

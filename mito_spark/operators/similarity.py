@@ -1139,3 +1139,248 @@ FROM ranked WHERE rank <= {k}
 
 
 KNN_GRAPH_SQL = _knn_graph_sql()
+
+
+def cluster_silhouette(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int | None = None,
+) -> DataFrame:
+    """Per-cell simplified silhouette over the k-means cells: for each
+    point, a = distance to its own centroid, b = distance to the
+    nearest OTHER centroid, s = (b-a)/max(a,b); the report is each
+    cell's member count and mean s — the cluster-quality gate a
+    curation pipeline reads BEFORE acting on cluster structure
+    (semdedup prunes, cluster-level drops, domain upsampling): a cell
+    with mean s near 0 is not a real clump, and decisions keyed on it
+    are noise. The centroid form (simplified silhouette, Hruschka et
+    al. 2004) replaces classic silhouette's O(n) per-point pairwise
+    term with a centroid lookup — the only silhouette computable at
+    corpus scale, and the standard proxy for it.
+
+    Scale shape: identical to embedding_cluster_profile — ONE corpus
+    pass against the in-plan centroid table (n_cells x dim literals;
+    per row 2·cells·dim FMAs inside codegen), one groupBy(cell) on
+    9dp-decimal s-sums (order-free, oracle-exact). Nothing else
+    shuffles; output is n_cells rows. ``n_cells=None`` derives the
+    cell count from the corpus (``auto_n_cells``, floor 16 = the
+    static oracle's constant at every gate SF).
+
+    Parity contract: a and b come from the SAME sorted (d², cell)
+    pairs the assignment argmin uses (ties break on cell id on both
+    engines); (b-a)/greatest(a,b) is the identical expression tree on
+    both sides, rounded to 9dp before the decimal sum. Coincident
+    centroids (a = b = 0) score s = 0 by the guard, matching the SQL
+    CASE. Reference parity: the reference has no clustering surface
+    (SURVEY §2 — pure expression engine); this extends the
+    LLM-pipeline tier alongside semdedup/cluster_profile.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if n_cells is None:
+        n_cells = auto_n_cells(emb.count())
+    if n_cells < 2:
+        raise ValueError("cluster_silhouette needs >= 2 cells (b is undefined)")
+    centroids = _kmeans_centroids(_ivf_train_sample(emb), n_cells)
+    dists = [
+        F.aggregate(
+            F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    pairs = F.array_sort(
+        F.array(*[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)])
+    )
+    a = F.sqrt(pairs[0].getField("d"))
+    b = F.sqrt(pairs[1].getField("d"))
+    s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    tagged = emb.select(
+        pairs[0].getField("i").cast("bigint").alias("cell"),
+        F.round(s, 9).cast("decimal(28,9)").alias("s"),
+    )
+    return (
+        tagged.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("s").alias("s_sum"))
+        .select(
+            "cell",
+            "n_members",
+            F.round(F.col("s_sum").cast("double") / F.col("n_members"), 6).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+def _cluster_silhouette_sql(n_cells: int = 16, iters: int = 3, dim: int = 64) -> str:
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (t.v[i]-c.c[i])*(t.v[i]-c.c[i])))"
+    )
+    return (
+        _kmeans_tagged_sql(n_cells, iters, dim)
+        + f""", dm AS (
+  SELECT t.vec_id, c.cell, {dist} AS d2,
+         ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                            ORDER BY {dist} ASC, c.cell ASC) AS rn
+  FROM e t CROSS JOIN cent{iters} c
+), ab AS (
+  SELECT vec_id,
+         MIN(CASE WHEN rn = 1 THEN cell END) AS cell,
+         sqrt(MIN(CASE WHEN rn = 1 THEN d2 END)) AS a,
+         sqrt(MIN(CASE WHEN rn = 2 THEN d2 END)) AS b
+  FROM dm GROUP BY vec_id
+), sil AS (
+  SELECT cell,
+         CAST(ROUND(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                         ELSE (b - a) / greatest(a, b) END, 9)
+              AS DECIMAL(28,9)) AS s
+  FROM ab
+)
+SELECT cell, COUNT(*) AS n_members,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+FROM sil GROUP BY cell ORDER BY cell
+"""
+    )
+
+
+CLUSTER_SILHOUETTE_SQL = _cluster_silhouette_sql()
+
+
+_JL_TABLE = 7  # independent hyperplane family (never used by LSH tables 0/1)
+_JL_OUT_DIM = 16
+_JL_SAMPLE_HEX = ("0", "1")
+
+
+def jl_projection_report(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dim: int = _JL_OUT_DIM,
+    dim: int = 64,
+    sample_hex: tuple[str, ...] = _JL_SAMPLE_HEX,
+) -> DataFrame:
+    """Random-projection (Johnson-Lindenstrauss) distortion report:
+    project the embedding column dim → out_dim through a deterministic
+    dense random matrix, then MEASURE what the projection does to
+    pairwise Euclidean distances on a hash-sampled vector set — a
+    histogram of projected/original distance ratios (0.05-wide
+    buckets) with per-bucket pair counts and mean ratio. This is the
+    go/no-go report for running clustering / dedup / ANN on the
+    cheaper projected vectors: JL guarantees ratios concentrate near
+    1 at out_dim = O(log n / eps²) (Johnson & Lindenstrauss 1984;
+    dense ±-style matrices per Achlioptas 2003), and this measures the
+    actual spread for THIS corpus and THIS out_dim — the
+    dimensionality-reduction sibling of lsh_recall_report /
+    ann_pq_recall_report (measure the approximation, don't trust the
+    formula).
+
+    The matrix rows reuse the ``_hyperplane`` generator (an
+    independent family, table 7): entries uniform in [-1, 1),
+    E[r²] = 1/3, so each output coordinate is scaled by
+    sqrt(3/out_dim) to make projected distances unbiased estimates of
+    the originals. Projection is one corpus-pass of out_dim·dim FMAs
+    per row against in-plan literals — zero shuffle, the same
+    plan shape as lsh_bucket_expr. The measurement leg hash-samples
+    vectors (md5 prefix, |S| ≈ n/8 here) and compares all sample
+    pairs: at 100 TB tighten ``sample_hex`` so |S| stays ~10³ —
+    measurement cost is |S|²·out_dim, independent of the corpus.
+
+    Parity: plane literals, the sqrt(3/out_dim) scale, and every
+    fold are identical expression trees on both engines; ratios round
+    to 9dp before the decimal mean sums. Pairs at original distance
+    exactly 0 are excluded on both sides (ratio undefined).
+    """
+    import math
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scale = math.sqrt(3.0 / out_dim)
+    projs = [
+        (
+            _dot(F.col("v"), F.array(*[F.lit(x) for x in _hyperplane(dim, j, table=_JL_TABLE)]))
+            * F.lit(scale)
+        ).alias(f"p{j}")
+        for j in range(out_dim)
+    ]
+    sample = (
+        emb.where(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(*sample_hex)
+        )
+        .select("vec_id", "v", F.array(*projs).alias("p"))
+        .localCheckpoint()  # pairs below explode the HOF chain otherwise
+    )
+    a, b = sample.alias("a"), sample.alias("b")
+    sq = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda u, w: (u - w) * (u - w)), F.lit(0.0), lambda acc, t: acc + t
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.sqrt(sq(F.col("a.v"), F.col("b.v"))).alias("od"),
+            F.sqrt(sq(F.col("a.p"), F.col("b.p"))).alias("pd"),
+        )
+        .where(F.col("od") > 0)
+        .select((F.col("pd") / F.col("od")).alias("ratio"))
+    )
+    bucketed = pairs.select(
+        (F.floor(F.col("ratio") * 20).cast("double") / F.lit(20.0)).alias("ratio_bucket"),
+        F.round("ratio", 9).cast("decimal(28,9)").alias("r"),
+    )
+    return (
+        bucketed.groupBy("ratio_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("r").alias("r_sum"))
+        .select(
+            "ratio_bucket",
+            "n_pairs",
+            F.round(F.col("r_sum").cast("double") / F.col("n_pairs"), 6).alias("mean_ratio"),
+        )
+        .orderBy("ratio_bucket")
+    )
+
+
+def _jl_report_sql(
+    out_dim: int = _JL_OUT_DIM,
+    dim: int = 64,
+    sample_hex: tuple[str, ...] = _JL_SAMPLE_HEX,
+) -> str:
+    import math
+
+    scale = repr(math.sqrt(3.0 / out_dim))
+    proj_items = []
+    for j in range(out_dim):
+        plane = "[" + ", ".join(repr(x) for x in _hyperplane(dim, j, table=_JL_TABLE)) + "]"
+        proj_items.append(f"{_dot_sql('v', f'({plane})', dim)} * {scale}")
+    hexes = ", ".join(f"'{h}'" for h in sample_hex)
+    dsq = lambda x, y, d: (  # noqa: E731
+        f"list_sum(list_transform(range(1, {d + 1}), i -> ({x}[i]-{y}[i])*({x}[i]-{y}[i])))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, [{", ".join(proj_items)}] AS p
+  FROM e WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ({hexes})
+), pr AS (
+  SELECT sqrt({dsq('a.v', 'b.v', dim)}) AS od,
+         sqrt({dsq('a.p', 'b.p', out_dim)}) AS pd
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+), rt AS (
+  SELECT pd / od AS ratio FROM pr WHERE od > 0
+), bk AS (
+  SELECT CAST(floor(ratio * 20) AS DOUBLE) / 20.0 AS ratio_bucket,
+         CAST(ROUND(ratio, 9) AS DECIMAL(28,9)) AS r
+  FROM rt
+)
+SELECT ratio_bucket, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_ratio
+FROM bk GROUP BY ratio_bucket ORDER BY ratio_bucket
+"""
+
+
+JL_REPORT_SQL = _jl_report_sql()

@@ -355,3 +355,33 @@ def test_kcore_round_plan_growth_is_bounded(spark, sf_dir):
     # output assembly — an inlined 12-round chain would show ~30 joins
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 8
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_silhouette_is_one_rollup_no_joins(spark, sf_dir):
+    """Silhouette scoring is a pure projection against in-plan
+    centroid literals: no join of any kind, no window, no Python —
+    one corpus aggregate on the cell key."""
+    from mito_spark.operators.similarity import cluster_silhouette
+
+    plan = _plan(cluster_silhouette(spark, sf_dir))
+    for node in (
+        "BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+        "Window", "BroadcastHashJoin", "SortMergeJoin",
+        "BroadcastNestedLoopJoin", "ShuffledHashJoin",
+    ):
+        assert node not in plan
+
+
+def test_jl_pairs_join_is_bounded_to_the_sample(spark, sf_dir):
+    """The distortion measurement self-joins ONLY the checkpointed
+    hash sample (inequality join -> BroadcastNestedLoopJoin over a
+    bounded frame, which is the intended shape); the projection leg
+    is JVM-only. The corpus-sized frame never enters a join: the
+    only scans in the measurement plan are the checkpointed RDD."""
+    from mito_spark.operators.similarity import jl_projection_report
+
+    plan = _plan(jl_projection_report(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert node not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Scan parquet" not in plan  # pairs read the sample RDD only

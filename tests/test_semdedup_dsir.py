@@ -211,3 +211,38 @@ def test_winnow_dup_pairs_finds_planted_overlap(spark, sf_dir, tmp_path):
     ).write.mode("overwrite").parquet(p + "/documents.parquet")
     pairs = {(r.id_a, r.id_b): r.n_shared for r in T.winnow_dup_pairs(spark, p).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+
+
+def test_cluster_silhouette_partitions_and_bounds(spark, sf_dir):
+    """Silhouette report covers the whole corpus, one row per occupied
+    cell, and every mean silhouette is inside the metric's [-1, 1]."""
+    from mito_spark.operators.similarity import cluster_silhouette
+
+    rows = cluster_silhouette(spark, sf_dir).collect()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_emb
+    assert len(rows) <= 16
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+
+
+def test_jl_report_unbiased_and_concentrating(spark, sf_dir):
+    """The JL lemma, measured: the scaled projection keeps the
+    pair-distance ratio distribution centered on 1 (unbiased scale),
+    and quadrupling out_dim tightens the spread (concentration in the
+    output dimension). Same hash sample on every run, so pair counts
+    agree across out_dims."""
+    from mito_spark.operators.similarity import jl_projection_report
+
+    def stats(rows):
+        n = sum(r.n_pairs for r in rows)
+        mean = sum(r.mean_ratio * r.n_pairs for r in rows) / n
+        var = sum(r.n_pairs * (r.mean_ratio - mean) ** 2 for r in rows) / n
+        return n, mean, var
+
+    n8, m8, v8 = stats(jl_projection_report(spark, sf_dir, out_dim=8).collect())
+    n32, m32, v32 = stats(jl_projection_report(spark, sf_dir, out_dim=32).collect())
+    assert n8 == n32  # identical sampled pair set
+    assert abs(m8 - 1.0) < 0.2
+    assert abs(m32 - 1.0) < 0.1
+    assert v32 < v8  # 4x the dims -> strictly tighter ratios
