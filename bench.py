@@ -188,6 +188,7 @@ HEADLINE = [
     # tier + a bounded join; oracle row hash-checks the measurement)
     "heavy_hitters",
     "jl_projection_report",
+    "rake_keywords",
     # doc_perplexity_filter / filter_attribution_report /
     # tokenizer_fertility / graph_kcore excluded by the composition
     # rule: their cost IS the benched chains they compose

@@ -1466,3 +1466,156 @@ ORDER BY predicted_lang
 
 
 TOKENIZER_FERTILITY_SQL = _tokenizer_fertility_sql()
+
+
+# RAKE phrase boundaries: the corpus-frequent function words. A real
+# deployment swaps in a per-language stoplist; the algorithm is
+# stoplist-agnostic.
+_RAKE_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+_RAKE_TOP_K = 3
+
+
+def rake_keywords(
+    spark: SparkSession, sf_dir: str, k: int = _RAKE_TOP_K
+) -> DataFrame:
+    """Per-document keyword extraction via RAKE (Rapid Automatic
+    Keyword Extraction — Rose et al. 2010): candidate phrases are the
+    maximal stopword-free token runs; each word scores
+    degree/frequency over the document's candidates (degree = summed
+    length of the phrases it appears in — co-occurrence reach; freq =
+    its occurrence count); a phrase scores the sum of its members'
+    scores; the report is each document's top-k phrases. The cheap
+    unsupervised labeling pass of corpus triage — cluster/source
+    summaries, index keys for search over a training corpus — run at
+    document granularity, so it distributes perfectly.
+
+    Scale shape: tokenize + cumulative-stop phrase ids are one
+    posexplode and ONE per-doc window (partitioned by doc_id — state
+    bounded by the document's own length); the member table is
+    localCheckpointed once and feeds phrase-length, word-stat, and
+    phrase-score aggregates, each a doc_id-keyed shuffle; the final
+    rank window is per-doc. Nothing corpus-global anywhere: at 100 TB
+    every stage keys on doc_id and a document never crosses executors.
+
+    Parity: word scores round to 9dp before the decimal phrase sum
+    (order-free); identical phrase TEXT within a doc collapses to one
+    row (equal score by construction — same word multiset); rank
+    tie-breaks on phrase text. Reference parity: the reference's
+    strings/processor surface gives users split/filter/fold to build
+    this by hand (lib/strings.go); here it is a first-class operator.
+    """
+    from pyspark.sql import Window
+
+    from mito_spark.engine import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = docs.select(
+        "doc_id", F.posexplode(_tokens(F.lower(F.col("text")))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    f = w.withColumn("stop", F.col("word").isin(*_RAKE_STOPWORDS).cast("int"))
+    cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    members = (
+        f.withColumn("phrase_id", F.sum("stop").over(cum))
+        .where(F.col("stop") == 0)
+        .select("doc_id", "phrase_id", "pos", "word")
+        .localCheckpoint()  # three consumers below share one tokenize+window pass
+    )
+    plen = members.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("phrase_len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s.getField("word"),
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstat = (
+        members.join(plen.select("doc_id", "phrase_id", "phrase_len"), ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("phrase_len").alias("degree"))
+    )
+    scored = (
+        members.join(wstat, ["doc_id", "word"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("degree").cast("double") / F.col("freq").cast("double"), 9
+                ).cast("decimal(28,9)")
+            ).alias("s")
+        )
+    )
+    phr = (
+        plen.join(scored, ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "phrase")
+        .agg(F.max("s").alias("score"))
+    )
+    rw = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        phr.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "phrase",
+            F.round(F.col("score").cast("double"), 6).alias("rake_score"),
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+def _rake_sql(k: int = _RAKE_TOP_K) -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPWORDS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, i AS pos, t[i] AS word
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r
+), f AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN word IN ({stops}) THEN 1 ELSE 0 END AS stop
+  FROM w
+), ph AS (
+  SELECT doc_id, pos, word, stop,
+         SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS phrase_id
+  FROM f
+), members AS (
+  SELECT doc_id, phrase_id, pos, word FROM ph WHERE stop = 0
+), plen AS (
+  SELECT doc_id, phrase_id, COUNT(*) AS phrase_len,
+         string_agg(word, ' ' ORDER BY pos) AS phrase
+  FROM members GROUP BY doc_id, phrase_id
+), wstat AS (
+  SELECT m.doc_id, m.word, COUNT(*) AS freq, SUM(p.phrase_len) AS degree
+  FROM members m JOIN plen p USING (doc_id, phrase_id)
+  GROUP BY m.doc_id, m.word
+), scored AS (
+  SELECT m.doc_id, m.phrase_id,
+         SUM(CAST(ROUND(CAST(ws.degree AS DOUBLE) / CAST(ws.freq AS DOUBLE), 9)
+                  AS DECIMAL(28,9))) AS s
+  FROM members m JOIN wstat ws ON m.doc_id = ws.doc_id AND m.word = ws.word
+  GROUP BY m.doc_id, m.phrase_id
+), phr AS (
+  SELECT p.doc_id, p.phrase, MAX(s.s) AS score
+  FROM plen p JOIN scored s USING (doc_id, phrase_id)
+  GROUP BY p.doc_id, p.phrase
+), ranked AS (
+  SELECT doc_id, phrase, ROUND(CAST(score AS DOUBLE), 6) AS rake_score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, phrase) AS rank
+  FROM phr
+)
+SELECT doc_id, phrase, rake_score, rank FROM ranked WHERE rank <= {k}
+ORDER BY doc_id, rank
+"""
+
+
+RAKE_SQL = _rake_sql()

@@ -385,3 +385,22 @@ def test_jl_pairs_join_is_bounded_to_the_sample(spark, sf_dir):
         assert node not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "Scan parquet" not in plan  # pairs read the sample RDD only
+
+
+def test_rake_keywords_stays_doc_local(spark, sf_dir):
+    """Every RAKE stage keys on doc_id: the two windows (cumulative
+    stop count, final rank) must carry partition keys — never an
+    empty spec that single-partitions the corpus — and the row path
+    is JVM-only."""
+    from mito_spark.operators.text import rake_keywords
+
+    plan = _plan(rake_keywords(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    import re as _re
+
+    # formatted-mode Window arguments render as
+    # "[partitionSpec], [orderSpec], ..." — an empty partition spec
+    # would render "[], ["; assert none does
+    assert not _re.search(r"Arguments: \[\], \[", plan)

@@ -692,3 +692,52 @@ def test_weighted_sample_es_matches_python_reference(spark):
     sel_w = sum(n for n, _, _ in expect.values()) / len(expect)
     pop_w = sum(n for _, _, n in docs) / len(docs)
     assert sel_w > pop_w
+
+
+def test_rake_keywords_matches_python_reference(spark):
+    """rake_keywords must reproduce a pure-Python RAKE (Rose et al.
+    2010) over the same stoplist: phrase segmentation, degree/freq
+    word scores, phrase sums, and the per-doc top-k rank order."""
+    import duckdb
+    import pytest
+
+    from mito_spark.operators.text import _RAKE_STOPWORDS, _RAKE_TOP_K, rake_keywords
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    stops = set(_RAKE_STOPWORDS)
+    expect: dict[tuple, tuple] = {}
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        phrases: list[list[str]] = [[]]
+        for t in toks:
+            if t in stops:
+                phrases.append([])
+            else:
+                phrases[-1].append(t)
+        phrases = [p for p in phrases if p]
+        freq: dict[str, int] = {}
+        degree: dict[str, int] = {}
+        for p in phrases:
+            for w in p:
+                freq[w] = freq.get(w, 0) + 1
+                degree[w] = degree.get(w, 0) + len(p)
+        scored: dict[str, float] = {}
+        for p in phrases:
+            # 9dp-rounded word scores, summed exactly (decimal twin)
+            s = sum(round(degree[w] / freq[w], 9) for w in p)
+            scored[" ".join(p)] = s
+        top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:_RAKE_TOP_K]
+        for rank, (phrase, s) in enumerate(top, 1):
+            expect[(doc_id, rank)] = (phrase, s)
+    got = {
+        (r.doc_id, r.rank): (r.phrase, r.rake_score)
+        for r in rake_keywords(spark, sf).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (phrase, s) in expect.items():
+        gp, gs = got[k]
+        assert gp == phrase
+        assert gs == pytest.approx(s, abs=1e-6)
