@@ -189,6 +189,7 @@ HEADLINE = [
     "heavy_hitters",
     "jl_projection_report",
     "rake_keywords",
+    "minhash_estimate_report",
     # doc_perplexity_filter / filter_attribution_report /
     # tokenizer_fertility / graph_kcore excluded by the composition
     # rule: their cost IS the benched chains they compose

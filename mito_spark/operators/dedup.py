@@ -153,44 +153,44 @@ def _jaccard_verified(
     )
 
 
-# Affine-rehash scheme: ONE md5 per shingle; the K hash functions are
-# h_j = (a_j·h1 + b_j·h2 + j) mod P over the md5's two 30-bit halves
-# (P = 2^61−1, Mersenne). All products stay < 2^63 — no overflow under
-# ANSI mode in Spark and identical arithmetic in the DuckDB oracle.
-# This is the standard practical MinHash construction (one strong hash
-# + K affine mixers) and cuts md5 calls by 16×.
-MERSENNE_P = (1 << 61) - 1
-_B0 = 2654435761  # Knuth multiplicative constant
+# Salted-md5 scheme: K INDEPENDENT hash functions, h_j(s) = 60 bits of
+# md5("mh{j}:" + s). This replaced the r2-r8 affine-rehash scheme
+# (K affine mixers over ONE base md5) after minhash_estimate_report
+# MEASURED its failure: the affine maps' coefficients are tiny
+# positive ints, products almost never wrap the Mersenne modulus, so
+# the maps are order-preserving — any pair sharing a single
+# small-base-hash shingle matched ALL K slots (est = 1.0 at exact
+# J = 0.01 for 80% of gate-corpus candidates). At scale that is a
+# disaster multiplier: every document containing the corpus's
+# minimum-hash common shingle lands in the same bucket in EVERY band
+# (a near-quadratic candidate blowup on one bucket), and signature
+# slots carry no independent information. Independent salts restore
+# the textbook guarantees (each slot matches with probability exactly
+# J; bands are independent) at K md5 calls per shingle — the honest
+# price of K-wise independence, and still scan-bandwidth JVM work.
 
 
-def _affine_minhash(sh: Column, num_hashes: int) -> Column:
-    """MinHash signature via map-then-fold: `transform` materializes
-    the md5-derived 60-bit hash array (md5 evaluated exactly once per
-    shingle — an expression inside the fold lambda would be re-evaluated
-    per hash index), then one `aggregate` folds K running minima with
-    zip_with(least)."""
-    # single-arg lambda is load-bearing: passing _hash60 directly would
-    # make PySpark treat its optional `seed` param as the element-index
-    # lambda slot, silently seeding each hash with its array position
-    hs = F.transform(sh, lambda s: _hash60(s))
-    init = F.array_repeat(F.lit(MERSENNE_P).cast("bigint"), num_hashes)
+def _salted_minhash(sh: Column, num_hashes: int) -> Column:
+    """MinHash signature as array<bigint>: slot j is the min over
+    shingles of the independently salted 60-bit md5 hash. K transforms
+    over the staged shingle column, all inside one projection."""
 
-    def step(acc: Column, h: Column) -> Column:
-        h1 = F.shiftright(h, 30)
-        h2 = h.bitwiseAND(F.lit((1 << 30) - 1))
-        hashes = F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda j: F.pmod((2 * j + 1) * h1 + (F.lit(_B0) + j) * h2 + j, F.lit(MERSENNE_P)),
-        )
-        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+    def salt(j: int):
+        lit = F.lit(f"mh{j}")
+        # closure factory: the HOF lambda must take exactly ONE
+        # parameter (a second — even a defaulted one — binds the
+        # element index)
+        return lambda s: _hash60(s, lit)
 
-    return F.aggregate(hs, init, step)
+    return F.array(
+        *[F.array_min(F.transform(sh, salt(j))) for j in range(num_hashes)]
+    )
 
 
 def minhash_signature(col: Column, num_hashes: int = NUM_HASHES, shingle: int = 3) -> Column:
     """K-wise MinHash signature as array<bigint> — single pass over
     shingles, O(shingles·(md5 + K adds)) per row, all built-ins."""
-    return _affine_minhash(_shingles(col, shingle), num_hashes)
+    return _salted_minhash(_shingles(col, shingle), num_hashes)
 
 
 def _band_keys(sigd: DataFrame) -> DataFrame:
@@ -238,7 +238,7 @@ def minhash_lsh_dedup(
         docs = spread(load_table(spark, sf_dir, "documents"))
         shingles = _staged_shingles(docs, shingle)
     sigd = shingles.select(
-        "doc_id", "sh", _affine_minhash(F.col("sh"), NUM_HASHES).alias("sig")
+        "doc_id", "sh", _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig")
     ).localCheckpoint()  # signatures feed both sides of the self-join
     # and the verification joins — at 100 TB this is a checkpoint-to-
     # parquet. localCheckpoint (not persist) so the blocks are GC-
@@ -258,7 +258,12 @@ def minhash_lsh_dedup(
     )
 
 
-def _minhash_sql(threshold: float = 0.5, shingle: int = 3) -> str:
+def _minhash_cand_sql(shingle: int = 3) -> str:
+    """Shared oracle head: tokenize → shingle → md5 hash → affine
+    signatures → band keys → distinct candidate pairs, ending with the
+    ``cand`` CTE open for a caller-appended continuation (the ``sig``
+    CTE still carries ``sh`` for exact-Jaccard verification). Used by
+    the LSH-dedup oracle and the estimate-report oracle."""
     sep = " || ':' || "
     band_cases = " ".join(
         f"WHEN {b} THEN md5("
@@ -275,23 +280,25 @@ WITH rawtok AS (
          list_distinct(list_transform(range(1, greatest(len(toks) - {shingle - 1}, 1) + 1),
            i -> array_to_string(toks[i:i+{shingle - 1}], ' '))) AS sh
   FROM rawtok
-), hashed AS (
-  SELECT doc_id, sh,
-         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
-  FROM tok
 ), sig AS (
   SELECT doc_id, sh,
          list_transform(range(0, {NUM_HASHES}),
-           j -> list_min(list_transform(hs,
-                h -> ((2*j + 1) * (h >> 30) + ({_B0} + j) * (h & 1073741823) + j) % {MERSENNE_P}))) AS sig
-  FROM hashed
+           j -> list_min(list_transform(sh,
+                s -> CAST('0x' || substr(md5('mh' || CAST(j AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)))) AS sig
+  FROM tok
 ), keyed AS (
   SELECT doc_id, band, CASE band {band_cases} END AS key
   FROM sig, range(0, {BANDS}) t(band)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_sql(threshold: float = 0.5, shingle: int = 3) -> str:
+    return (
+        _minhash_cand_sql(shingle)
+        + rf"""
 SELECT id_a, id_b,
        CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
          / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
@@ -300,6 +307,7 @@ FROM cand JOIN tok ta ON cand.id_a = ta.doc_id
 WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
          / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) >= {threshold}
 """
+    )
 
 
 MINHASH_LSH_SQL = _minhash_sql()
@@ -524,7 +532,7 @@ def incremental_dedup(
     matches), or NULL when the doc is genuinely new."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     sigd = _staged_shingles(docs, shingle).select(
-        "doc_id", "sh", _affine_minhash(F.col("sh"), NUM_HASHES).alias("sig")
+        "doc_id", "sh", _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig")
     ).localCheckpoint()
     bands = _band_keys(sigd)
     new_bands = bands.where(F.col("doc_id") >= split_at)
@@ -916,7 +924,7 @@ def split_leakage_check(
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     sigd = _staged_shingles(docs, shingle).select(
-        "doc_id", "sh", _affine_minhash(F.col("sh"), NUM_HASHES).alias("sig")
+        "doc_id", "sh", _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig")
     ).localCheckpoint()
     # split is a pure hash of doc_id — computed as a COLUMN on the
     # band rows, never a join (zero extra shuffle; the same
@@ -1035,3 +1043,132 @@ SELECT CAST({threshold} AS DOUBLE) AS threshold,
 
 
 LSH_RECALL_SQL = _lsh_recall_sql()
+
+
+def minhash_estimate_report(
+    spark: SparkSession, sf_dir: str, shingle: int = 3
+) -> DataFrame:
+    """MEASURED MinHash estimator error: for every LSH candidate pair,
+    the signature estimate (matching slots / K) beside the exact
+    shingle-set Jaccard, rolled up by exact-Jaccard decile — per
+    bucket the pair count, mean estimate, mean exact, and mean |err|.
+    This is the calibration report behind every MinHash threshold
+    decision (Broder 1997: each slot matches with probability exactly
+    J, so the estimate is Binomial(K, J)/K with sd √(J(1−J)/K) ≈ 0.12
+    at K=16 — the measurement shows what that means for THIS corpus's
+    candidate population). The estimator-quality sibling of
+    lsh_recall_report (which measures the BANDING's recall; this
+    measures the SIGNATURE's accuracy) and ann_pq_recall_report.
+
+    Scale shape: identical to minhash_lsh_dedup through the candidate
+    stage (one tokenize+signature pass, checkpointed; banded self-join
+    — never all-pairs); per candidate one K-slot compare + one exact
+    intersect (the same work the verify stage already does), then a
+    ≤11-row decile rollup on 9dp-decimal sums. Signatures are salted
+    md5 — deterministic, so the whole measurement is hash-oracled.
+
+    Provenance note: this report's FIRST run caught a real scale bug —
+    under the then-current affine-rehash signatures it measured
+    mean_est = 1.0 on candidate pairs with exact J = 0.01 (80% of the
+    gate corpus's candidates), exposing the order-preserving
+    correlation that `_salted_minhash`'s comment documents. After the
+    independent-salt fix the same report reads as the Binomial theory
+    predicts (mean_est ≈ mean_exact, |err| ≈ √(J(1−J)/K)). That is
+    the point of the measured-quality ladder: run the calibration,
+    don't trust the construction.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    shingles = _staged_shingles(docs, shingle)
+    sigd = shingles.select(
+        "doc_id", "sh", _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig")
+    ).localCheckpoint()  # feeds both band-join sides AND the pair compare
+    bands = _band_keys(sigd)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sided = cand.join(
+        sigd.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            F.col("sh").alias("sh_a"),
+        ),
+        "id_a",
+    ).join(
+        sigd.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            F.col("sh").alias("sh_b"),
+        ),
+        "id_b",
+    )
+    eq_slots = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    ni = F.size(F.array_intersect("sh_a", "sh_b"))
+    scored = sided.select(
+        (eq_slots.cast("double") / F.lit(float(NUM_HASHES))).alias("est"),
+        (ni.cast("double") / (F.size("sh_a") + F.size("sh_b") - ni)).alias("jaccard"),
+    )
+    bucketed = scored.select(
+        (F.floor(F.col("jaccard") * 10).cast("double") / F.lit(10.0)).alias(
+            "jaccard_bucket"
+        ),
+        F.round("est", 9).cast("decimal(28,9)").alias("e"),
+        F.round("jaccard", 9).cast("decimal(28,9)").alias("j"),
+        F.round(F.abs(F.col("est") - F.col("jaccard")), 9)
+        .cast("decimal(28,9)")
+        .alias("d"),
+    )
+    n = F.col("n_pairs")
+    return (
+        bucketed.groupBy("jaccard_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("e").alias("es"),
+            F.sum("j").alias("js"),
+            F.sum("d").alias("ds"),
+        )
+        .select(
+            "jaccard_bucket",
+            "n_pairs",
+            F.round(F.col("es").cast("double") / n, 6).alias("mean_est"),
+            F.round(F.col("js").cast("double") / n, 6).alias("mean_exact"),
+            F.round(F.col("ds").cast("double") / n, 6).alias("mean_abs_err"),
+        )
+        .orderBy("jaccard_bucket")
+    )
+
+
+def _minhash_estimate_sql(shingle: int = 3) -> str:
+    return (
+        _minhash_cand_sql(shingle)
+        + rf""", est AS (
+  SELECT CAST(len(list_filter(range(1, {NUM_HASHES} + 1),
+                              i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {float(NUM_HASHES)} AS est,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+            JOIN sig sb ON cand.id_b = sb.doc_id
+), bk AS (
+  SELECT CAST(floor(jaccard * 10) AS DOUBLE) / 10.0 AS jaccard_bucket,
+         CAST(ROUND(est, 9) AS DECIMAL(28,9)) AS e,
+         CAST(ROUND(jaccard, 9) AS DECIMAL(28,9)) AS j,
+         CAST(ROUND(abs(est - jaccard), 9) AS DECIMAL(28,9)) AS d
+  FROM est
+)
+SELECT jaccard_bucket, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(e) AS DOUBLE) / COUNT(*), 6) AS mean_est,
+       ROUND(CAST(SUM(j) AS DOUBLE) / COUNT(*), 6) AS mean_exact,
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+FROM bk GROUP BY jaccard_bucket ORDER BY jaccard_bucket
+"""
+    )
+
+
+MINHASH_ESTIMATE_SQL = _minhash_estimate_sql()
