@@ -1172,3 +1172,128 @@ FROM bk GROUP BY jaccard_bucket ORDER BY jaccard_bucket
 
 
 MINHASH_ESTIMATE_SQL = _minhash_estimate_sql()
+
+
+def dedup_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint attribution across the three dedup tiers — exact content
+    hash, MinHash+LSH verified near-dup (J >= 0.5), and SimHash
+    banded Hamming (<= 3 bits) — as the full 2x2x2 verdict table: one
+    row per (exact_dup, minhash_dup, simhash_dup) combination with
+    document count, token mass, and corpus shares. A document is a
+    "dup" under a tier if that tier's keep-first rule would drop it
+    (exact: not the minimum doc_id of its content-hash group; pair
+    tiers: appears as the higher id of any verified pair). The dedup
+    sibling of filter_attribution_report: the marginal cells say what
+    each tier uniquely catches (exact ⊂ minhash in theory — J = 1
+    pairs always collide; the table PROVES it on data), and any_dup
+    is the total dedup bite before quality filtering.
+
+    Pure composition of three already-oracled chains joined on doc_id
+    (one-key co-partitioned shuffles), one 8-row rollup; shares are
+    exact-integer quotients against broadcast 1-row totals.
+    """
+    from pyspark.sql import Window
+
+    from mito_spark.operators.text import token_count
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ex = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        ).alias("exact_dup"),
+    )
+    mh = (
+        minhash_lsh_dedup(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("minhash_dup", F.lit(True))
+    )
+    sh = (
+        simhash_dedup(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("simhash_dup", F.lit(True))
+    )
+    toks = token_count(spark, sf_dir).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    joined = (
+        toks.join(ex, "doc_id")
+        .join(mh, "doc_id", "left")
+        .join(sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "exact_dup",
+            F.coalesce("minhash_dup", F.lit(False)).alias("minhash_dup"),
+            F.coalesce("simhash_dup", F.lit(False)).alias("simhash_dup"),
+        )
+    )
+    totals = joined.agg(
+        F.count(F.lit(1)).alias("tot_docs"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    return (
+        joined.groupBy("exact_dup", "minhash_dup", "simhash_dup")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "exact_dup",
+            "minhash_dup",
+            "simhash_dup",
+            (F.col("exact_dup") | F.col("minhash_dup") | F.col("simhash_dup")).alias(
+                "any_dup"
+            ),
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("tot_docs").cast("double"), 6
+            ).alias("doc_share"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"),
+                6,
+            ).alias("token_share"),
+        )
+        .orderBy("exact_dup", "minhash_dup", "simhash_dup")
+    )
+
+
+def _dedup_attribution_sql() -> str:
+    from mito_spark.operators.text import TOKEN_COUNT_SQL
+
+    return f"""
+WITH ex AS (
+  SELECT doc_id,
+         doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
+  FROM documents
+), mh AS (
+  SELECT DISTINCT id_b AS doc_id FROM ({MINHASH_LSH_SQL})
+), sh AS (
+  SELECT DISTINCT id_b AS doc_id FROM ({SIMHASH_SQL})
+), tc AS ({TOKEN_COUNT_SQL}
+), joined AS (
+  SELECT tc.doc_id, CAST(tc.n_tokens AS BIGINT) AS n_tokens,
+         ex.exact_dup,
+         mh.doc_id IS NOT NULL AS minhash_dup,
+         sh.doc_id IS NOT NULL AS simhash_dup
+  FROM tc JOIN ex ON tc.doc_id = ex.doc_id
+          LEFT JOIN mh ON tc.doc_id = mh.doc_id
+          LEFT JOIN sh ON tc.doc_id = sh.doc_id
+), totals AS (
+  SELECT COUNT(*) AS tot_docs, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+  FROM joined
+)
+SELECT exact_dup, minhash_dup, simhash_dup,
+       (exact_dup OR minhash_dup OR simhash_dup) AS any_dup,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / tot_docs, 6) AS doc_share,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / tot_tokens, 6) AS token_share
+FROM joined CROSS JOIN totals
+GROUP BY exact_dup, minhash_dup, simhash_dup, tot_docs, tot_tokens
+ORDER BY exact_dup, minhash_dup, simhash_dup
+"""
+
+
+DEDUP_ATTRIBUTION_SQL = _dedup_attribution_sql()

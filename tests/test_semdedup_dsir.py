@@ -246,3 +246,21 @@ def test_jl_report_unbiased_and_concentrating(spark, sf_dir):
     assert abs(m8 - 1.0) < 0.2
     assert abs(m32 - 1.0) < 0.1
     assert v32 < v8  # 4x the dims -> strictly tighter ratios
+
+
+def test_dedup_attribution_is_a_partition_of_the_corpus(spark, sf_dir):
+    """The 2x2x2 dedup verdict table partitions the corpus exactly
+    (doc counts and shares sum to totals), any_dup is the OR of the
+    tier verdicts, and no row violates exact ⊂ minhash (a J=1 pair
+    has identical signatures under every hash, so it collides in
+    every band and survives the J >= 0.5 verify)."""
+    from mito_spark.operators.dedup import dedup_attribution_report
+
+    rows = dedup_attribution_report(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.any_dup == (r.exact_dup or r.minhash_dup or r.simhash_dup)
+        assert not (r.exact_dup and not r.minhash_dup), "exact dup missed by minhash"
