@@ -190,9 +190,9 @@ HEADLINE = [
     "jl_projection_report",
     "rake_keywords",
     "minhash_estimate_report",
-    # dedup_attribution_report excluded by the composition rule: its
-    # cost IS the three benched dedup tiers it composes plus an 8-row
-    # rollup; oracle row + partition test cover behavior.
+    # dedup_attribution_report and source_overlap_matrix excluded by
+    # the composition rule: their cost IS the benched dedup tiers they
+    # compose plus bounded rollups; oracle rows + tests cover behavior.
     # doc_perplexity_filter / filter_attribution_report /
     # tokenizer_fertility / graph_kcore excluded by the composition
     # rule: their cost IS the benched chains they compose

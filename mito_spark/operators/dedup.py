@@ -1297,3 +1297,93 @@ ORDER BY exact_dup, minhash_dup, simhash_dup
 
 
 DEDUP_ATTRIBUTION_SQL = _dedup_attribution_sql()
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: every verified MinHash
+    near-dup pair (J >= 0.5) attributed to its (source_a, source_b)
+    cell — pair count, mean Jaccard, and the share of the smaller
+    source's documents involved. This is how a curation team finds
+    that source X mirrors source Y (news syndication, crawl-of-a-crawl,
+    wiki forks) BEFORE setting per-source sampling weights: a high
+    involved-share off-diagonal cell means the two sources are not
+    independent evidence, and domain_mix-style weights computed from
+    raw sizes double-count them.
+
+    Cell key is the UNORDERED source pair (least/greatest), so mirror
+    pairs land in one cell. Composition: the audited LSH chain + one
+    broadcast-sized doc→source join (sources are a tiny dimension) +
+    a sources²-bounded rollup; per-source doc totals join back as a
+    broadcast. Decimal-exact mean Jaccard.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    src = docs.select("doc_id", "source")
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    pairs = minhash_lsh_dedup(spark, sf_dir)
+    attributed = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.round("jaccard", 9).cast("decimal(28,9)").alias("j"),
+        )
+    )
+    cells = attributed.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("j").alias("js")
+    )
+    return (
+        cells.join(
+            F.broadcast(per_source.select(F.col("source").alias("source_a"), F.col("n_docs").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(per_source.select(F.col("source").alias("source_b"), F.col("n_docs").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.round(F.col("js").cast("double") / F.col("n_pairs"), 6).alias("mean_jaccard"),
+            F.round(
+                F.col("n_pairs").cast("double") / F.least("na", "nb").cast("double"), 6
+            ).alias("smaller_source_share"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_overlap_sql() -> str:
+    return f"""
+WITH pairs AS ({MINHASH_LSH_SQL}
+), src AS (
+  SELECT doc_id, source FROM documents
+), per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), attributed AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b,
+         CAST(ROUND(p.jaccard, 9) AS DECIMAL(28,9)) AS j
+  FROM pairs p JOIN src a ON p.id_a = a.doc_id
+               JOIN src b ON p.id_b = b.doc_id
+), cells AS (
+  SELECT source_a, source_b, COUNT(*) AS n_pairs, SUM(j) AS js
+  FROM attributed GROUP BY source_a, source_b
+)
+SELECT c.source_a, c.source_b, c.n_pairs,
+       ROUND(CAST(c.js AS DOUBLE) / c.n_pairs, 6) AS mean_jaccard,
+       ROUND(CAST(c.n_pairs AS DOUBLE) / least(pa.n_docs, pb.n_docs), 6) AS smaller_source_share
+FROM cells c JOIN per_source pa ON c.source_a = pa.source
+             JOIN per_source pb ON c.source_b = pb.source
+ORDER BY c.source_a, c.source_b
+"""
+
+
+SOURCE_OVERLAP_SQL = _source_overlap_sql()

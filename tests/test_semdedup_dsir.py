@@ -264,3 +264,18 @@ def test_dedup_attribution_is_a_partition_of_the_corpus(spark, sf_dir):
     for r in rows:
         assert r.any_dup == (r.exact_dup or r.minhash_dup or r.simhash_dup)
         assert not (r.exact_dup and not r.minhash_dup), "exact dup missed by minhash"
+
+
+def test_source_overlap_matrix_consistency(spark, sf_dir):
+    """Every verified near-dup pair lands in exactly one unordered
+    source cell; pair counts reconcile with the LSH tier, mean
+    Jaccard respects the verify threshold, and shares are in (0, 1]."""
+    from mito_spark.operators.dedup import minhash_lsh_dedup, source_overlap_matrix
+
+    rows = source_overlap_matrix(spark, sf_dir).collect()
+    n_pairs = minhash_lsh_dedup(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_a <= r.source_b  # unordered cell key
+        assert 0.5 <= r.mean_jaccard <= 1.0
+        assert 0 < r.smaller_source_share <= 1.0
