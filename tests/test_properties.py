@@ -741,3 +741,25 @@ def test_rake_keywords_matches_python_reference(spark):
         gp, gs = got[k]
         assert gp == phrase
         assert gs == pytest.approx(s, abs=1e-6)
+
+
+def test_minhash_estimate_is_calibrated(spark):
+    """With K independent salted hashes each signature slot matches
+    with probability exactly J, so on high-J buckets the mean estimate
+    must track the mean exact Jaccard within a few Binomial standard
+    deviations (sd = sqrt(J(1-J)/K) ~ 0.08 at J=0.9, K=16). The r2-r8
+    affine-rehash scheme failed this by 0.99 absolute on the J<0.1
+    bucket — this test is the regression net for that class of bug."""
+    from mito_spark.operators.dedup import NUM_HASHES, minhash_estimate_report
+
+    rows = minhash_estimate_report(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        j = r.mean_exact
+        sd = (j * (1 - j) / NUM_HASHES) ** 0.5
+        if r.n_pairs >= 5:  # enough pairs for the mean to concentrate
+            tol = 3 * sd / (r.n_pairs ** 0.5) + 0.05
+            assert abs(r.mean_est - r.mean_exact) < max(tol, 0.1), (
+                f"bucket {r.jaccard_bucket}: est {r.mean_est} vs exact "
+                f"{r.mean_exact} over {r.n_pairs} pairs"
+            )
