@@ -64,6 +64,15 @@ DOC_OPS = [
     # (zero-word docs land in 'und' with NULL ratios, not crash)
     "tokenizer_fertility",
     "filter_attribution_report",
+    # r8 session 2: RAKE on empty/whitespace/1-token docs (no phrases
+    # -> no rows for that doc, not a crash); the minhash calibration /
+    # dedup attribution / source overlap compositions on a corpus too
+    # small for any band collision (empty candidate set -> empty or
+    # all-false reports)
+    "rake_keywords",
+    "minhash_estimate_report",
+    "dedup_attribution_report",
+    "source_overlap_matrix",
 ]
 EMB_OPS = [
     "quantize_embeddings",
@@ -87,6 +96,12 @@ EMB_OPS = [
     "ann_ivfadc",
     "graph_report",
     "graph_clustering",
+    # r8 session 2: silhouette needs >= 2 cells (explicit n_cells
+    # floor via auto_n_cells) and zero vectors must score s=0 via the
+    # greatest(a,b)=0 guard; the JL report must survive a sample with
+    # identical vectors (od=0 pairs excluded on both engines)
+    "cluster_silhouette",
+    "jl_projection_report",
 ]
 
 

@@ -450,6 +450,12 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "heavy_hitters",
         "tokenizer_fertility",
         "filter_attribution_report",
+        "cluster_silhouette",
+        "jl_projection_report",
+        "rake_keywords",
+        "minhash_estimate_report",
+        "dedup_attribution_report",
+        "source_overlap_matrix",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
