@@ -190,6 +190,7 @@ HEADLINE = [
     "jl_projection_report",
     "rake_keywords",
     "minhash_estimate_report",
+    "global_percentiles_exact",
     # dedup_attribution_report and source_overlap_matrix excluded by
     # the composition rule: their cost IS the benched dedup tiers they
     # compose plus bounded rollups; oracle rows + tests cover behavior.

@@ -237,3 +237,184 @@ SELECT term, cnt,
 FROM cnts CROSS JOIN tot
 WHERE cnt * {HH_DEN} >= {HH_NUM} * n_total
 """
+
+
+GP_QUANTILES = (0.5, 0.9, 0.95, 0.99)
+GP_BUCKETS = 1024
+GP_FINAL_MAX = 10_000  # bounded final collect (prod: ~100k rows of one double)
+GP_MAX_ROUNDS = 6  # 1024^6 = 2^60 range shrink — bottoms out any double range
+
+
+def global_percentiles_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    quantiles: tuple[float, ...] = GP_QUANTILES,
+    final_max: int = GP_FINAL_MAX,
+) -> DataFrame:
+    """EXACT global percentiles of event value WITHOUT a global sort —
+    iterative histogram refinement (classic distributed selection):
+    each round ONE full pass computes a GP_BUCKETS-bin histogram per
+    still-active quantile (all quantiles share the pass), the driver
+    walks the 1024-int histogram to the bin(s) holding the target
+    order statistics, and the candidate set shrinks ~1024x. When a
+    quantile's candidate count is <= ``final_max`` the survivors are
+    collected (bounded by construction) and the two neighboring order
+    statistics interpolate exactly as quantile_cont does.
+
+    Float discipline: candidate membership is a PREDICATE CHAIN of
+    the exact bucket expressions the histograms used (bucket-id ==
+    the driver-selected bins), never a re-derived value range — a
+    value at a bin edge can round across `v >= lo + b*w` but can
+    never disagree with the expression that counted it, so the
+    rank offsets stay exact. Duplicate-heavy corners (a bin that
+    stops shrinking because one value fills it) exit via the
+    all-equal check on the collected survivors of the round cap.
+
+    Why it exists next to the sketch tier: percentile_approx
+    (sketch_distinct_profile) is the cheap one-pass answer with an
+    error bound; events_value_percentiles is exact PER GROUP (a sort
+    within bounded groups). An exact GLOBAL percentile at 100 TB can
+    afford neither a global sort (one task) nor a data collect; this
+    shape costs ~2 + rounds full scans (rounds ~2 at any realistic
+    value range: 10^12 rows / 1024^2 ≈ 10^6 ≤ a production
+    final_max) and shuffles only 1024-row histograms. The driver
+    holds histograms and <= final_max doubles, never data.
+
+    Oracle: the OUTPUT is a mathematical property of the multiset
+    (exact order statistics + the shared quantile_cont
+    interpolation), so DuckDB's quantile_cont verifies it without
+    mirroring the algorithm — stronger than a twin: two DIFFERENT
+    exact algorithms agreeing. NULL/NaN values are excluded on both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(F.col("value").cast("double"))
+    ev = ev.where(F.col("value").isNotNull() & ~F.isnan("value")).localCheckpoint()
+    n = ev.count()
+    if n == 0:
+        return spark.createDataFrame([], "quantile double, value_exact double")
+    lo0, hi0 = ev.agg(F.min("value"), F.max("value")).first()
+
+    # per-quantile state: target rank r = q*(n-1) needs order stats
+    # floor(r) and ceil(r) (0-based). `pred` is the candidate-set
+    # predicate (a Column factory so each pass rebuilds fresh exprs);
+    # `below` = rows excluded by pred that sort before every
+    # candidate; `count` = candidate rows; [lo, hi] only sizes the
+    # next round's bins.
+    state: dict[float, dict] = {}
+    for q in quantiles:
+        r = q * (n - 1)
+        state[q] = {
+            "lo": float(lo0), "hi": float(hi0), "below": 0, "count": n,
+            "k_lo": int(r), "k_hi": int(r) if r == int(r) else int(r) + 1,
+            "frac": r - int(r),
+            "preds": [],  # list of (lo, w, allowed-bin tuple)
+            "done": None,
+        }
+
+    def _bucket_expr(lo: float, w: float):
+        b = F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("int")
+        return F.least(F.greatest(b, F.lit(0)), F.lit(GP_BUCKETS - 1))
+
+    def _pred(s) -> Column:
+        p = F.lit(True)
+        for lo, w, bins in s["preds"]:
+            p = p & _bucket_expr(lo, w).isin(*bins)
+        return p
+
+    def _finish(s) -> None:
+        if s["count"] > final_max:
+            # round cap with an unshrinkable bin: a value with
+            # multiplicity > final_max. If the survivors are one
+            # value, the order stats ARE it — no collect needed.
+            mn, mx = ev.where(_pred(s)).agg(F.min("value"), F.max("value")).first()
+            if mn == mx:
+                s["done"] = (mn, mn)
+                return
+        vals = sorted(r[0] for r in ev.where(_pred(s)).collect())
+        s["done"] = (vals[s["k_lo"] - s["below"]], vals[s["k_hi"] - s["below"]])
+
+    def _active():
+        return {q: s for q, s in state.items() if s["done"] is None}
+
+    rounds = 0
+    while _active():
+        for q, s in list(_active().items()):
+            if s["count"] <= final_max or rounds >= GP_MAX_ROUNDS:
+                _finish(s)  # bounded: count <= final_max, or the
+                # round cap hit a duplicate-heavy bin that stopped
+                # shrinking — its one hot value dominates; collect
+                # stays ~bin-sized in any non-adversarial multiset
+        act = _active()
+        if not act:
+            break
+        qs = sorted(act)
+        cols = []
+        for i, q in enumerate(qs):
+            s = act[q]
+            w = (s["hi"] - s["lo"]) / GP_BUCKETS or 1.0
+            s["w"] = w
+            cols.append(
+                F.when(
+                    _pred(s),
+                    F.struct(
+                        F.lit(i).alias("i"), _bucket_expr(s["lo"], w).alias("b")
+                    ),
+                )
+            )
+        hist = (
+            ev.select(F.explode(F.array(*cols)).alias("ib"))
+            .where(F.col("ib").isNotNull())
+            .groupBy("ib.i", "ib.b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        bybin: dict[int, dict[int, int]] = {}
+        for row in hist:
+            bybin.setdefault(row.i, {})[row.b] = row.c
+        for i, q in enumerate(qs):
+            s = act[q]
+            w = s.pop("w")
+            cum = s["below"]
+            for b in range(GP_BUCKETS):
+                c = bybin.get(i, {}).get(b, 0)
+                if cum + c > s["k_lo"]:
+                    # k_lo sits in bin b; k_hi (= k_lo or k_lo+1) may
+                    # be the first row of the next NON-EMPTY bin —
+                    # which is not necessarily b+1 (empty bins between
+                    # two populated ones were the final_max=5 probe's
+                    # IndexError)
+                    covers_hi = cum + c > s["k_hi"]
+                    if covers_hi:
+                        bins, extra = (b,), 0
+                    else:
+                        b2 = next(
+                            nb
+                            for nb in range(b + 1, GP_BUCKETS)
+                            if bybin.get(i, {}).get(nb, 0) > 0
+                        )
+                        bins, extra = (b, b2), bybin[i][b2]
+                    s["preds"].append((s["lo"], w, bins))
+                    s["below"] = cum
+                    s["count"] = c + extra
+                    s["hi"] = s["lo"] + (bins[-1] + 1) * w
+                    s["lo"] = s["lo"] + b * w
+                    break
+                cum += c
+        rounds += 1
+    out = []
+    for q in quantiles:
+        s = state[q]
+        v_lo, v_hi = s["done"]
+        out.append((float(q), round(v_lo + s["frac"] * (v_hi - v_lo), 6)))
+    return spark.createDataFrame(out, "quantile double, value_exact double")
+
+
+GLOBAL_PERCENTILES_SQL = "\nUNION ALL\n".join(
+    # CAST the quantile literal: DuckDB types a bare 0.9 as DECIMAL,
+    # which the dtype-sensitive gate canonicalizer renders '0.90' vs
+    # Spark's double '0.9'
+    f"SELECT CAST({q} AS DOUBLE) AS quantile, "
+    f"ROUND(quantile_cont(value, {q}), 6) AS value_exact "
+    f"FROM events WHERE value IS NOT NULL"
+    for q in GP_QUANTILES
+)

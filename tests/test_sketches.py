@@ -119,3 +119,54 @@ def test_heavy_hitters_exact_vs_bruteforce(spark, tmp_path):
     }
     assert results[1] == exact
     assert len(exact) > 5  # the probe corpus must actually have hitters
+
+
+def test_global_percentiles_exact_forced_rounds(spark, sf_dir):
+    """The histogram-refinement path (tiny final_max forces real
+    rounds, including the empty-bins-between-order-stats corner) must
+    agree exactly with the one-shot small path."""
+    from mito_spark.operators.sketches import global_percentiles_exact
+
+    easy = {
+        (r.quantile): r.value_exact
+        for r in global_percentiles_exact(spark, sf_dir).collect()
+    }
+    forced = {
+        (r.quantile): r.value_exact
+        for r in global_percentiles_exact(spark, sf_dir, final_max=5).collect()
+    }
+    assert easy == forced and len(easy) == 4
+
+
+def test_global_percentiles_exact_duplicate_heavy(spark, tmp_path):
+    """A value whose multiplicity exceeds final_max must resolve via
+    the all-equal guard, never an unbounded collect, and still match
+    quantile_cont."""
+    import duckdb
+
+    from mito_spark.operators.sketches import (
+        GLOBAL_PERCENTILES_SQL,
+        global_percentiles_exact,
+    )
+
+    rows = [(i, float(5.0 if i % 10 else i)) for i in range(20000)]
+    d = str(tmp_path / "dup")
+    spark.createDataFrame(rows, "event_id long, value double").selectExpr(
+        "event_id",
+        "timestamp('2024-01-01') as ts",
+        "event_id % 7 as user_id",
+        "'t' as event_type",
+        "value",
+        "'{}' as props",
+    ).write.parquet(d + "/events.parquet")
+    got = {
+        r.quantile: r.value_exact
+        for r in global_percentiles_exact(spark, d, final_max=50).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    want = {q: v for q, v in con.execute(GLOBAL_PERCENTILES_SQL).fetchall()}
+    assert got == want
+    assert got[0.5] == 5.0  # the hot value IS the median
