@@ -404,3 +404,34 @@ def test_rake_keywords_stays_doc_local(spark, sf_dir):
     # "[partitionSpec], [orderSpec], ..." — an empty partition spec
     # would render "[], ["; assert none does
     assert not _re.search(r"Arguments: \[\], \[", plan)
+
+
+def test_minhash_estimate_report_shares_one_signature_pass(spark, sf_dir):
+    """The calibration report must reuse the checkpointed signature
+    frame on every side (band self-join + both pair sides): the final
+    plan reads the checkpointed RDD, never re-tokenizes (no parquet
+    scan), and the row path is JVM-only."""
+    from mito_spark.operators.dedup import minhash_estimate_report
+
+    plan = _plan(minhash_estimate_report(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    assert "Scan parquet" not in plan  # everything reads the checkpoint
+
+
+def test_dedup_reports_broadcast_their_dimensions(spark, sf_dir):
+    """dedup_attribution_report's 1-row totals and
+    source_overlap_matrix's per-source dimension must join as
+    broadcasts — never a shuffle join against a corpus-sized side —
+    and neither plan may fall back to a cartesian product."""
+    from mito_spark.operators.dedup import (
+        dedup_attribution_report,
+        source_overlap_matrix,
+    )
+
+    for fn in (dedup_attribution_report, source_overlap_matrix):
+        plan = _plan(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
