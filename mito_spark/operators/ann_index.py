@@ -566,7 +566,7 @@ def ann_query_ivfadc(
     n_queries: int = 10,
     k: int = 10,
     nprobe: int = 4,
-    rerank_factor: int = 10,
+    rerank_factor: int = 20,
     n_cells: int | None = None,
     queries: "DataFrame | list[tuple[int, list[float]]] | None" = None,
 ) -> DataFrame:
@@ -674,7 +674,7 @@ def _ivfadc_sql(
     n_queries: int = 10,
     k: int = 10,
     nprobe: int = 4,
-    rerank_factor: int = 10,
+    rerank_factor: int = 20,
     n_cells: int = 16,
     iters: int = 3,
     dim: int = 64,

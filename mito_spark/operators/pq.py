@@ -228,7 +228,7 @@ def ann_pq_topk(
     k: int = 10,
     m: int = PQ_M,
     k_sub: int = PQ_KSUB,
-    rerank_factor: int = 10,
+    rerank_factor: int = 20,
 ) -> DataFrame:
     """Top-k cosine ANN via product quantization + ADC + exact re-rank.
 
@@ -323,7 +323,7 @@ def ann_pq_recall_report(
     k: int = 10,
     m: int = PQ_M,
     k_sub: int = PQ_KSUB,
-    rerank_factor: int = 10,
+    rerank_factor: int = 20,
 ) -> DataFrame:
     """MEASURED per-query recall@k of the PQ/ADC tier against exact
     brute-force cosine over the same corpus — the serving-quality
@@ -397,7 +397,7 @@ def _pq_sql(
     k: int = 10,
     m: int = PQ_M,
     k_sub: int = PQ_KSUB,
-    rerank_factor: int = 10,
+    rerank_factor: int = 20,
     iters: int = PQ_ITERS,
     dim: int = 64,
 ) -> str:
