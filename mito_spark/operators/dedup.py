@@ -259,8 +259,9 @@ def minhash_lsh_dedup(
 
 
 def _minhash_cand_sql(shingle: int = 3) -> str:
-    """Shared oracle head: tokenize → shingle → md5 hash → affine
-    signatures → band keys → distinct candidate pairs, ending with the
+    """Shared oracle head: tokenize → shingle → md5 hash → salted
+    signatures (K independent salted md5s, matching the module-level
+    scheme at line ~153) → band keys → distinct candidate pairs, ending with the
     ``cand`` CTE open for a caller-appended continuation (the ``sig``
     CTE still carries ``sh`` for exact-Jaccard verification). Used by
     the LSH-dedup oracle and the estimate-report oracle."""

@@ -121,6 +121,110 @@ def test_heavy_hitters_exact_vs_bruteforce(spark, tmp_path):
     assert len(exact) > 5  # the probe corpus must actually have hitters
 
 
+def test_heavy_hitters_candidates_capacity_bounded(spark):
+    """The MERGED candidate set must stay <= MG_CAPACITY at any
+    partition count (r8 verdict wrong#1): per-partition summaries with
+    disjoint vocabularies would union to partitions × capacity rows;
+    the mergeable-summaries merge (sum residuals + capacity cut) keeps
+    the verify broadcast capacity-bounded regardless of partitioning."""
+    from mito_spark.operators.sketches import (
+        MG_CAPACITY,
+        _mg_merge_candidates,
+    )
+
+    # a summary as 16 partitions with DISJOINT 900-term vocabularies
+    # would emit it (per-partition MG keeps <= capacity each; the
+    # union is 14400), plus one globally-hot term every partition
+    # retained with a large residual — that one must survive the cut
+    n_parts, per_part = 16, 900
+    rows = [
+        (f"p{p}_t{j}", 5 + (j % 7), None)
+        for p in range(n_parts)
+        for j in range(per_part)
+    ]
+    rows += [("mega", 1000, None) for _ in range(n_parts)]
+    rows += [(None, None, 100_000) for _ in range(n_parts)]
+    summary = spark.createDataFrame(rows, "term string, cnt bigint, n bigint")
+    union_n = summary.where(F.col("term").isNotNull()).select("term").distinct().count()
+    assert union_n > MG_CAPACITY  # the merge is doing work, not vacuous
+    cands = _mg_merge_candidates(summary)
+    assert len(cands) <= MG_CAPACITY
+    assert "mega" in cands  # merged residual 16000 clears any cut
+
+
+def test_global_percentiles_checkpoint_optional(spark, sf_dir, monkeypatch):
+    """checkpoint=False must perform ZERO localCheckpoints (the 100 TB
+    shape re-reads the pruned parquet column) and still produce the
+    identical result as the checkpointed path."""
+    # pyspark 4: the classic DataFrame subclass OVERRIDES
+    # localCheckpoint, so the spy must land on the implementation class
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from mito_spark.operators.sketches import global_percentiles_exact
+
+    calls = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    off = sorted(
+        tuple(r) for r in global_percentiles_exact(spark, sf_dir, checkpoint=False).collect()
+    )
+    assert not calls
+    on = sorted(
+        tuple(r) for r in global_percentiles_exact(spark, sf_dir, checkpoint=True).collect()
+    )
+    assert calls
+    assert off == on
+
+
+def test_global_percentiles_degenerate_events(spark, tmp_path):
+    """Events-table degenerates (ADVICE r8): NaN values are excluded on
+    BOTH engines, and an all-NULL/NaN (effectively empty) corpus yields
+    one NULL-valued row per quantile on both — quantile_cont semantics,
+    not zero rows."""
+    import duckdb
+
+    from mito_spark.operators.sketches import (
+        GLOBAL_PERCENTILES_SQL,
+        GP_QUANTILES,
+        global_percentiles_exact,
+    )
+
+    def write_events(name, values):
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "event_id long, value double"
+        ).selectExpr(
+            "event_id",
+            "timestamp('2024-01-01') as ts",
+            "event_id % 3 as user_id",
+            "'t' as event_type",
+            "value",
+            "'{}' as props",
+        ).write.parquet(d + "/events.parquet")
+        return d
+
+    def oracle(d):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+        return sorted(con.execute(GLOBAL_PERCENTILES_SQL).fetchall())
+
+    # NaN mixed with real values: excluded, p50 of [1,2,3] is 2
+    d1 = write_events("nanmix", [float("nan"), 1.0, 2.0, 3.0, None])
+    got1 = sorted(tuple(r) for r in global_percentiles_exact(spark, d1).collect())
+    assert got1 == oracle(d1)
+    assert dict(got1)[0.5] == 2.0
+    # all NULL/NaN: one NULL row per quantile, both engines
+    d2 = write_events("allnull", [None, float("nan"), None])
+    got2 = sorted(tuple(r) for r in global_percentiles_exact(spark, d2).collect())
+    assert got2 == oracle(d2)
+    assert len(got2) == len(GP_QUANTILES) and all(v is None for _, v in got2)
+
+
 def test_global_percentiles_exact_forced_rounds(spark, sf_dir):
     """The histogram-refinement path (tiny final_max forces real
     rounds, including the empty-bins-between-order-stats corner) must
