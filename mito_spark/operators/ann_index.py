@@ -45,6 +45,7 @@ from mito_spark.operators.similarity import (
     _kmeans_centroids,
     _nearest_cell_expr,
     auto_n_cells,
+    auto_nprobe,
 )
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -319,7 +320,7 @@ def ann_query_persisted(
     index_dir: str | None = None,
     n_queries: int = 10,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     n_cells: int | None = None,
     queries: "DataFrame | list[tuple[int, list[float]]] | None" = None,
 ) -> DataFrame:
@@ -344,6 +345,8 @@ def ann_query_persisted(
     if index_dir is None:
         index_dir = default_index_dir(sf_dir)
     centroids = _ensure_index(spark, sf_dir, index_dir, n_cells)
+    if nprobe is None:
+        nprobe = auto_nprobe(len(centroids))
     tagged = spark.read.parquet(os.path.join(index_dir, "tagged.parquet"))
     queries = (
         _default_queries(spark, sf_dir, n_queries)
@@ -469,7 +472,7 @@ def ann_query_persisted_sq8(
     index_dir: str | None = None,
     n_queries: int = 10,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     rerank_factor: int = 4,
     n_cells: int | None = None,
     queries: "DataFrame | list[tuple[int, list[float]]] | None" = None,
@@ -501,6 +504,8 @@ def ann_query_persisted_sq8(
     if index_dir is None:
         index_dir = default_index_dir(sf_dir)
     centroids = _ensure_index(spark, sf_dir, index_dir, n_cells)
+    if nprobe is None:
+        nprobe = auto_nprobe(len(centroids))
     tagged = spark.read.parquet(os.path.join(index_dir, "tagged.parquet"))
     qvecs = (
         _default_queries(spark, sf_dir, n_queries)
@@ -565,7 +570,7 @@ def ann_query_ivfadc(
     index_dir: str | None = None,
     n_queries: int = 10,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     rerank_factor: int = 20,
     n_cells: int | None = None,
     queries: "DataFrame | list[tuple[int, list[float]]] | None" = None,
@@ -601,6 +606,8 @@ def ann_query_ivfadc(
     if index_dir is None:
         index_dir = default_index_dir(sf_dir)
     centroids = _ensure_index(spark, sf_dir, index_dir, n_cells)
+    if nprobe is None:
+        nprobe = auto_nprobe(len(centroids))
     book_rows = (
         spark.read.parquet(os.path.join(index_dir, "pq_codebooks.parquet"))
         .orderBy("s", "cell")
@@ -673,7 +680,7 @@ def ann_query_ivfadc(
 def _ivfadc_sql(
     n_queries: int = 10,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     rerank_factor: int = 20,
     n_cells: int = 16,
     iters: int = 3,
@@ -681,8 +688,11 @@ def _ivfadc_sql(
 ) -> str:
     """Composed oracle: cell-routing k-means chain (tagged) + the m
     PQ subspace chains (codes/luts) + probe restriction + fixed-order
-    ADC + exact re-rank."""
+    ADC + exact re-rank. ``nprobe=None`` derives via
+    ``auto_nprobe(n_cells)`` — same rule as the Spark side."""
     from mito_spark.operators.pq import PQ_M, _adc_sql, _lut_joins_sql, _pq_subspace_ctes
+    if nprobe is None:
+        nprobe = auto_nprobe(n_cells)
     from mito_spark.operators.similarity import _kmeans_tagged_sql
 
     def dist(v: str, c: str) -> str:
@@ -746,7 +756,7 @@ IVFADC_SQL = _ivfadc_sql()
 def _persisted_sq8_sql(
     n_queries: int = 10,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     rerank_factor: int = 4,
     n_cells: int = 16,
     iters: int = 3,
@@ -755,8 +765,11 @@ def _persisted_sq8_sql(
     """Composed oracle: order-pinned k-means (tagging = cell routing of
     the stored index) + symmetric int8 quantization + probe-restricted
     integer candidates + float re-rank — the persisted pipeline
-    re-derived from scratch on DuckDB."""
+    re-derived from scratch on DuckDB. ``nprobe=None`` derives via
+    ``auto_nprobe(n_cells)`` — same rule as the Spark side."""
     from mito_spark.operators.similarity import _kmeans_tagged_sql
+    if nprobe is None:
+        nprobe = auto_nprobe(n_cells)
 
     def dist(v: str, c: str) -> str:
         return (

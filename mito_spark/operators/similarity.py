@@ -210,6 +210,29 @@ def auto_n_cells(
     return max(min_cells, min(max_cells, n_rows // target_cell_size))
 
 
+def auto_nprobe(n_cells: int) -> int:
+    """Probe-cell count derived from the cell count so the RECALL
+    posture is scale-invariant (r8 verdict next#4): the measured
+    sf0.01 IVFADC end-to-end ladder (BENCH_NOTES r8) showed a fixed
+    nprobe=4 probes 25% of a 16-cell quantizer for only 0.59
+    recall@10, while 8/16 reaches 0.78 — small quantizers need a
+    LARGE probe fraction because each cell is coarse. Rule:
+    nprobe = min(n_cells, max(4, ceil(2·sqrt(n_cells)),
+    ceil(0.015·n_cells))) — 2·sqrt gives a probe FRACTION that decays
+    as 2/sqrt(n_cells) (50% at the 16-cell gate floor → 6% at 1024
+    cells), bottoming out at the 1.5% floor production IVF deployments
+    run (at auto_n_cells ≈ 0.1%·N, 1.5% of cells ≈ 1.5% of corpus
+    bytes per query batch). At the gate floor (auto_n_cells = 16 for
+    every gate SF) this derives 8, the value the static oracle SQL
+    twins are generated with."""
+    import math
+
+    return min(
+        n_cells,
+        max(4, math.ceil(2 * math.sqrt(n_cells)), math.ceil(0.015 * n_cells)),
+    )
+
+
 def _hyperplane(dim: int, h: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane h of table ``table``:
     component i derived from md5 of the (table, h, i) coordinates →
@@ -549,7 +572,7 @@ def cosine_topk_ivf(
     n_queries: int = 10,
     k: int = 10,
     n_cells: int | None = None,
-    nprobe: int = 4,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """IVF ANN: k-means coarse quantizer → corpus partitioned into
     cells → each query scores only its ``nprobe`` nearest cells.
@@ -559,7 +582,9 @@ def cosine_topk_ivf(
     corpus size (``auto_n_cells``) so per-cell population — and the
     per-query probe cost N·nprobe/n_cells — stays constant as the
     corpus grows; at gate SFs the rule floors to 16, matching the
-    static oracle SQL exactly.
+    static oracle SQL exactly. ``nprobe=None`` derives the probe
+    count from the cell count (``auto_nprobe`` — 8 at the 16-cell
+    gate floor, the static oracle's constant).
 
     100 TB shape: the centroid table is tiny and broadcast in-plan; the
     corpus is scanned once to tag cells (in production: written
@@ -571,6 +596,8 @@ def cosine_topk_ivf(
     )
     if n_cells is None:
         n_cells = auto_n_cells(emb.count())
+    if nprobe is None:
+        nprobe = auto_nprobe(n_cells)
     centroids = _kmeans_centroids(_ivf_train_sample(emb), n_cells)
     # localCheckpoint (not persist): tagged feeds both the query side
     # and the corpus side of the probe join; checkpoint blocks are
@@ -679,7 +706,7 @@ def _ivf_sql(
     n_queries: int = 10,
     k: int = 10,
     n_cells: int = 16,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     iters: int = 3,
     dim: int = 64,
 ) -> str:
@@ -688,7 +715,11 @@ def _ivf_sql(
     agreement with the Spark side holds because every float reduction
     is order-pinned on both engines: seeds sort by md5(vec_id), means
     sum in vec_id order, distances/dots fold left-to-right over the
-    index range, and all argmins tie-break on cell id."""
+    index range, and all argmins tie-break on cell id. ``nprobe=None``
+    derives via ``auto_nprobe(n_cells)`` — the same rule as the Spark
+    side, so the static constant stays in lockstep."""
+    if nprobe is None:
+        nprobe = auto_nprobe(n_cells)
 
     def dist(v: str, c: str) -> str:
         return (
@@ -1255,6 +1286,29 @@ CLUSTER_SILHOUETTE_SQL = _cluster_silhouette_sql()
 _JL_TABLE = 7  # independent hyperplane family (never used by LSH tables 0/1)
 _JL_OUT_DIM = 16
 _JL_SAMPLE_HEX = ("0", "1")
+_JL_SAMPLE_TARGET = 1024
+
+
+def auto_sample_hex(n_rows: int, target: int = _JL_SAMPLE_TARGET) -> tuple[str, ...]:
+    """Derive the md5-prefix sample for the JL measurement leg so the
+    expected sample size stays BOUNDED as the corpus grows — the
+    measurement cost is |S|²·out_dim, so a fixed sampling fraction
+    (the r8 manual knob) grows the pair work quadratically with n.
+    Rule: fraction f = min(1/8, target/n), quantized to m prefixes of
+    k hex chars (f ≈ m/16^k, m in [1, 15] after quantization), so
+    E|S| ∈ [~target/2, target] once n > 8·target and E|S| = n/8 below
+    that. The same discipline as ``auto_n_cells``/``auto_lsh_bits``:
+    at every gate SF (n <= 8·target) the derived value IS the static
+    ("0", "1") the oracle SQL was generated with, so auto-scaling and
+    the static twin coincide exactly."""
+    import math
+
+    if n_rows <= 0:
+        return _JL_SAMPLE_HEX
+    f = min(1.0 / 8.0, target / n_rows)
+    k = max(1, math.ceil(math.log(1.0 / f, 16)))
+    m = max(1, int((16**k) * f))
+    return tuple(format(i, f"0{k}x") for i in range(m))
 
 
 def jl_projection_report(
@@ -1262,7 +1316,7 @@ def jl_projection_report(
     sf_dir: str,
     out_dim: int = _JL_OUT_DIM,
     dim: int = 64,
-    sample_hex: tuple[str, ...] = _JL_SAMPLE_HEX,
+    sample_hex: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Random-projection (Johnson-Lindenstrauss) distortion report:
     project the embedding column dim → out_dim through a deterministic
@@ -1286,9 +1340,11 @@ def jl_projection_report(
     the originals. Projection is one corpus-pass of out_dim·dim FMAs
     per row against in-plan literals — zero shuffle, the same
     plan shape as lsh_bucket_expr. The measurement leg hash-samples
-    vectors (md5 prefix, |S| ≈ n/8 here) and compares all sample
-    pairs: at 100 TB tighten ``sample_hex`` so |S| stays ~10³ —
-    measurement cost is |S|²·out_dim, independent of the corpus.
+    vectors by md5 prefix; ``sample_hex`` defaults to
+    ``auto_sample_hex`` on the corpus count, which caps E|S| at
+    ~_JL_SAMPLE_TARGET as n grows (measurement cost |S|²·out_dim,
+    independent of the corpus) and coincides with the static oracle's
+    ("0", "1") at every gate SF.
 
     Parity: plane literals, the sqrt(3/out_dim) scale, and every
     fold are identical expression trees on both engines; ratios round
@@ -1300,6 +1356,8 @@ def jl_projection_report(
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if sample_hex is None:
+        sample_hex = auto_sample_hex(emb.count())
     scale = math.sqrt(3.0 / out_dim)
     projs = [
         (
@@ -1310,7 +1368,9 @@ def jl_projection_report(
     ]
     sample = (
         emb.where(
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(*sample_hex)
+            F.substring(
+                F.md5(F.col("vec_id").cast("string")), 1, len(sample_hex[0])
+            ).isin(*sample_hex)
         )
         .select("vec_id", "v", F.array(*projs).alias("p"))
         .localCheckpoint()  # pairs below explode the HOF chain otherwise
@@ -1357,6 +1417,7 @@ def _jl_report_sql(
         plane = "[" + ", ".join(repr(x) for x in _hyperplane(dim, j, table=_JL_TABLE)) + "]"
         proj_items.append(f"{_dot_sql('v', f'({plane})', dim)} * {scale}")
     hexes = ", ".join(f"'{h}'" for h in sample_hex)
+    klen = len(sample_hex[0])
     dsq = lambda x, y, d: (  # noqa: E731
         f"list_sum(list_transform(range(1, {d + 1}), i -> ({x}[i]-{y}[i])*({x}[i]-{y}[i])))"
     )
@@ -1365,7 +1426,7 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), s AS (
   SELECT vec_id, v, [{", ".join(proj_items)}] AS p
-  FROM e WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ({hexes})
+  FROM e WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, {klen}) IN ({hexes})
 ), pr AS (
   SELECT sqrt({dsq('a.v', 'b.v', dim)}) AS od,
          sqrt({dsq('a.p', 'b.p', out_dim)}) AS pd

@@ -223,6 +223,47 @@ def test_auto_lsh_bits_scales_with_corpus():
         prev = b
 
 
+def test_auto_nprobe_floor_and_decay():
+    """auto_nprobe must derive 8 at the 16-cell gate floor (the value
+    the static oracle SQL twins are generated with — measured recall
+    0.78-0.84 vs 0.59 at the old fixed 4), decay as a probe FRACTION
+    (2/sqrt(n_cells)), and bottom out at the 1.5% production floor."""
+    from mito_spark.operators.similarity import auto_n_cells, auto_nprobe
+
+    # every gate-SF corpus floors to 16 cells -> derived nprobe is 8
+    for n_rows in (500, 2000, 16_000):
+        assert auto_n_cells(n_rows) == 16
+    assert auto_nprobe(16) == 8
+    assert auto_nprobe(2) == 2  # never more probes than cells
+    # fraction decays, never below the 1.5% floor, never above 1
+    prev_frac = 1.0
+    for n_cells in (16, 64, 256, 1024, 16384, 1 << 20):
+        p = auto_nprobe(n_cells)
+        frac = p / n_cells
+        assert 0.0149 <= frac <= max(prev_frac, 0.5) + 1e-9, (n_cells, frac)
+        assert frac <= prev_frac + 1e-9  # monotone non-increasing fraction
+        prev_frac = frac
+
+
+def test_auto_sample_hex_bounds_jl_sample():
+    """The derived JL sample must (a) equal the static oracle's
+    ("0", "1") at every gate-SF corpus size (the floor contract every
+    auto knob honors), and (b) keep E|S| = n·fraction bounded near the
+    target as n grows — the r8 manual-knob pathology was |S| ≈ n/8,
+    i.e. quadratically growing pair cost."""
+    from mito_spark.operators.similarity import _JL_SAMPLE_TARGET, auto_sample_hex
+
+    # gate SFs: 500 (sf0.001/sf0.01) and 2000 (sf0.1) embeddings
+    for n in (0, 100, 500, 2000, 8 * _JL_SAMPLE_TARGET):
+        assert auto_sample_hex(n) == ("0", "1"), n
+    for n in (10_000, 100_000, 10**6, 10**9, 10**12):
+        hexes = auto_sample_hex(n)
+        k = len(hexes[0])
+        assert all(len(h) == k for h in hexes)
+        exp_s = n * len(hexes) / 16**k
+        assert _JL_SAMPLE_TARGET / 2 <= exp_s <= _JL_SAMPLE_TARGET, (n, exp_s)
+
+
 def test_near_dup_multitable_is_superset_and_exact(spark, sf_dir):
     """Banded multi-table LSH: table 0 keeps the legacy hyperplane
     family, so n_tables=2 candidates are a superset of single-table
