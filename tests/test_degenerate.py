@@ -63,6 +63,9 @@ DOC_OPS = [
     # r8: fertility on a corpus whose docs are empty/whitespace/1-token
     # (zero-word docs land in 'und' with NULL ratios, not crash)
     "tokenizer_fertility",
+    # r9: subword fertility on zero-word docs ('und' rows with NULL
+    # ratios via the left join; 1-char words are 1 piece + marker)
+    "tokenizer_fertility_subword",
     "filter_attribution_report",
     # r8 session 2: RAKE on empty/whitespace/1-token docs (no phrases
     # -> no rows for that doc, not a crash); the minhash calibration /

@@ -223,6 +223,38 @@ def test_auto_lsh_bits_scales_with_corpus():
         prev = b
 
 
+def test_subword_fertility_semantics(spark, sf_dir, tmp_path):
+    """Subword fertility must read >= 1 (pieces per word), shrink as
+    merges are learned (a bigger vocab splits less), equal mean word
+    length at zero merges, and match a hand-computed toy corpus."""
+    import pyspark.sql.functions as F
+
+    from mito_spark.operators.text import tokenizer_fertility_subword
+
+    def total_fert(rows):
+        w = sum(r.n_words for r in rows)
+        p = sum(r.n_pieces for r in rows)
+        return p / w
+
+    r5 = tokenizer_fertility_subword(spark, sf_dir).collect()
+    assert r5 and all(r.fertility >= 1.0 for r in r5 if r.n_words > 0)
+    r0 = tokenizer_fertility_subword(spark, sf_dir, rounds=0).collect()
+    # zero merges: every word is len(word) single-char pieces
+    assert total_fert(r5) < total_fert(r0)
+    # hand-check: "ab ab b" -> round 1 merges (b,</w>) [weight 3 beats
+    # (a,b) at 2]; pieces: ab -> [a, b</w>] = 2, b -> [b</w>] = 1;
+    # fertility = (2*2 + 1)/3
+    d = str(tmp_path / "toy")
+    spark.createDataFrame(
+        [(0, "ab ab b")], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(d + "/documents.parquet")
+    toy = tokenizer_fertility_subword(spark, d, rounds=1).collect()
+    assert sum(r.n_words for r in toy) == 3
+    assert sum(r.n_pieces for r in toy) == 5
+
+
 def test_auto_nprobe_floor_and_decay():
     """auto_nprobe must derive 8 at the 16-cell gate floor (the value
     the static oracle SQL twins are generated with — measured recall

@@ -449,6 +449,7 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "doc_perplexity_filter",
         "heavy_hitters",
         "tokenizer_fertility",
+        "tokenizer_fertility_subword",
         "filter_attribution_report",
         "cluster_silhouette",
         "jl_projection_report",
