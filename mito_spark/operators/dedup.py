@@ -532,12 +532,45 @@ def incremental_dedup(
     dup_of = the existing doc it collapses into (lowest id among
     matches), or NULL when the doc is genuinely new."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sigd = _staged_shingles(docs, shingle).select(
-        "doc_id", "sh", _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig")
-    ).localCheckpoint()
+    return incremental_dedup_frames(
+        docs.where(F.col("doc_id") >= split_at),
+        docs.where(F.col("doc_id") < split_at),
+        threshold=threshold,
+        shingle=shingle,
+    )
+
+
+def incremental_dedup_frames(
+    new_docs: DataFrame,
+    canon_docs: DataFrame,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """The two-frame core of ``incremental_dedup``: flag ``new_docs``
+    (doc_id, text) that near-duplicate ``canon_docs`` — the unit a
+    streaming ingest's foreachBatch calls per page with an explicit,
+    growing canon (streaming/ingest_dedup.py), while the gated table
+    operator derives both frames from one doc_id split. Same plan:
+    union → one shingle+signature pass → new-vs-canon band join →
+    exact verify → lowest-id winner; no new-vs-new and no
+    canon-vs-canon comparison."""
+    def shingled(frame: DataFrame, flag: bool) -> DataFrame:
+        return _staged_shingles(frame.select("doc_id", "text"), shingle).withColumn(
+            "is_new", F.lit(flag)
+        )
+
+    sigd = (
+        shingled(new_docs, True)
+        .unionByName(shingled(canon_docs, False))
+        .select(
+            "doc_id", "is_new", "sh",
+            _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig"),
+        )
+        .localCheckpoint()
+    )
     bands = _band_keys(sigd)
-    new_bands = bands.where(F.col("doc_id") >= split_at)
-    old_bands = bands.where(F.col("doc_id") < split_at)
+    new_bands = bands.where(F.col("is_new"))
+    old_bands = bands.where(~F.col("is_new"))
     cand = (
         new_bands.alias("n")
         .join(old_bands.alias("o"), ["band", "key"])
@@ -555,9 +588,9 @@ def incremental_dedup(
         .where(F.col("rk") == 1)
         .select("new_id", F.col("old_id").alias("dup_of"), F.round("jaccard", 6).alias("jaccard"))
     )
-    new_docs = docs.where(F.col("doc_id") >= split_at).select(F.col("doc_id").alias("new_id"))
     return (
-        new_docs.join(best, "new_id", "left")
+        new_docs.select(F.col("doc_id").alias("new_id"))
+        .join(best, "new_id", "left")
         .select(F.col("new_id").alias("doc_id"), "dup_of", "jaccard")
         .orderBy("doc_id")
     )

@@ -26,6 +26,9 @@ Options:
   url       — template with a ``{page}`` placeholder (required)
   n_pages   — total pages (required; finite sources. For unbounded
               streams set a large bound and stop the query)
+  start_page — first page to read (batch reader only, default 0) —
+              lets a continuation loop fetch one page per step
+              (start_page=i, n_pages=i+1)
   pages_per_partition — batch fan-out granularity (default 8)
   max_pages_per_batch — streaming trigger bound (default 4)
   max_per_second      — per-task rate limit (default: unlimited)
@@ -97,13 +100,14 @@ class _BatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.url = options["url"]
         self.n_pages = int(options["n_pages"])
+        self.start = int(options.get("start_page", 0))
         self.chunk = int(options.get("pages_per_partition", 8))
         self.rate = float(options["max_per_second"]) if "max_per_second" in options else None
 
     def partitions(self):
         return [
             _PageRange(s, min(s + self.chunk, self.n_pages))
-            for s in range(0, self.n_pages, self.chunk)
+            for s in range(self.start, self.n_pages, self.chunk)
         ]
 
     def read(self, partition: _PageRange) -> Iterator[tuple]:

@@ -1,0 +1,174 @@
+"""Continuation-driven ingest dedup — the reference's §2.11 loop
+composed end-to-end with the LLM tier's incremental operator.
+
+The reference's production story (/root/reference/mito.go:186-204 +
+lib/http.go sources): a `want_more`/cursor loop pulls pages from a
+paginated HTTP API, and each page's records are processed against
+state carried across iterations. This module is that story on Spark,
+with the "processing" being ``incremental_dedup_frames`` (new docs
+flagged against a canon that GROWS as accepted docs fold in — a daily
+crawl ingest):
+
+- ``ingest_dedup_continuation``: the literal protocol. A
+  ``ContinuationDriver`` loop where the cursor is {"page": i,
+  "want_more": bool}; each step fetches ONE page through the
+  http_paginated batch source (start_page=i), flags it against the
+  current canon, and folds the accepted (non-duplicate) docs into the
+  canon for the next step. Driver state is the tiny cursor; every
+  per-page computation is a full distributed plan.
+
+- ``ingest_dedup_stream``: the production twin. The SAME page
+  sequence read through the http_paginated STREAMING source (the
+  cursor is the checkpointed source offset — crash recovery resumes
+  from the last committed page, exactly like the reference resumes
+  from carried state), processed in foreachBatch. Pages inside a
+  micro-batch are processed IN PAGE ORDER against a canon parquet
+  directory, so the result is micro-batch-boundary invariant: any
+  ``max_pages_per_batch`` produces byte-identical flags to the
+  continuation loop (pinned by the batch-vs-replay equality test).
+  The canon directory append is the demo stand-in for a real table
+  format's transactional append.
+
+Semantics (shared by both forms): a page's docs are flagged against
+the canon AS OF the start of that page — docs within one page are not
+compared to each other (a page is the atomic ingest unit; it is never
+split across micro-batches, so this is batching-invariant) — and a
+doc is accepted into the canon iff it duplicates nothing
+(dup_of IS NULL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mito_spark.operators.dedup import incremental_dedup_frames
+from mito_spark.sources.http_source import parse_json_pages, register
+from mito_spark.streaming.continuation import ContinuationDriver
+
+DOC_SCHEMA = "doc_id bigint, text string"
+FLAG_SCHEMA = "doc_id bigint, dup_of bigint, jaccard double, page int"
+
+
+def _flag_page(
+    page_docs: DataFrame,
+    canon: DataFrame,
+    page: int,
+    threshold: float,
+    shingle: int,
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest unit: flags for this page's docs vs the canon, and
+    the accepted docs to fold in. Flags carry the page number so the
+    output is a per-page audit log."""
+    flags = incremental_dedup_frames(
+        page_docs, canon, threshold=threshold, shingle=shingle
+    ).withColumn("page", F.lit(page))
+    accepted = page_docs.join(
+        flags.where(F.col("dup_of").isNull()).select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    return flags, accepted
+
+
+def ingest_dedup_continuation(
+    spark: SparkSession,
+    url: str,
+    n_pages: int,
+    canon: DataFrame,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """The want_more/cursor loop: fetch page i → flag vs canon → fold
+    accepted docs into canon → advance the cursor. Returns the full
+    flag log (doc_id, dup_of, jaccard, page). The canon accumulator is
+    localCheckpointed per step so plan depth stays constant (the MMR
+    lesson applied to the continuation protocol)."""
+    register(spark)
+    outs: list[DataFrame] = []
+    canon = canon.select("doc_id", "text").localCheckpoint()
+
+    def step(s: SparkSession, state: dict) -> dict:
+        nonlocal canon
+        page = state["page"]
+        page_docs = parse_json_pages(
+            s.read.format("http_paginated")
+            .option("url", url)
+            .option("n_pages", page + 1)
+            .option("start_page", page)
+            .load(),
+            DOC_SCHEMA,
+        ).select("doc_id", "text")
+        flags, accepted = _flag_page(page_docs, canon, page, threshold, shingle)
+        outs.append(flags.localCheckpoint())
+        canon = canon.unionByName(accepted).localCheckpoint()
+        return {"page": page + 1, "want_more": page + 1 < n_pages}
+
+    if n_pages > 0:
+        ContinuationDriver(step, max_steps=n_pages + 1).run(spark, {"page": 0})
+    if not outs:
+        return spark.createDataFrame([], FLAG_SCHEMA)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("doc_id")
+
+
+def ingest_dedup_stream(
+    spark: SparkSession,
+    url: str,
+    n_pages: int,
+    canon_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_pages_per_batch: int = 4,
+    threshold: float = 0.5,
+    shingle: int = 3,
+    timeout: float = 120.0,
+) -> DataFrame:
+    """The Structured Streaming twin: readStream(http_paginated) →
+    foreachBatch, each micro-batch's pages processed in page order
+    against the canon directory (accepted docs appended after each
+    page). ``canon_dir`` must be seeded with the initial canon
+    parquet; flags append to ``out_dir``. Runs until every page is
+    processed (the finite-source completion the reference's loop
+    reaches when want_more goes false), then returns the flag log
+    read back from ``out_dir``."""
+    import time
+
+    register(spark)
+    stream = (
+        spark.readStream.format("http_paginated")
+        .option("url", url)
+        .option("n_pages", n_pages)
+        .option("max_pages_per_batch", max_pages_per_batch)
+        .load()
+    )
+    pages_done: set[int] = set()
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        docs = parse_json_pages(batch_df, DOC_SCHEMA).localCheckpoint()
+        for row in sorted(docs.select("page").distinct().collect()):
+            page = int(row["page"])
+            page_docs = docs.where(F.col("page") == page).select("doc_id", "text")
+            canon = batch_df.sparkSession.read.parquet(canon_dir)
+            flags, accepted = _flag_page(page_docs, canon, page, threshold, shingle)
+            flags.write.mode("append").parquet(out_dir)
+            accepted.write.mode("append").parquet(canon_dir)
+            pages_done.add(page)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout
+        while time.time() < deadline and len(pages_done) < n_pages:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    if len(pages_done) < n_pages:
+        raise TimeoutError(
+            f"ingest stream processed {sorted(pages_done)} of {n_pages} pages"
+        )
+    return spark.read.parquet(out_dir).orderBy("doc_id")

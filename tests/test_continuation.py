@@ -44,3 +44,119 @@ def test_cursor_summary(spark):
     c = cursor_summary(df)
     assert c["timestamps"]["first"].day == 1
     assert c["timestamps"]["last"].day == 2
+
+
+# ---------- continuation x incremental_dedup, end-to-end ----------
+
+def _doc_text(tag: str) -> str:
+    return " ".join(f"{tag}w{j}" for j in range(20))
+
+
+_CANON = {i: _doc_text(f"c{i}") for i in range(5)}
+# pages of the "crawl": exact dup of canon 2, cross-page dup (110
+# duplicates 101, accepted one page earlier — only catchable because
+# accepted docs FOLD INTO the canon between pages), dup of a dropped
+# doc's ORIGINAL (120 -> 101, not 110: 110 was dropped, never entered
+# the canon), and uniques
+_PAGES = [
+    [(100, _CANON[2]), (101, _doc_text("u101")), (102, _doc_text("u102"))],
+    [(110, _doc_text("u101")), (111, _doc_text("u111")), (112, _CANON[0])],
+    [(120, _doc_text("u101")), (121, _doc_text("u121"))],
+]
+_EXPECT_DUP_OF = {
+    100: 2, 101: None, 102: None,
+    110: 101, 111: None, 112: 0,
+    120: 101, 121: None,
+}
+
+
+@pytest.fixture(scope="module")
+def doc_server():
+    import http.server
+    import json
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            page = int(parse_qs(urlparse(self.path).query).get("page", ["0"])[0])
+            docs = _PAGES[page] if page < len(_PAGES) else []
+            body = json.dumps(
+                [{"doc_id": i, "text": t} for i, t in docs]
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/docs?page={{page}}"
+    srv.shutdown()
+
+
+def _canon_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in _CANON.items()], "doc_id long, text string"
+    )
+
+
+def test_ingest_dedup_continuation_flags_cross_page_dups(spark, doc_server):
+    """The want_more/cursor loop driving incremental_dedup: exact-dup
+    flags vs the SEED canon, plus the cross-page dup only a growing
+    canon can catch (110 -> 101), plus the dropped-doc rule (120 maps
+    to 101, the accepted original, never to dropped 110)."""
+    from mito_spark.streaming.ingest_dedup import ingest_dedup_continuation
+
+    flags = ingest_dedup_continuation(
+        spark, doc_server, len(_PAGES), _canon_df(spark)
+    ).collect()
+    assert {r.doc_id: r.dup_of for r in flags} == _EXPECT_DUP_OF
+    # dup rows carry the exact verified jaccard (planted dups are exact)
+    assert all(r.jaccard == 1.0 for r in flags if r.dup_of is not None)
+    # the flag log records which page each doc arrived on
+    assert {r.doc_id: r.page for r in flags} == {
+        i: p for p, docs in enumerate(_PAGES) for i, _ in docs
+    }
+
+
+@pytest.mark.parametrize("per_batch", [1, 2, 10])
+def test_ingest_dedup_stream_equals_continuation_replay(
+    spark, doc_server, tmp_path, per_batch
+):
+    """Batch-vs-replay equality: the foreachBatch stream over the
+    checkpointed-offset HTTP source must produce byte-identical flags
+    to the driver-side continuation loop at ANY micro-batch size
+    (pages are the atomic unit, processed in order inside each
+    batch)."""
+    from mito_spark.streaming.ingest_dedup import (
+        ingest_dedup_continuation,
+        ingest_dedup_stream,
+    )
+
+    want = sorted(
+        tuple(r)
+        for r in ingest_dedup_continuation(
+            spark, doc_server, len(_PAGES), _canon_df(spark)
+        ).collect()
+    )
+    base = tmp_path / f"b{per_batch}"
+    canon_dir = str(base / "canon")
+    _canon_df(spark).write.parquet(canon_dir)
+    got = sorted(
+        tuple(r)
+        for r in ingest_dedup_stream(
+            spark,
+            doc_server,
+            len(_PAGES),
+            canon_dir,
+            str(base / "out"),
+            str(base / "ckpt"),
+            max_pages_per_batch=per_batch,
+        ).collect()
+    )
+    assert got == want
