@@ -1421,3 +1421,262 @@ ORDER BY c.source_a, c.source_b
 
 
 SOURCE_OVERLAP_SQL = _source_overlap_sql()
+
+
+# --- CCNet-style paragraph-hash dedup -------------------------------
+
+PARA_CHUNK_TOKENS = 16
+
+
+def dedup_paragraphs(
+    spark: SparkSession, sf_dir: str, chunk_tokens: int = PARA_CHUNK_TOKENS
+) -> DataFrame:
+    """Paragraph-hash dedup — the CCNet/RefinedWeb FIRST dedup stage
+    (Wenzek et al. 2020 run it before any document-level near-dup):
+    hash every paragraph, keep only the FIRST occurrence of each hash
+    corpus-wide, and report per document how much of it survived. The
+    per-doc retained fraction is the editing manifest (which docs are
+    mostly boilerplate already seen elsewhere) and the keep flag is
+    the CCNet drop rule (a doc losing more than half its paragraphs
+    is itself a duplicate shell).
+
+    Paragraph boundary: the synthetic corpus has no newline structure,
+    so the ingest unit is the ALIGNED NON-OVERLAPPING
+    ``chunk_tokens``-token window (a real corpus swaps in
+    split(text, '\\n\\n') — one projection; the dedup plan below is
+    boundary-agnostic). First occurrence is position-ordered:
+    (doc_id, chunk_idx) ascending — deterministic on any partitioning,
+    the same keep-first convention every dedup tier here uses.
+
+    Scale shape: chunking is a shuffle-free scan projection (sequence
+    + slice + explode, all JVM); the only shuffle is the
+    first-occurrence rank keyed by the 128-bit chunk hash — key count
+    ≈ corpus chunk count, so the per-key rank never collapses (the
+    per-node kNN rank argument); the per-doc rollup is doc-keyed.
+    Hashes are md5 (engine-portable). Zero-chunk docs (empty text)
+    keep a row: 0 chunks, NULL fraction, keep = true.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, dup_fraction, keep),
+    keep ⇔ 2·n_dup <= n_chunks (integer compare — no float boundary).
+    """
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
+    n_chunk_expr = F.ceil(F.size("toks") / F.lit(chunk_tokens)).cast("int")
+    chunks = (
+        toks.select(
+            "doc_id",
+            F.when(
+                F.size("toks") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_chunk_expr - 1),
+                    lambda i: F.struct(
+                        i.alias("chunk_idx"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("toks"), i * chunk_tokens + 1, chunk_tokens),
+                                " ",
+                            )
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<chunk_idx:int,h:string>>")).alias("cs"),
+        )
+        .select("doc_id", F.explode("cs").alias("c"))
+        .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.h").alias("h"))
+    )
+    ranked = chunks.withColumn(
+        "rn",
+        F.row_number().over(
+            # key count = distinct chunk hashes ≈ corpus chunks: no
+            # single-partition collapse (same argument as per-node kNN)
+            Window.partitionBy("h").orderBy(F.asc("doc_id"), F.asc("chunk_idx"))
+        ),
+    )
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.when(
+                F.col("n_chunks") > 0,
+                F.round(
+                    F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double"),
+                    6,
+                ),
+            ).alias("dup_fraction"),
+            (
+                F.coalesce("n_dup_chunks", F.lit(0)) * 2
+                <= F.coalesce("n_chunks", F.lit(0))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_paragraphs_sql(chunk_tokens: int = PARA_CHUNK_TOKENS) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         md5(array_to_string(toks[i * {chunk_tokens} + 1 : (i + 1) * {chunk_tokens}], ' ')) AS h
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(0, CAST(ceil(CAST(len(toks) AS DOUBLE) / {chunk_tokens}) AS INT))) AS i
+    FROM t WHERE len(toks) > 0
+  )
+), ranked AS (
+  SELECT doc_id, chunk_idx,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+), per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(COUNT(*) FILTER (rn > 1) AS BIGINT) AS n_dup_chunks
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_chunks, 0) AS n_chunks,
+       COALESCE(p.n_dup_chunks, 0) AS n_dup_chunks,
+       CASE WHEN p.n_chunks > 0
+            THEN ROUND(CAST(p.n_dup_chunks AS DOUBLE) / p.n_chunks, 6) END AS dup_fraction,
+       COALESCE(p.n_dup_chunks, 0) * 2 <= COALESCE(p.n_chunks, 0) AS keep
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+DEDUP_PARAGRAPHS_SQL = _dedup_paragraphs_sql()
+
+
+# --- n-gram novelty decay -------------------------------------------
+
+def ngram_novelty_report(
+    spark: SparkSession, sf_dir: str, shingle: int = 3
+) -> DataFrame:
+    """N-gram novelty decay over arrival order — the crawl-exhaustion
+    curve a data-acquisition team watches: per document, the fraction
+    of its (hashed) distinct ``shingle``-grams whose FIRST corpus
+    occurrence is that document, rolled up over ten arrival deciles
+    (doc_id stands in for crawl order, the convention
+    incremental_dedup/ann_index_refresh already use). A healthy fresh
+    crawl holds novelty high across deciles; a curve collapsing toward
+    0 says later batches re-crawl what earlier ones found (Lee et al.
+    2022's motivation measured as a trend, not a single number).
+
+    Keys are the shared 60-bit md5 shingle hashes (``_hash60`` — 8 B
+    shuffle keys; a collision merges two n-grams identically on both
+    engines, the documented trade every hashed tier here makes).
+    First-occurrence is min(doc_id) per hash — deterministic on any
+    partitioning. Deciles are VALUE-range buckets over doc_id
+    (integer arithmetic: doc_id·10 div (max_id+1)) — no global rank
+    window, no collapse; the max_id rides in as a broadcast 1-row
+    frame. Per-doc ratios round to 9dp and sum as DECIMAL(28,9)
+    before the decile mean (house float discipline).
+
+    Scale shape: one shingle scan; ONE corpus-sized shuffle (groupBy
+    hash for first-occurrence + the join back, same key); a doc-keyed
+    rollup; a 10-row output. Nothing corpus-sized crosses the driver.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = _staged_shingles(docs, shingle)
+    ex = sh.select(
+        "doc_id", F.explode("sh").alias("s")
+    ).select("doc_id", _hash60(F.col("s")).alias("h"))
+    first = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ex.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    max_id = docs.agg(F.max("doc_id").alias("max_id"))
+    bucketed = (
+        per_doc.crossJoin(F.broadcast(max_id))
+        .withColumn("decile", F.expr("CAST(doc_id * 10 div (max_id + 1) AS INT)"))
+        .withColumn(
+            "nov",
+            F.round(
+                F.col("n_new").cast("double") / F.col("n_ngrams").cast("double"), 9
+            ).cast("decimal(28,9)"),
+        )
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ngrams").alias("n_ngrams"),
+            F.sum("n_new").alias("n_new_ngrams"),
+            F.sum("nov").alias("novs"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_ngrams",
+            "n_new_ngrams",
+            F.round(F.col("novs").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_novelty"
+            ),
+            F.round(
+                F.col("n_new_ngrams").cast("double") / F.col("n_ngrams").cast("double"),
+                6,
+            ).alias("new_fraction"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _ngram_novelty_sql(shingle: int = 3) -> str:
+    return rf"""
+WITH rawtok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {shingle - 1}, 1) + 1),
+           i -> array_to_string(toks[i:i+{shingle - 1}], ' '))) AS sh
+  FROM rawtok
+), ex AS (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM tok)
+), first AS (
+  SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h
+), per_doc AS (
+  SELECT e.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+         CAST(COUNT(*) FILTER (f.first_doc = e.doc_id) AS BIGINT) AS n_new
+  FROM ex e JOIN first f USING (h) GROUP BY e.doc_id
+), mx AS (
+  SELECT MAX(doc_id) AS max_id FROM documents
+), bucketed AS (
+  SELECT CAST((doc_id * 10) // (max_id + 1) AS INT) AS decile,
+         n_ngrams, n_new,
+         CAST(ROUND(CAST(n_new AS DOUBLE) / n_ngrams, 9) AS DECIMAL(28,9)) AS nov
+  FROM per_doc CROSS JOIN mx
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_ngrams) AS BIGINT) AS n_ngrams,
+       CAST(SUM(n_new) AS BIGINT) AS n_new_ngrams,
+       ROUND(CAST(SUM(nov) AS DOUBLE) / COUNT(*), 6) AS mean_novelty,
+       ROUND(CAST(SUM(n_new) AS DOUBLE) / SUM(n_ngrams), 6) AS new_fraction
+FROM bucketed GROUP BY decile ORDER BY decile
+"""
+
+
+NGRAM_NOVELTY_SQL = _ngram_novelty_sql()

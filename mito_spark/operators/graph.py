@@ -176,6 +176,96 @@ ORDER BY c.cluster_id, c.doc_id
 CC_SQL = _cc_sql()
 
 
+def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based canonical pick per duplicate cluster — what a
+    production dedup actually keeps: ``dedup_connected_components``'s
+    min-doc_id canonical is arbitrary; real pipelines keep the BEST
+    representative of each near-dup cluster (longest / highest-quality
+    variant — the curation convention in RefinedWeb-style pipelines),
+    so the drop decision and the quality filter compose instead of
+    fighting (keep-first can discard the one good copy of a page and
+    keep its truncated mirror).
+
+    Canonical rule: highest ``quality_score`` in the cluster, doc_id
+    ascending on ties — deterministic on any partitioning. Output one
+    row per CLUSTERED doc: (cluster_id, doc_id, cluster_size, quality,
+    is_canonical); unclustered docs are absent (they keep themselves).
+
+    Pure composition of two oracled chains (MinHash CC + the quality
+    heuristic) joined on doc_id; the rank window is keyed by cluster
+    (cluster count scales with the corpus — no collapse; cluster SIZES
+    are the bounded dimension). The oracle composes both twins.
+    """
+    from pyspark.sql import Window
+
+    from mito_spark.operators.dedup import minhash_lsh_dedup
+    from mito_spark.operators.text import quality_score
+
+    pairs = minhash_lsh_dedup(spark, sf_dir)
+    cc = connected_components(pairs, "id_a", "id_b")
+    q = quality_score(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), "quality"
+    )
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    ranked = (
+        cc.join(q, "node")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.desc("quality"), F.asc("node")
+                )
+            ),
+        )
+    )
+    return (
+        ranked.join(sizes, "component")
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("node").alias("doc_id"),
+            "cluster_size",
+            "quality",
+            (F.col("rk") == 1).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def _canonical_quality_sql() -> str:
+    from mito_spark.operators.dedup import MINHASH_LSH_SQL
+    from mito_spark.operators.text import QUALITY_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({MINHASH_LSH_SQL}) mh
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+), q AS ({QUALITY_SQL}
+), sized AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY cluster_id
+), ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rk
+  FROM comp c JOIN q ON c.doc_id = q.doc_id
+)
+SELECT r.cluster_id, r.doc_id, s.cluster_size, r.quality, r.rk = 1 AS is_canonical
+FROM ranked r JOIN sized s USING (cluster_id)
+ORDER BY r.cluster_id, r.doc_id
+"""
+
+
+CANONICAL_QUALITY_SQL = _canonical_quality_sql()
+
+
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: the embedding-space sibling of
     dedup_connected_components — LSH-blocked cosine near-dup pairs

@@ -1072,6 +1072,141 @@ ORDER BY p.cell
 CLUSTER_PROFILE_SQL = _cluster_profile_sql()
 
 
+_OUTLIER_Z = 2.0
+
+
+def embedding_outlier_report(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int | None = None,
+    z: float = _OUTLIER_Z,
+) -> DataFrame:
+    """Per-cell embedding OUTLIER report — the pruning companion to
+    ``embedding_cluster_profile`` (SemDeDup-style curation drops not
+    only near-dups near the centroid but also far-from-centroid noise
+    points — encoder failures, off-distribution content): per k-means
+    cell, the distance-to-centroid mean and std, and how many members
+    sit beyond mean + z·std (the prune candidates).
+
+    Float discipline: per-member distance and squared distance round
+    to 9dp and sum as DECIMAL(28,9) (squares are rounded from the
+    DOUBLE square — never a decimal×decimal product, the precision-38
+    overflow rule); mean/std derive from those sums with the identical
+    expression tree on both engines (IEEE sqrt is correctly rounded,
+    so the z-threshold compare agrees bit-for-bit). The flag pass
+    joins the n_cells-row stats frame back as a broadcast.
+
+    Scale shape: one tag pass (centroid literals in-plan, no shuffle)
+    checkpointed for its two consumers, one groupBy(cell), one
+    broadcast-join flag pass, n_cells rows out. ``n_cells=None``
+    derives via ``auto_n_cells`` (floor 16 = the static oracle).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if n_cells is None:
+        n_cells = auto_n_cells(emb.count())
+    centroids = _kmeans_centroids(_ivf_train_sample(emb), n_cells)
+    dists = [
+        F.aggregate(
+            F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    d2 = F.array_min(F.array(*dists))
+    tagged = emb.select(
+        "vec_id",
+        _nearest_cell_expr(centroids).cast("bigint").alias("cell"),
+        F.round(F.sqrt(d2), 9).cast("decimal(28,9)").alias("dist"),
+        F.round(d2, 9).cast("decimal(28,9)").alias("dist_sq"),
+    ).localCheckpoint()
+    n = F.col("n_members").cast("double")
+    mean_d = F.col("sd").cast("double") / n
+    std_d = F.sqrt(
+        F.greatest(F.col("sd2").cast("double") / n - mean_d * mean_d, F.lit(0.0))
+    )
+    stats = (
+        tagged.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("sd"),
+            F.sum("dist_sq").alias("sd2"),
+        )
+        .select(
+            "cell",
+            "n_members",
+            mean_d.alias("mean_d"),
+            std_d.alias("std_d"),
+        )
+    )
+    flags = (
+        tagged.join(F.broadcast(stats), "cell")
+        .where(
+            F.col("dist").cast("double") > F.col("mean_d") + F.lit(z) * F.col("std_d")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(flags, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.round("mean_d", 6).alias("mean_dist"),
+            F.round("std_d", 6).alias("std_dist"),
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            F.round(
+                F.coalesce("n_outliers", F.lit(0)).cast("double")
+                / F.col("n_members").cast("double"),
+                6,
+            ).alias("outlier_fraction"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _outlier_report_sql(
+    n_cells: int = 16, iters: int = 3, dim: int = 64, z: float = _OUTLIER_Z
+) -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (t.v[i]-c.c[i])*(t.v[i]-c.c[i])))"
+    )
+    return (
+        _kmeans_tagged_sql(n_cells, iters, dim)
+        + f""", td AS (
+  SELECT t.vec_id, t.cell,
+         CAST(ROUND(sqrt({d2}), 9) AS DECIMAL(28,9)) AS dist,
+         CAST(ROUND({d2}, 9) AS DECIMAL(28,9)) AS dist_sq
+  FROM tagged t JOIN cent{iters} c ON t.cell = c.cell
+), stats AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS mean_d,
+         sqrt(greatest(CAST(SUM(dist_sq) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(dist) AS DOUBLE) / COUNT(*)) * (CAST(SUM(dist) AS DOUBLE) / COUNT(*)), 0)) AS std_d
+  FROM td GROUP BY cell
+), flags AS (
+  SELECT td.cell, CAST(COUNT(*) AS BIGINT) AS n_outliers
+  FROM td JOIN stats s ON td.cell = s.cell
+  WHERE CAST(td.dist AS DOUBLE) > s.mean_d + {z} * s.std_d
+  GROUP BY td.cell
+)
+SELECT s.cell, s.n_members,
+       ROUND(s.mean_d, 6) AS mean_dist,
+       ROUND(s.std_d, 6) AS std_dist,
+       COALESCE(f.n_outliers, 0) AS n_outliers,
+       ROUND(CAST(COALESCE(f.n_outliers, 0) AS DOUBLE) / s.n_members, 6) AS outlier_fraction
+FROM stats s LEFT JOIN flags f ON s.cell = f.cell
+ORDER BY s.cell
+"""
+    )
+
+
+OUTLIER_REPORT_SQL = _outlier_report_sql()
+
+
 def knn_graph(
     spark: SparkSession,
     sf_dir: str,

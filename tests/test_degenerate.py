@@ -76,6 +76,12 @@ DOC_OPS = [
     "minhash_estimate_report",
     "dedup_attribution_report",
     "source_overlap_matrix",
+    # r9: paragraph dedup (empty/whitespace docs -> 0 chunks, NULL
+    # fraction, keep=true), canonical-quality pick and novelty decay
+    # on a corpus too small for candidates/with degenerate shingles
+    "dedup_paragraphs",
+    "dedup_canonical_quality",
+    "ngram_novelty_report",
 ]
 EMB_OPS = [
     "quantize_embeddings",
@@ -105,6 +111,9 @@ EMB_OPS = [
     # identical vectors (od=0 pairs excluded on both engines)
     "cluster_silhouette",
     "jl_projection_report",
+    # r9: outlier report on zero/identical vectors (std 0 -> no
+    # member can exceed mean + z*0 ... except float dust; bounded)
+    "embedding_outlier_report",
 ]
 
 

@@ -395,3 +395,99 @@ def test_ann_tiers_tolerate_zero_vectors(spark, tmp_path):
         rows = fn(spark, str(tmp_path)).collect()
         assert rows, fn.__name__
         assert all(r.cos_sim is not None for r in rows)
+
+
+# ---------- r9 operators: hand-computable corpora ----------
+
+
+def _write_docs(spark, path, rows):
+    import pyspark.sql.functions as F
+
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(path + "/documents.parquet")
+
+
+def test_dedup_paragraphs_planted(spark, tmp_path):
+    """Doc 1 repeats doc 0's first chunk and adds a fresh one; doc 2
+    is doc 0 verbatim (all chunks dup). Hand-check counts, fractions,
+    and the 50% keep rule."""
+    from mito_spark.operators.dedup import dedup_paragraphs
+
+    c0 = " ".join(f"a{i}" for i in range(16))
+    c1 = " ".join(f"b{i}" for i in range(16))
+    c2 = " ".join(f"c{i}" for i in range(16))
+    d = str(tmp_path / "para")
+    _write_docs(spark, d, [(0, f"{c0} {c1}"), (1, f"{c0} {c2}"), (2, f"{c0} {c1}")])
+    rows = {r.doc_id: r for r in dedup_paragraphs(spark, d).collect()}
+    assert (rows[0].n_chunks, rows[0].n_dup_chunks, rows[0].keep) == (2, 0, True)
+    assert (rows[1].n_chunks, rows[1].n_dup_chunks, rows[1].keep) == (2, 1, True)
+    assert (rows[2].n_chunks, rows[2].n_dup_chunks, rows[2].keep) == (2, 2, False)
+    assert rows[2].dup_fraction == 1.0 and rows[1].dup_fraction == 0.5
+
+
+def test_dedup_canonical_quality_picks_best_not_first(spark, tmp_path):
+    """A near-dup cluster where the HIGHER doc_id is the higher-quality
+    variant: canonical must be the quality argmax, not min id (the
+    min-id tier would keep doc 0)."""
+    import pyspark.sql.functions as F
+
+    from mito_spark.operators.graph import dedup_canonical_quality
+    from mito_spark.operators.text import quality_score
+
+    base = " ".join(["the quick brown fox jumps over lazy dogs again and"] * 3)
+    good = base + " extra tail words here"
+    # enough digit mass to push doc 0's alpha ratio under the 60%
+    # quality gate while adding almost no distinct shingles (all
+    # garbage tokens identical), so J(doc0, doc1) stays >= 0.5
+    garbage = " ".join(["0123456789"] * 12)
+    d = str(tmp_path / "canon")
+    _write_docs(spark, d, [(0, base + " " + garbage), (1, good)])
+    q = {r.doc_id: r.quality for r in quality_score(spark, d).collect()}
+    assert q[1] > q[0]  # the premise: later doc scores higher
+    rows = {r.doc_id: r for r in dedup_canonical_quality(spark, d).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[1].is_canonical and not rows[0].is_canonical
+    assert rows[0].cluster_size == 2
+
+
+def test_ngram_novelty_copy_doc_has_zero_novelty(spark, tmp_path):
+    """A verbatim copy contributes zero new n-grams; a fresh doc is
+    fully novel. Deciles partition by doc_id value range."""
+    from mito_spark.operators.dedup import ngram_novelty_report
+
+    t0 = " ".join(f"w{i}" for i in range(30))
+    t5 = " ".join(f"x{i}" for i in range(30))
+    d = str(tmp_path / "nov")
+    # ids 0..9 -> one doc per decile (max_id + 1 = 10)
+    _write_docs(spark, d, [(0, t0), (5, t5), (9, t0)])
+    rows = {r.decile: r for r in ngram_novelty_report(spark, d).collect()}
+    assert rows[0].mean_novelty == 1.0  # first doc: all ngrams new
+    assert rows[5].mean_novelty == 1.0  # disjoint vocab: all new
+    assert rows[9].mean_novelty == 0.0  # verbatim copy: nothing new
+    assert rows[9].n_new_ngrams == 0 and rows[0].n_ngrams == rows[9].n_ngrams
+
+
+def test_embedding_outlier_report_flags_far_point(spark, tmp_path):
+    """A tight cluster plus one far point: the far point must be the
+    cell's only outlier; a degenerate all-identical cell has std 0 and
+    zero outliers."""
+    from mito_spark.operators.similarity import embedding_outlier_report
+
+    d = str(tmp_path / "out")
+    vecs = [(i, [0.01 * i] + [0.0] * 7) for i in range(20)]  # tight-ish line
+    vecs.append((20, [50.0] + [0.0] * 7))  # the outlier
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    rows = embedding_outlier_report(spark, d, n_cells=2).collect()
+    assert sum(r.n_outliers for r in rows) <= 1
+    # the far point's cell (whichever it landed in) either isolates it
+    # (n_members == 1 -> std 0 -> no outlier) or flags exactly it
+    by_members = sorted(rows, key=lambda r: r.n_members)
+    if by_members[0].n_members == 1:
+        assert all(r.n_outliers == 0 for r in rows)
+    else:
+        assert sum(r.n_outliers for r in rows) == 1

@@ -457,6 +457,10 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "minhash_estimate_report",
         "dedup_attribution_report",
         "source_overlap_matrix",
+        "dedup_paragraphs",
+        "dedup_canonical_quality",
+        "ngram_novelty_report",
+        "embedding_outlier_report",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
