@@ -202,6 +202,15 @@ HEADLINE = [
     # cluster_silhouette excluded like embedding_cluster_profile /
     # IVF / semdedup: k-means TRAINING dominates at gate SF; the
     # scoring pass it adds is one projection + one groupBy.
+    # new in r9 — additive, no swaps (r8 verdict asked the set to stay
+    # monotone): the two ops with their OWN corpus-sized shuffle.
+    "dedup_paragraphs",
+    "ngram_novelty_report",
+    # tokenizer_fertility_subword / dedup_canonical_quality excluded by
+    # the composition rule (bpe_learn_merges_bytes + lang_id + a
+    # (doc,word) rollup; the benched CC chain + quality_score);
+    # embedding_outlier_report excluded like cluster_silhouette
+    # (k-means training dominates at gate SF).
 ]
 
 

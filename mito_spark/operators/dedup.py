@@ -1483,6 +1483,10 @@ def dedup_paragraphs(
                 ),
             ).otherwise(F.array().cast("array<struct<chunk_idx:int,h:string>>")).alias("cs"),
         )
+        # checkpoint the chunk arrays before exploding — Generate
+        # re-evaluates an interpreted-HOF generator input per emitted
+        # row (the winnow_dup_pairs lesson)
+        .localCheckpoint()
         .select("doc_id", F.explode("cs").alias("c"))
         .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.h").alias("h"))
     )
@@ -1585,25 +1589,37 @@ def ngram_novelty_report(
     frame. Per-doc ratios round to 9dp and sum as DECIMAL(28,9)
     before the decile mean (house float discipline).
 
-    Scale shape: one shingle scan; ONE corpus-sized shuffle (groupBy
-    hash for first-occurrence + the join back, same key); a doc-keyed
-    rollup; a 10-row output. Nothing corpus-sized crosses the driver.
+    Scale shape: one shingle scan; ONE corpus-sized shuffle — the
+    hash-keyed first-occurrence groupBy, whose doc-keyed recount
+    (n_new per doc) and the scan-side per-doc denominators (array
+    sizes, NO shuffle) meet in a doc-keyed join. No shingle-sized
+    join-back (the r9 first cut had one: 5.4 → ~2 s at sf0.1). A
+    10-row output; nothing corpus-sized crosses the driver.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = _staged_shingles(docs, shingle)
-    ex = sh.select(
-        "doc_id", F.explode("sh").alias("s")
-    ).select("doc_id", _hash60(F.col("s")).alias("h"))
-    first = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        ex.join(first, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_new"),
-        )
+    # checkpoint the shingle ARRAYS before exploding: Generate
+    # re-evaluates an interpreted-HOF generator input once per emitted
+    # row (the winnow_dup_pairs lesson — ~52 shingles/doc meant ~52×
+    # re-tokenization; measured 4.9 → 1.9 s at sf0.1), then one
+    # explode+md5 projection feeds both consumers
+    ex = (
+        sh.localCheckpoint()
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", _hash60(F.col("s")).alias("h"))
+    )
+    denom = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    new_counts = (
+        ex.groupBy("h")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .withColumnRenamed("first_doc", "doc_id")
+    )
+    per_doc = denom.join(new_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
     max_id = docs.agg(F.max("doc_id").alias("max_id"))
     bucketed = (
@@ -1651,16 +1667,18 @@ WITH rawtok AS (
          list_distinct(list_transform(range(1, greatest(len(toks) - {shingle - 1}, 1) + 1),
            i -> array_to_string(toks[i:i+{shingle - 1}], ' '))) AS sh
   FROM rawtok
+), denom AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_ngrams FROM tok
 ), ex AS (
   SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
   FROM (SELECT doc_id, unnest(sh) AS s FROM tok)
-), first AS (
-  SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h
+), new_counts AS (
+  SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h)
+  GROUP BY first_doc
 ), per_doc AS (
-  SELECT e.doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_ngrams,
-         CAST(COUNT(*) FILTER (f.first_doc = e.doc_id) AS BIGINT) AS n_new
-  FROM ex e JOIN first f USING (h) GROUP BY e.doc_id
+  SELECT d.doc_id, d.n_ngrams, COALESCE(n.n_new, 0) AS n_new
+  FROM denom d LEFT JOIN new_counts n USING (doc_id)
 ), mx AS (
   SELECT MAX(doc_id) AS max_id FROM documents
 ), bucketed AS (

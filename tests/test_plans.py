@@ -435,3 +435,53 @@ def test_dedup_reports_broadcast_their_dimensions(spark, sf_dir):
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_paragraphs_plan_is_jvm_and_staged(spark, sf_dir):
+    """Chunk+hash must be pure JVM (no Python nodes), the explode must
+    run over the CHECKPOINTED chunk arrays (no re-evaluated HOF
+    generator — the winnow_dup_pairs lesson), and the doc rollup joins
+    the doc list without a Cartesian."""
+    from mito_spark.operators.dedup import dedup_paragraphs
+
+    plan = _plan(dedup_paragraphs(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "CartesianProduct"):
+        assert node not in plan
+    # the first-occurrence rank window partitions by the hash key
+    # (corpus-sized key count — never an empty partition spec)
+    assert "Window" in plan
+    # the generator argument is a plain attribute of the checkpointed
+    # frame (explode(cs#N)), never an inline transform(...) chain that
+    # Generate would re-evaluate per emitted row
+    gen = re.search(r"Arguments: explode\(([^)#]*)#", plan)
+    assert gen, plan
+    assert "transform" not in gen.group(1)
+
+
+def test_ngram_novelty_single_corpus_shuffle_no_global_window(spark, sf_dir):
+    """Novelty must have NO window at all (deciles are value-range
+    buckets; first-occurrence is a groupBy chain), the max_id frame
+    joins as a broadcast 1-row cross join, and the explode runs over
+    checkpointed shingle arrays."""
+    from mito_spark.operators.dedup import ngram_novelty_report
+
+    plan = _plan(ngram_novelty_report(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row max_id
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert node not in plan
+    gen = re.search(r"Arguments: explode\(([^)#]*)#", plan)
+    assert gen, plan
+    assert "transform" not in gen.group(1)
+
+
+def test_embedding_outlier_stats_join_is_broadcast(spark, sf_dir):
+    """The flag pass must join the n_cells-row stats frame as a
+    BROADCAST (a shuffle join against 16 rows would be a planning
+    bug), and the whole report stays JVM-side."""
+    from mito_spark.operators.similarity import embedding_outlier_report
+
+    plan = _plan(embedding_outlier_report(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert node not in plan
