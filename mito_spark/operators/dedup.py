@@ -362,6 +362,15 @@ def simhash_dedup(spark: SparkSession, sf_dir: str, max_dist: int = SIMHASH_MAX_
     sigd = docs.select(
         "doc_id", simhash_signature(F.col("text")).alias("sig")
     ).localCheckpoint()  # GC-cleaned, not session-cache-pinned (VERDICT r4 wrong#4)
+    return _simhash_chunk_pairs(sigd).where(F.col("hamming") <= max_dist)
+
+
+def _simhash_chunk_pairs(sigd: DataFrame) -> DataFrame:
+    """Chunk-collision candidate pairs with their Hamming distance —
+    the banded search core shared by ``simhash_dedup`` (which applies
+    the ≤ max_dist cut the pigeonhole makes complete) and
+    ``simhash_estimate_report`` (which calibrates the estimator over
+    the full deterministic collision set)."""
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
     chunks = sigd.select(
@@ -379,7 +388,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str, max_dist: int = SIMHASH_MAX_
             )
         ).alias("ck"),
     ).select("doc_id", "sig", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
-    pairs = (
+    return (
         chunks.alias("a")
         .join(chunks.alias("b"), ["c", "v"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -389,9 +398,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str, max_dist: int = SIMHASH_MAX_
             F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= max_dist)
     )
-    return pairs
 
 
 SIMHASH_SQL = rf"""
@@ -1698,3 +1705,149 @@ FROM bucketed GROUP BY decile ORDER BY decile
 
 
 NGRAM_NOVELTY_SQL = _ngram_novelty_sql()
+
+
+# --- SimHash estimator calibration ----------------------------------
+
+_PI_LIT = 3.141592653589793
+
+
+def simhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED SimHash estimator calibration — the angle-estimate
+    sibling of ``minhash_estimate_report`` (whose first run caught the
+    r2-r8 affine-rehash pathology; run the calibration, don't trust
+    the construction): for every deterministic chunk-collision
+    candidate pair, compare the hyperplane-LSH cosine estimate
+    cos(π·hamming/SIMHASH_BITS) (Charikar 2002: each signature bit
+    disagrees with probability θ/π) against the EXACT cosine of the
+    two documents' token-count vectors, rolled up per Hamming
+    distance: (hamming, n_pairs, mean_est_cos, mean_exact_cos,
+    mean_abs_err). A biased row says the 60-bit signature is too
+    coarse (or the token hashing too collision-heavy) for the corpus
+    the banding serves.
+
+    Exactness/parity: the dot product and squared norms are exact
+    INTEGER sums over (doc, token-hash) counts; cos rounds to 9dp and
+    sums as DECIMAL(28,9); the estimator rounds to 9dp (absorbing the
+    1-ulp libm cos spread, the kn_perplexity precedent); the error is
+    the exact decimal |est9 − exact9|. Token keys are the shared
+    60-bit md5 hashes; a collision merges tokens identically on both
+    engines. Zero-token docs are excluded (cosine undefined).
+
+    Scale shape: the candidate set is the banded search's own output
+    (bounded by chunk collisions, never O(n²)); the dot join costs
+    O(|pairs| · tokens/doc) on doc-keyed joins; the rollup is
+    ≤ SIMHASH_BITS rows.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sigd = docs.select(
+        "doc_id", simhash_signature(F.col("text")).alias("sig")
+    ).localCheckpoint()
+    pairs = _simhash_chunk_pairs(sigd)
+    tc = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+        .select("doc_id", _hash60(F.col("t")).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # feeds the norm pass and both dot sides
+    )
+    norms = tc.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    dots = (
+        pairs.join(
+            tc.select(F.col("doc_id").alias("id_a"), F.col("h").alias("ha"), F.col("c").alias("ca")),
+            "id_a",
+        )
+        .join(
+            tc.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb"), F.col("c").alias("cb")),
+            "id_b",
+        )
+        # Catalyst folds this post-join equality into the join
+        # condition (verified in-plan: the token hash rides the join
+        # keys, so the per-pair blow-up never materializes)
+        .where(F.col("ha") == F.col("hb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    scored = (
+        pairs.join(dots, ["id_a", "id_b"], "left")
+        .join(norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2")), "id_a")
+        .join(norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2")), "id_b")
+        .where((F.col("na2") > 0) & (F.col("nb2") > 0))
+        .select(
+            "hamming",
+            F.round(
+                F.cos(F.lit(_PI_LIT) * F.col("hamming").cast("double") / SIMHASH_BITS), 9
+            ).cast("decimal(28,9)").alias("est9"),
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0)).cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+                9,
+            ).cast("decimal(28,9)").alias("ex9"),
+        )
+    )
+    return (
+        scored.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("est9").alias("ests"),
+            F.sum("ex9").alias("exs"),
+            F.sum(F.abs(F.col("est9") - F.col("ex9"))).alias("errs"),
+        )
+        .select(
+            "hamming",
+            "n_pairs",
+            F.round(F.col("ests").cast("double") / F.col("n_pairs"), 6).alias("mean_est_cos"),
+            F.round(F.col("exs").cast("double") / F.col("n_pairs"), 6).alias("mean_exact_cos"),
+            F.round(F.col("errs").cast("double") / F.col("n_pairs"), 6).alias("mean_abs_err"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def _simhash_estimate_sql() -> str:
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    # reuse the SIMHASH_SQL head (tok/th/sig CTEs), swap the bounded
+    # all-pairs tail for the chunk-collision candidate generation the
+    # Spark side uses
+    head, sep, _tail = SIMHASH_SQL.partition(")\nSELECT a.doc_id AS id_a")
+    assert sep  # splice point; fail at import, not gate time
+    return rf"""{head}), chunks AS (
+  SELECT doc_id, sig, c, (sig >> (c * {chunk_bits})) & {mask} AS v
+  FROM sig CROSS JOIN (SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS c)
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sig, b.sig)) AS hamming
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+), tc AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+  GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM tc GROUP BY doc_id
+), dots AS (
+  SELECT p.id_a, p.id_b, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM cand p JOIN tc a ON a.doc_id = p.id_a
+              JOIN tc b ON b.doc_id = p.id_b AND b.h = a.h
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.hamming,
+         CAST(ROUND(cos({_PI_LIT} * CAST(p.hamming AS DOUBLE) / {SIMHASH_BITS}), 9) AS DECIMAL(28,9)) AS est9,
+         CAST(ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+              / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 9) AS DECIMAL(28,9)) AS ex9
+  FROM cand p LEFT JOIN dots d ON p.id_a = d.id_a AND p.id_b = d.id_b
+       JOIN norms na ON na.doc_id = p.id_a
+       JOIN norms nb ON nb.doc_id = p.id_b
+  WHERE na.n2 > 0 AND nb.n2 > 0
+)
+SELECT hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(est9) AS DOUBLE) / COUNT(*), 6) AS mean_est_cos,
+       ROUND(CAST(SUM(ex9) AS DOUBLE) / COUNT(*), 6) AS mean_exact_cos,
+       ROUND(CAST(SUM(abs(est9 - ex9)) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+FROM scored GROUP BY hamming ORDER BY hamming
+"""
+
+
+SIMHASH_ESTIMATE_SQL = _simhash_estimate_sql()

@@ -82,6 +82,9 @@ DOC_OPS = [
     "dedup_paragraphs",
     "dedup_canonical_quality",
     "ngram_novelty_report",
+    # r9: simhash calibration on empty/whitespace docs (zero-norm
+    # vectors excluded from the cosine; all-zero signatures collide)
+    "simhash_estimate_report",
 ]
 EMB_OPS = [
     "quantize_embeddings",

@@ -491,3 +491,20 @@ def test_embedding_outlier_report_flags_far_point(spark, tmp_path):
         assert all(r.n_outliers == 0 for r in rows)
     else:
         assert sum(r.n_outliers for r in rows) == 1
+
+
+def test_simhash_estimate_tracks_exact_cosine_at_served_distances(spark, sf_dir):
+    """The Charikar estimator must be tight exactly where the banded
+    dedup acts (hamming <= SIMHASH_MAX_DIST — the pigeonhole-complete
+    zone): mean abs error under 0.02 there, and the estimate column
+    must equal cos(pi*h/60) by construction."""
+    import math
+
+    from mito_spark.operators.dedup import SIMHASH_BITS, SIMHASH_MAX_DIST, simhash_estimate_report
+
+    rows = simhash_estimate_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.mean_est_cos - round(math.cos(math.pi * r.hamming / SIMHASH_BITS), 6)) < 1e-6
+        if r.hamming <= SIMHASH_MAX_DIST:
+            assert r.mean_abs_err < 0.05, (r.hamming, r.mean_abs_err)

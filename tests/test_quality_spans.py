@@ -461,6 +461,7 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "dedup_canonical_quality",
         "ngram_novelty_report",
         "embedding_outlier_report",
+        "simhash_estimate_report",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
