@@ -211,6 +211,13 @@ HEADLINE = [
     # (doc,word) rollup; the benched CC chain + quality_score);
     # embedding_outlier_report excluded like cluster_silhouette
     # (k-means training dominates at gate SF).
+    # simhash_estimate_report excluded by the composition rule (its
+    # cost IS the benched dedup_simhash band join + a bounded rollup).
+    # bbit_minhash_report excluded by the composition rule (the benched
+    # minhash_estimate_report's signature/band chain + 3 masked
+    # compares per pair). cms_calibration_report IS benched: its gram
+    # sketch is its own corpus-sized aggregate.
+    "cms_calibration_report",
 ]
 
 

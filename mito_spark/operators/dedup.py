@@ -1851,3 +1851,167 @@ FROM scored GROUP BY hamming ORDER BY hamming
 
 
 SIMHASH_ESTIMATE_SQL = _simhash_estimate_sql()
+
+
+# --- b-bit minwise hashing: storage-compression calibration ----------
+
+# b values measured side-by-side; 64 = the full 60-bit slot (baseline)
+_BBIT_VALUES = (1, 2, 4)
+
+
+def bbit_minhash_report(
+    spark: SparkSession, sf_dir: str, shingle: int = 3
+) -> DataFrame:
+    """MEASURED b-bit minwise estimator error (Li & Koenig, WWW'10
+    "b-Bit Minwise Hashing"): keep only the lowest b bits of each
+    MinHash slot and estimate Jaccard through the collision-corrected
+    unbiased form J_b = (M_b - C_b) / (1 - C_b), where M_b is the
+    matching-slot fraction and C_b = 2^-b is the accidental-collision
+    baseline of a uniform b-bit value. Reported per exact-Jaccard
+    decile x b in {1, 2, 4}: pair count, mean exact J, mean estimate,
+    mean |err| — beside minhash_estimate_report's full-slot numbers
+    (its C -> 0 limit).
+
+    Why it earns its place at 100 TB: the signature TABLE is the
+    thing a petabyte dedup pipeline persists and re-joins every
+    ingest; b=1 stores 16 slots in 2 BYTES against 128 bytes of full
+    64-bit slots — a 64x shrink of the stored index, the band shuffle,
+    and the verify-stage probe side. The paper's price is variance
+    (Var ~ [C + (1-C)J][1-...]/(K(1-C)^2), ~3x the full-slot sd at
+    b=1, J=0.5), and THIS report measures that price on THIS corpus's
+    candidate population instead of trusting the algebra — same
+    discipline as minhash_estimate_report, whose first run caught the
+    affine-rehash correlation the theory said could not happen.
+
+    Scale shape: identical to minhash_lsh_dedup through the candidate
+    stage (one tokenize+signature pass, checkpointed; banded
+    self-join, never all-pairs); per candidate a K-slot masked compare
+    per b (JVM bitwiseAND/zip_with) + the exact intersect the verify
+    stage already pays; then a <= (11 x |b|)-row decile rollup on
+    9dp-decimal sums. Salted-md5 slots make every estimate
+    deterministic, so the whole measurement is hash-oracled.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    shingles = _staged_shingles(docs, shingle)
+    sigd = shingles.select(
+        "doc_id", "sh", _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig")
+    ).localCheckpoint()  # one signature pass feeds band join + compare
+    bands = _band_keys(sigd)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sided = cand.join(
+        sigd.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            F.col("sh").alias("sh_a"),
+        ),
+        "id_a",
+    ).join(
+        sigd.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            F.col("sh").alias("sh_b"),
+        ),
+        "id_b",
+    )
+    ni = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = ni.cast("double") / (F.size("sh_a") + F.size("sh_b") - ni)
+    def masked_eq(m: int):
+        # closure factory: the zip_with lambda must take exactly TWO
+        # parameters (a defaulted third would bind as an extra HOF arg)
+        return lambda x, y: (x.bitwiseAND(F.lit(m)) == y.bitwiseAND(F.lit(m))).cast(
+            "int"
+        )
+
+    arms = []
+    for b in _BBIT_VALUES:
+        mask = (1 << b) - 1
+        c = 2.0**-b  # exact binary fraction on both engines
+        match = F.aggregate(
+            F.zip_with("sig_a", "sig_b", masked_eq(mask)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        est = (match.cast("double") / F.lit(float(NUM_HASHES)) - F.lit(c)) / F.lit(
+            1.0 - c
+        )
+        arms.append(F.struct(F.lit(b).alias("b"), est.alias("est")))
+    scored = sided.select(
+        jac.alias("jaccard"), F.explode(F.array(*arms)).alias("be")
+    ).select(
+        (F.floor(F.col("jaccard") * 10).cast("double") / F.lit(10.0)).alias(
+            "jaccard_bucket"
+        ),
+        F.col("be.b").alias("b"),
+        F.round("be.est", 9).cast("decimal(28,9)").alias("e"),
+        F.round("jaccard", 9).cast("decimal(28,9)").alias("j"),
+        F.round(F.abs(F.col("be.est") - F.col("jaccard")), 9)
+        .cast("decimal(28,9)")
+        .alias("d"),
+    )
+    n = F.col("n_pairs")
+    return (
+        scored.groupBy("jaccard_bucket", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("e").alias("es"),
+            F.sum("j").alias("js"),
+            F.sum("d").alias("ds"),
+        )
+        .select(
+            "jaccard_bucket",
+            "b",
+            "n_pairs",
+            F.round(F.col("es").cast("double") / n, 6).alias("mean_est"),
+            F.round(F.col("js").cast("double") / n, 6).alias("mean_exact"),
+            F.round(F.col("ds").cast("double") / n, 6).alias("mean_abs_err"),
+        )
+        .orderBy("jaccard_bucket", "b")
+    )
+
+
+def _bbit_minhash_sql(shingle: int = 3) -> str:
+    arms = []
+    for b in _BBIT_VALUES:
+        mask = (1 << b) - 1
+        c = 2.0**-b
+        arms.append(
+            f"  SELECT jaccard, {b} AS b,\n"
+            f"         (CAST(len(list_filter(range(1, {NUM_HASHES} + 1),\n"
+            f"             i -> (sig_a[i] & {mask}) = (sig_b[i] & {mask}))) AS DOUBLE)"
+            f" / {float(NUM_HASHES)} - {c!r}) / {1.0 - c!r} AS est\n"
+            f"  FROM pairs"
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return (
+        _minhash_cand_sql(shingle)
+        + rf""", pairs AS (
+  SELECT CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard,
+         sa.sig AS sig_a, sb.sig AS sig_b
+  FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+            JOIN sig sb ON cand.id_b = sb.doc_id
+), est AS (
+{union}
+), bk AS (
+  SELECT CAST(floor(jaccard * 10) AS DOUBLE) / 10.0 AS jaccard_bucket, b,
+         CAST(ROUND(est, 9) AS DECIMAL(28,9)) AS e,
+         CAST(ROUND(jaccard, 9) AS DECIMAL(28,9)) AS j,
+         CAST(ROUND(abs(est - jaccard), 9) AS DECIMAL(28,9)) AS d
+  FROM est
+)
+SELECT jaccard_bucket, b, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(e) AS DOUBLE) / COUNT(*), 6) AS mean_est,
+       ROUND(CAST(SUM(j) AS DOUBLE) / COUNT(*), 6) AS mean_exact,
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+FROM bk GROUP BY jaccard_bucket, b ORDER BY jaccard_bucket, b
+"""
+    )
+
+
+BBIT_MINHASH_SQL = _bbit_minhash_sql()

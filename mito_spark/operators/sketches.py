@@ -505,3 +505,197 @@ GLOBAL_PERCENTILES_SQL = "\nUNION ALL\n".join(
     f"FROM events WHERE value IS NOT NULL AND NOT isnan(value)"
     for q in GP_QUANTILES
 )
+
+
+# --- Count-Min sketch: estimator calibration --------------------------
+
+CMS_D = 4  # hash rows; error probability delta = e^-D ~ 1.8%
+CMS_W = 512  # buckets per row; over-count bound eps*N with eps = e/W
+CMS_GRAM = 3  # token 3-grams: instance multiset (NOT the dedup
+# tiers' distinct shingle SETS — a sketch counts occurrences)
+CMS_EVAL_TARGET = 1024  # expected eval-term budget for the exact side
+_E_LIT = 2.718281828459045
+
+
+def _cms_hash(g: Column, j: int) -> Column:
+    """Row-j bucket: 60-bit salted md5 (engine-portable, same scheme as
+    the dedup signatures) reduced mod CMS_W."""
+    from mito_spark.operators.dedup import _hash60
+
+    return _hash60(g, F.lit(f"cms{j}")) % CMS_W
+
+
+def cms_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED Count-Min sketch over-count (Cormode & Muthukrishnan,
+    J.Algorithms'05): build the D x W counter sketch over token 3-gram
+    INSTANCES, then for a hash-sampled evaluation set of grams compare
+    the sketch estimate (min over the D row cells) against the exact
+    count, rolled up by count magnitude (floor(log2)+1 bin): per bin
+    the term count, mean exact, mean estimate, mean/max over-count,
+    and the share within the paper's eps*N bound (eps = e/W, held with
+    prob 1 - e^-D per term). CMS never under-counts, so mean_over >= 0
+    by construction — a negative value would expose a broken hash.
+
+    Why it earns its place at 100 TB: the sketch is the fixed-size
+    MERGEABLE frequency summary (D*W ints — the thing you persist per
+    shard/day and fold with cell-wise adds, exactly like the HLL
+    rollup in ``merge_hll_sketches``), answering point frequency
+    queries without the full-vocabulary shuffle ``heavy_hitters``
+    documents as the web-scale anti-pattern. The report measures what
+    the sketch's collisions cost on THIS corpus's skew — the same
+    run-the-calibration discipline as minhash_estimate_report /
+    ann_pq_recall_report (whose first runs both caught real bugs).
+
+    Scale shape: the sketch build is ONE scan + a D*W-bounded partial
+    aggregate (map-side combine; the shuffle carries <= D*W rows per
+    partition, never grams). The exact side exists only for
+    calibration and is restricted to the hash-sampled eval set BEFORE
+    its groupBy, so the full-vocab shuffle never happens; the sample
+    threshold derives from the exact token-instance count n (fraction
+    CMS_EVAL_TARGET/n, integer threshold arithmetic on the 60-bit
+    hash), which caps E|eval| <= CMS_EVAL_TARGET at any corpus size —
+    the oracle twin derives the SAME rule from COUNT(*), so there is
+    no static sample constant to drift (corpus_shuffle's discipline).
+    The estimate join broadcasts the <= D*W-row sketch. Report is
+    <= ~32 rows. Every hash is salted md5 — deterministic, so the
+    whole measurement is hash-oracled.
+    """
+    from mito_spark.engine import spread
+    from mito_spark.operators.text import _tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(_tokens(F.lower(F.col("text"))).alias("toks"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - (CMS_GRAM - 1), F.lit(1)))
+    grams = toks.select(
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice("toks", i, CMS_GRAM), " "))
+        ).alias("g")
+    ).localCheckpoint()  # one gram pass feeds sketch + count + eval
+    n_tokens = grams.count()
+    if n_tokens == 0:
+        return spark.createDataFrame(
+            [],
+            "count_bin bigint, n_terms bigint, mean_exact double, mean_est double,"
+            " mean_over double, max_over bigint, within_eps_share double",
+        )
+    cells = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cms_hash(F.col("g"), j).alias("bucket"))
+            for j in range(CMS_D)
+        ]
+    )
+    sketch = (
+        grams.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    # integer sample threshold: fraction TARGET/n over the 2^60 hash
+    # space, exact integer floor on both engines (no float boundary).
+    # Clamped to fit int64 F.lit on tiny corpora — any clamp above
+    # 2^60 keeps every gram on BOTH engines (hashes are < 2^60), so
+    # the clamp is semantics-free.
+    thr = min((CMS_EVAL_TARGET << 60) // n_tokens, 1 << 62)
+    from mito_spark.operators.dedup import _hash60
+
+    ev = (
+        grams.where(_hash60(F.col("g"), F.lit("cmss")) < F.lit(thr))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    est = (
+        ev.select(
+            "g",
+            "exact",
+            F.explode(cells).alias("c"),
+        )
+        .select("g", "exact", F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("g", "exact")
+        .agg(F.min("cell").alias("est"))
+    )
+    n = F.col("n_terms")
+    return (
+        est.select(
+            F.length(F.bin("exact")).cast("bigint").alias("count_bin"),
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).alias("over"),
+            (
+                (F.col("est") - F.col("exact")).cast("double")
+                <= F.lit(_E_LIT / CMS_W) * F.lit(float(n_tokens))
+            )
+            .cast("int")
+            .alias("within"),
+        )
+        .groupBy("count_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("exact").alias("xs"),
+            F.sum("est").alias("es"),
+            F.sum("over").alias("os"),
+            F.max("over").alias("max_over"),
+            F.sum("within").alias("ws"),
+        )
+        .select(
+            "count_bin",
+            "n_terms",
+            F.round(F.col("xs").cast("double") / n, 6).alias("mean_exact"),
+            F.round(F.col("es").cast("double") / n, 6).alias("mean_est"),
+            F.round(F.col("os").cast("double") / n, 6).alias("mean_over"),
+            "max_over",
+            F.round(F.col("ws").cast("double") / n, 6).alias("within_eps_share"),
+        )
+        .orderBy("count_bin")
+    )
+
+
+def _cms_sql() -> str:
+    hash60 = "CAST('0x' || substr(md5('cms' || CAST({j} AS VARCHAR) || ':' || {g}), 1, 15) AS BIGINT)"
+    return rf"""
+WITH rawtok AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks) - {CMS_GRAM - 1}, 1) + 1),
+           i -> array_to_string(toks[i:i+{CMS_GRAM - 1}], ' '))) AS g
+  FROM rawtok
+), tot AS (
+  SELECT COUNT(*) AS n_tokens FROM grams
+), cells AS (
+  SELECT g, j, {hash60.format(j="j", g="g")} % {CMS_W} AS bucket
+  FROM grams, range(0, {CMS_D}) t(j)
+), sketch AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cell FROM cells GROUP BY j, bucket
+), ev AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM grams, tot
+  WHERE CAST('0x' || substr(md5('cmss:' || g), 1, 15) AS BIGINT)
+        < CAST({CMS_EVAL_TARGET} AS HUGEINT) * {1 << 60} // n_tokens
+  GROUP BY g
+), est AS (
+  SELECT e.g, e.exact, MIN(s.cell) AS est
+  FROM ev e
+  JOIN (SELECT e2.g AS g2, t.j AS j,
+               {hash60.format(j="t.j", g="e2.g")} % {CMS_W} AS bucket
+        FROM ev e2, range(0, {CMS_D}) t(j)) q ON q.g2 = e.g
+  JOIN sketch s ON s.j = q.j AND s.bucket = q.bucket
+  GROUP BY e.g, e.exact
+), scored AS (
+  SELECT CAST(length(bin(exact)) AS BIGINT) AS count_bin, exact, est,
+         est - exact AS over,
+         CASE WHEN CAST(est - exact AS DOUBLE)
+                   <= {_E_LIT / CMS_W!r} * CAST(n_tokens AS DOUBLE)
+              THEN 1 ELSE 0 END AS within
+  FROM est, tot
+)
+SELECT count_bin, COUNT(*) AS n_terms,
+       ROUND(CAST(SUM(exact) AS DOUBLE) / COUNT(*), 6) AS mean_exact,
+       ROUND(CAST(SUM(est) AS DOUBLE) / COUNT(*), 6) AS mean_est,
+       ROUND(CAST(SUM(over) AS DOUBLE) / COUNT(*), 6) AS mean_over,
+       MAX(over) AS max_over,
+       ROUND(CAST(SUM(within) AS DOUBLE) / COUNT(*), 6) AS within_eps_share
+FROM scored GROUP BY count_bin ORDER BY count_bin
+"""
+
+
+CMS_CALIBRATION_SQL = _cms_sql()

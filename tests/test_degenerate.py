@@ -85,6 +85,12 @@ DOC_OPS = [
     # r9: simhash calibration on empty/whitespace docs (zero-norm
     # vectors excluded from the cosine; all-zero signatures collide)
     "simhash_estimate_report",
+    # r9: b-bit calibration (empty corpus -> empty candidate set) and
+    # the CMS report (zero-gram corpus -> the n_tokens==0 early return;
+    # whitespace docs produce the '' gram, counted identically on both
+    # engines)
+    "bbit_minhash_report",
+    "cms_calibration_report",
 ]
 EMB_OPS = [
     "quantize_embeddings",

@@ -485,3 +485,41 @@ def test_embedding_outlier_stats_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert node not in plan
+
+
+def test_bbit_report_shares_one_signature_pass(spark, sf_dir):
+    """Like minhash_estimate_report: the b-bit calibration must reuse
+    the checkpointed signature frame everywhere (band self-join + both
+    pair sides) — no re-tokenize (no parquet scan in the final plan),
+    no Python nodes, no product joins. The masked slot compares are
+    JVM bit ops."""
+    from mito_spark.operators.dedup import bbit_minhash_report
+
+    plan = _plan(bbit_minhash_report(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    assert "Scan parquet" not in plan  # everything reads the checkpoint
+
+
+def test_cms_sketch_is_bounded_and_broadcast(spark, sf_dir):
+    """The CMS estimate join must broadcast the <= D*W-row sketch
+    (never shuffle the gram stream against it), the eval-side sample
+    filter must sit BELOW the exact-count aggregate (the full-vocab
+    shuffle never happens), and the row path is JVM-only."""
+    import re
+
+    from mito_spark.operators.sketches import cms_calibration_report
+
+    plan = _plan(cms_calibration_report(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # sketch join-back
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "MapInPandas"):
+        assert node not in plan
+    # the sampled exact-count aggregate keys on the gram column and is
+    # two-phase (partial_count before the exchange = map-side combine)
+    assert "partial_count" in plan
+    # the eval filter is the threshold predicate on the salted hash —
+    # a Filter whose Condition applies conv(...md5(...)) < threshold
+    # (formatted mode prints conditions on their own detail line)
+    assert re.search(r"Condition.*md5.*<", plan)

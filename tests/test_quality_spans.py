@@ -462,6 +462,8 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "ngram_novelty_report",
         "embedding_outlier_report",
         "simhash_estimate_report",
+        "bbit_minhash_report",
+        "cms_calibration_report",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):

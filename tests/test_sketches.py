@@ -274,3 +274,44 @@ def test_global_percentiles_exact_duplicate_heavy(spark, tmp_path):
     want = {q: v for q, v in con.execute(GLOBAL_PERCENTILES_SQL).fetchall()}
     assert got == want
     assert got[0.5] == 5.0  # the hot value IS the median
+
+
+def test_cms_never_undercounts_and_holds_its_bound(spark, sf_dir):
+    """CMS structural guarantees on the gate corpus: the estimate is
+    min over D counters that each count a superset of the gram's
+    occurrences, so over-count is >= 0 in EVERY bucket (a negative
+    mean_over would expose a broken hash), and the share of sampled
+    grams within the paper's eps*N bound must be overwhelming
+    (per-term failure probability e^-D ~ 1.8%)."""
+    from mito_spark.operators.sketches import cms_calibration_report
+
+    rows = cms_calibration_report(spark, sf_dir).collect()
+    assert rows, "gate corpus must produce a non-empty report"
+    for r in rows:
+        assert r["mean_over"] >= 0.0
+        assert r["max_over"] >= 0
+        assert r["within_eps_share"] >= 0.9
+    # eval budget: expected sample is ~TARGET terms, never the vocab
+    assert sum(r["n_terms"] for r in rows) <= 4 * 1024
+
+
+def test_bbit_estimator_is_exact_on_identical_docs(spark, tmp_path):
+    """J=1 pairs must read est=1.0 at EVERY b: all K slots match, so
+    (M - C)/(1 - C) = 1 regardless of the mask width — the fixed point
+    of the Li-Koenig correction. Also pins the b arm set."""
+    import pandas as pd
+
+    td = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en", "a", 30),
+         (2, "alpha beta gamma delta epsilon zeta", "en", "a", 30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+    from mito_spark.operators.dedup import _BBIT_VALUES, bbit_minhash_report
+
+    pdf: pd.DataFrame = bbit_minhash_report(spark, td).toPandas()
+    assert sorted(pdf["b"].tolist()) == sorted(_BBIT_VALUES)
+    assert (pdf["jaccard_bucket"] == 1.0).all()
+    assert (pdf["mean_est"] == 1.0).all()
+    assert (pdf["mean_exact"] == 1.0).all()
+    assert (pdf["mean_abs_err"] == 0.0).all()
