@@ -218,6 +218,10 @@ HEADLINE = [
     # compares per pair). cms_calibration_report IS benched: its gram
     # sketch is its own corpus-sized aggregate.
     "cms_calibration_report",
+    # bloom_decontaminate_report IS benched: its K-position explode +
+    # membership semi-join is its own corpus-sized work (decontaminate
+    # itself is not separately benched; the exact leg rides inside).
+    "bloom_decontaminate_report",
 ]
 
 

@@ -288,3 +288,245 @@ FROM base b
 LEFT JOIN a2 ON b.doc_id = a2.doc_id
 LEFT JOIN a3 ON b.doc_id = a3.doc_id
 """
+
+
+# --- Bloom-filter decontamination: the broadcast-bitset scale path ----
+
+BLOOM_M = 4096  # bit positions; sized so the gate corpus MEASURES a
+# real FP rate (~0.15 at ~1.1k probe shingles). Production sizing is
+# 10-15 bits per probe shingle for ~1e-4 FP — the knob scales with the
+# BENCHMARK (bounded), never the corpus.
+BLOOM_K = 3  # hash functions per shingle
+BLOOM_SAMPLE_TARGET = 2048  # expected shingle-type budget for the
+# measured-FP leg (same COUNT(*)-derived threshold discipline as
+# cms_calibration_report)
+
+
+def _bloom_pos(gh: Column, k: int) -> Column:
+    from mito_spark.operators.dedup import _hash60
+
+    return _hash60(gh, F.lit(f"bl{k}")) % BLOOM_M
+
+
+def bloom_decontaminate_report(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = NGRAM_N,
+    probe_mod: int = PROBE_MOD,
+) -> DataFrame:
+    """Bloom-filter decontamination (Bloom, CACM'70) beside the exact
+    probe join, with its false-positive rate MEASURED: the probe set's
+    13-gram hashes populate a K-hash M-bit filter, every corpus
+    shingle tests membership (all K positions set), and the one-row
+    report compares doc-level contamination flags under the Bloom
+    probe against ``decontaminate``'s exact semantics — plus a
+    shingle-TYPE-level FP rate measured on a hash-sampled type set.
+
+    Why it earns its place at 100 TB: the exact decontamination join
+    ships the PROBE SET to every task (already broadcast — benchmark-
+    sized), but its hash table is 16+ bytes per shingle; the Bloom
+    form is M BITS total (a 4 KB bitset here; ~2 MB for a 1M-shingle
+    benchmark at 15 bits/element) with zero false NEGATIVES — the
+    guarantee decontamination actually needs, since a false positive
+    only quarantines an extra doc for the exact re-check, while a
+    false negative leaks an eval document into training. The
+    two-stage production shape (Bloom prefilter at scan bandwidth,
+    exact verify restricted to flagged docs) is the same
+    candidates-then-verify pattern as heavy_hitters, and this report
+    measures the quarantine rate that prefilter would pay. Membership
+    is expressed as a K-position semi-join against the <= M-row
+    bit-position set (broadcast; identical plan shape to packing the
+    same set into a bitset broadcast variable, but fully declarative
+    and hash-oracled on both engines).
+
+    Scale shape: probe positions are benchmark-bounded (<= M rows
+    broadcast); the corpus side explodes each doc's distinct shingles
+    x K positions map-side and rolls up per doc — no shuffle beyond
+    the per-doc counts; the FP leg samples shingle TYPES with an
+    integer threshold derived from the exact (doc, shingle) pair
+    count (E|types| <= BLOOM_SAMPLE_TARGET at any corpus size; the
+    oracle derives the SAME rule from COUNT(*)). Every count in the
+    report is integer-exact; the one division guards its zero
+    denominator identically on both engines.
+
+    False negatives are structurally impossible (a probe shingle's
+    own K positions are always set); the report COMPUTES the count
+    anyway — a nonzero value would expose a broken position hash, the
+    same measure-don't-trust contract as minhash_estimate_report.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    per_doc = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select("doc_id", _shingle_hashes(F.col("toks"), n).alias("ghs"))
+    )
+    pairs = per_doc.select(
+        "doc_id", F.explode_outer("ghs").alias("gh")
+    ).localCheckpoint()  # one shingle pass feeds probe/bloom/exact/sample legs
+    probe = pairs.where(F.col("doc_id") % probe_mod == 0).select("gh").distinct()
+    posarr = F.array(*[_bloom_pos(F.col("gh"), k) for k in range(BLOOM_K)])
+    bloomset = probe.select(F.explode(posarr).alias("pos")).distinct()  # <= M rows
+    kin = (
+        pairs.select("doc_id", "gh", F.explode(posarr).alias("pos"))
+        .join(F.broadcast(bloomset), "pos")
+        .groupBy("doc_id", "gh")
+        .agg(F.count(F.lit(1)).alias("kin"))
+    )
+    nb = (
+        kin.where(F.col("kin") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom"))
+    )
+    ne = (
+        pairs.join(F.broadcast(probe), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    tot = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    nexact = F.coalesce(F.col("n_exact"), F.lit(0))
+    nbloom = F.coalesce(F.col("n_bloom"), F.lit(0))
+    fe = (nexact * CONTAM_DEN >= F.col("n_grams") * CONTAM_NUM).cast("int")
+    fb = (nbloom * CONTAM_DEN >= F.col("n_grams") * CONTAM_NUM).cast("int")
+    dagg = (
+        tot.join(ne, "doc_id", "left")
+        .join(nb, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(fe).alias("contam_docs_exact"),
+            F.sum(fb).alias("contam_docs_bloom"),
+            F.sum(((fb == 1) & (fe == 0)).cast("int")).alias("extra_flagged_docs"),
+        )
+    )
+    np_ = probe.agg(F.count(F.lit(1)).alias("n_probe_shingles"))
+    # FP leg: hash-sampled shingle types; integer threshold from the
+    # pair count (clamp is semantics-free: any bound above 2^60 keeps
+    # every type on both engines)
+    n_pairs = pairs.count()
+    thr = min((BLOOM_SAMPLE_TARGET << 60) // max(n_pairs, 1), 1 << 62)
+    from mito_spark.operators.dedup import _hash60
+
+    stypes = (
+        pairs.where(_hash60(F.col("gh"), F.lit("bls")) < F.lit(thr))
+        .select("gh")
+        .distinct()
+    )
+    skin = (
+        stypes.select("gh", F.explode(posarr).alias("pos"))
+        .join(F.broadcast(bloomset), "pos")
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("kin"))
+    )
+    bloom_in = (F.coalesce(F.col("kin"), F.lit(0)) == BLOOM_K).cast("int")
+    exact_in = F.col("inp").isNotNull().cast("int")
+    sagg = (
+        stypes.join(skin, "gh", "left")
+        .join(F.broadcast(probe.withColumn("inp", F.lit(1))), "gh", "left")
+        .select(bloom_in.alias("b"), exact_in.alias("e"))
+        .agg(
+            F.count(F.lit(1)).alias("sample_lookups"),
+            F.sum(((F.col("b") == 1) & (F.col("e") == 0)).cast("int")).alias(
+                "sample_fp"
+            ),
+            F.sum(((F.col("e") == 1) & (F.col("b") == 0)).cast("int")).alias(
+                "false_negatives"
+            ),
+            F.sum("e").alias("strue"),
+        )
+    )
+    neg = F.col("sample_lookups") - F.col("strue")
+    return (
+        dagg.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(sagg))
+        .select(
+            "n_probe_shingles",
+            "n_docs",
+            "contam_docs_exact",
+            "contam_docs_bloom",
+            "extra_flagged_docs",
+            "sample_lookups",
+            "sample_fp",
+            "false_negatives",
+            F.when(
+                neg > 0, F.round(F.col("sample_fp").cast("double") / neg, 6)
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def _bloom_sql(n: int = NGRAM_N, probe_mod: int = PROBE_MOD) -> str:
+    pos60 = (
+        "CAST('0x' || substr(md5('bl' || CAST({k} AS VARCHAR) || ':' || {gh}), 1, 15)"
+        f" AS BIGINT) % {BLOOM_M}"
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), spans AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - {n} + 2)) AS s
+  FROM tok WHERE len(toks) >= {n}
+), dg AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[s:s+{n - 1}], ' ')) AS gh
+  FROM spans
+), probe AS (
+  SELECT DISTINCT gh FROM dg WHERE doc_id % {probe_mod} = 0
+), bloomset AS (
+  SELECT DISTINCT {pos60.format(k="t.k", gh="probe.gh")} AS pos
+  FROM probe, range(0, {BLOOM_K}) t(k)
+), kin AS (
+  SELECT q.doc_id, q.gh, count(*) AS kin
+  FROM (SELECT dg.doc_id, dg.gh, {pos60.format(k="t.k", gh="dg.gh")} AS pos
+        FROM dg, range(0, {BLOOM_K}) t(k)) q
+  JOIN bloomset USING (pos)
+  GROUP BY q.doc_id, q.gh
+), nb AS (
+  SELECT doc_id, count(*) AS n_bloom FROM kin WHERE kin = {BLOOM_K} GROUP BY doc_id
+), ne AS (
+  SELECT dg.doc_id, count(*) AS n_exact FROM dg JOIN probe USING (gh) GROUP BY dg.doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id
+), dagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN coalesce(n_exact, 0) * {CONTAM_DEN} >= n_grams * {CONTAM_NUM} THEN 1 ELSE 0 END) AS BIGINT) AS contam_docs_exact,
+         CAST(SUM(CASE WHEN coalesce(n_bloom, 0) * {CONTAM_DEN} >= n_grams * {CONTAM_NUM} THEN 1 ELSE 0 END) AS BIGINT) AS contam_docs_bloom,
+         CAST(SUM(CASE WHEN coalesce(n_bloom, 0) * {CONTAM_DEN} >= n_grams * {CONTAM_NUM}
+                        AND coalesce(n_exact, 0) * {CONTAM_DEN} < n_grams * {CONTAM_NUM}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS extra_flagged_docs
+  FROM tot LEFT JOIN ne USING (doc_id) LEFT JOIN nb USING (doc_id)
+), np AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probe_shingles FROM probe
+), npairs AS (
+  SELECT count(*) AS n_pairs FROM dg
+), stypes AS (
+  SELECT DISTINCT gh FROM dg, npairs
+  WHERE CAST('0x' || substr(md5('bls:' || gh), 1, 15) AS BIGINT)
+        < CAST({BLOOM_SAMPLE_TARGET} AS HUGEINT) * {1 << 60} // n_pairs
+), skin AS (
+  SELECT q.gh, count(*) AS kin
+  FROM (SELECT s.gh, {pos60.format(k="t.k", gh="s.gh")} AS pos
+        FROM stypes s, range(0, {BLOOM_K}) t(k)) q
+  JOIN bloomset USING (pos)
+  GROUP BY q.gh
+), sflag AS (
+  SELECT CASE WHEN coalesce(k2.kin, 0) = {BLOOM_K} THEN 1 ELSE 0 END AS b,
+         CASE WHEN p.gh IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM stypes s LEFT JOIN skin k2 ON s.gh = k2.gh LEFT JOIN probe p ON s.gh = p.gh
+), sagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS sample_lookups,
+         CAST(SUM(CASE WHEN b = 1 AND e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sample_fp,
+         CAST(SUM(CASE WHEN e = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives,
+         CAST(SUM(e) AS BIGINT) AS strue
+  FROM sflag
+)
+SELECT n_probe_shingles, n_docs, contam_docs_exact, contam_docs_bloom,
+       extra_flagged_docs, sample_lookups, sample_fp, false_negatives,
+       CASE WHEN sample_lookups - strue > 0
+            THEN ROUND(CAST(sample_fp AS DOUBLE) / (sample_lookups - strue), 6)
+            END AS fp_rate
+FROM dagg, np, sagg
+"""
+
+
+BLOOM_DECONTAM_SQL = _bloom_sql()

@@ -124,3 +124,21 @@ def test_pipeline_excludes_contaminated_docs(spark, sf_dir):
     }
     assert not (out_ids & bad)
     assert not (out_ids & rep)
+
+
+def test_bloom_never_misses_and_only_overflags(spark, sf_dir):
+    """Structural Bloom guarantees on the gate corpus: zero false
+    negatives (a probe shingle's own positions are always set), the
+    bloom doc flags are a superset of the exact flags, and the
+    measured FP rate is sane (0 <= fp < 1)."""
+    from mito_spark.operators.decontam import bloom_decontaminate_report
+
+    (r,) = bloom_decontaminate_report(spark, sf_dir).collect()
+    assert r["false_negatives"] == 0
+    assert r["contam_docs_bloom"] >= r["contam_docs_exact"]
+    assert (
+        r["extra_flagged_docs"] == r["contam_docs_bloom"] - r["contam_docs_exact"]
+    )
+    assert r["sample_lookups"] <= 4 * 2048  # E|sample| bounded
+    if r["fp_rate"] is not None:
+        assert 0.0 <= r["fp_rate"] < 1.0

@@ -91,6 +91,10 @@ DOC_OPS = [
     # engines)
     "bbit_minhash_report",
     "cms_calibration_report",
+    # r9: bloom decontamination (short docs -> zero shingles -> empty
+    # probe set and empty pair frame; the keep-all clamped sample
+    # threshold path)
+    "bloom_decontaminate_report",
 ]
 EMB_OPS = [
     "quantize_embeddings",

@@ -523,3 +523,21 @@ def test_cms_sketch_is_bounded_and_broadcast(spark, sf_dir):
     # a Filter whose Condition applies conv(...md5(...)) < threshold
     # (formatted mode prints conditions on their own detail line)
     assert re.search(r"Condition.*md5.*<", plan)
+
+
+def test_bloom_decontaminate_broadcasts_and_samples(spark, sf_dir):
+    """The Bloom membership leg must semi-join against a BROADCAST
+    bit-position set (<= M rows) and the probe set must broadcast into
+    the exact leg; the FP-sample filter (threshold predicate on the
+    salted hash) must appear; the only nested-loop joins are the
+    1-row report crossJoins; the row path is JVM-only."""
+    import re
+
+    from mito_spark.operators.decontam import bloom_decontaminate_report
+
+    plan = _plan(bloom_decontaminate_report(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"Condition.*md5.*<", plan)  # sampled FP leg
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                 "MapInPandas"):
+        assert node not in plan

@@ -464,6 +464,7 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "simhash_estimate_report",
         "bbit_minhash_report",
         "cms_calibration_report",
+        "bloom_decontaminate_report",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
