@@ -222,6 +222,12 @@ HEADLINE = [
     # membership semi-join is its own corpus-sized work (decontaminate
     # itself is not separately benched; the exact leg rides inside).
     "bloom_decontaminate_report",
+    # unigram_lm_train IS benched: the substring-seed groupBy and the
+    # per-round constant-step Viterbi folds over the word-TYPE table
+    # are their own corpus-sized work, not a composition of benched
+    # chains. unigram_lm_vocab excluded by the two-surface rule (the
+    # SAME _ulm_train loop; only the final projection differs).
+    "unigram_lm_train",
 ]
 
 

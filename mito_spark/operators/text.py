@@ -1778,3 +1778,393 @@ ORDER BY doc_id, rank
 
 
 RAKE_SQL = _rake_sql()
+
+
+# --- Unigram-LM (SentencePiece-style) tokenizer induction -------------
+
+ULM_MAXP = 4  # max piece length considered (substring seeds + DP arms)
+ULM_V_MULTI = 48  # multi-char seed vocabulary budget
+ULM_ROUNDS = 2  # hard-EM rounds (each: Viterbi E-step, recount M-step)
+ULM_MAXW = 32  # word-length cap == the CONSTANT fold-step count (below)
+ULM_NEG = -1e9  # log-prob of an out-of-vocab piece (never on a path:
+# every corpus char is in the vocab, so k=1 is always feasible)
+
+
+def _ulm_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-TYPE table (w, wc) — the unigram trainer's working set,
+    same shape as ``_bpe_learn_bytes``: every loop below shuffles
+    |vocab| rows, never the corpus. Words longer than ULM_MAXW are
+    excluded on both engines (they would exceed the constant
+    fold-step count)."""
+    from mito_spark.engine import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .where(F.length("w") <= ULM_MAXW)
+        .localCheckpoint()
+    )
+
+
+def _ulm_seed(words: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Seed vocabulary (Kudo 2018 §3.2's frequent-substring seeding,
+    substring-enumeration form): all substrings of length 1..ULM_MAXP
+    of the word types, frequency-weighted by word count; every single
+    char is kept (segmentation completeness), plus the top
+    ULM_V_MULTI multi-char substrings by (count desc, piece asc).
+    The substring count groupBy shuffles the substring vocabulary
+    (<= |word types| x L x MAXP rows — type-table scale, same as the
+    BPE pair counts); the top-V cut is a TakeOrdered."""
+    wpos = words.select(
+        "wc", "w", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
+    )
+    piece_arms = [
+        F.when(
+            F.col("i") + (k - 1) <= F.length("w"),
+            F.col("w").substr(F.col("i"), F.lit(k)),
+        )
+        for k in range(1, ULM_MAXP + 1)
+    ]
+    sub = (
+        wpos.select("wc", F.explode(F.array(*piece_arms)).alias("piece"))
+        .where(F.col("piece").isNotNull())
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    chars = sub.where(F.length("piece") == 1)
+    multi = (
+        sub.where(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(ULM_V_MULTI)
+    )
+    return chars.unionAll(multi), chars.select("piece")
+
+
+def _ulm_lp(vocab: DataFrame) -> DataFrame:
+    """One-row (n_vocab, piece->logp map) frame. The map is the
+    broadcast model the folds look pieces up in — bounded by
+    ULM_V_MULTI + |charset| here; a production 32k-piece vocabulary is
+    a few MB, still a broadcast. logp = ln(cnt/total) rounded at 9dp
+    (identical expression trees on both engines; the 9dp-rounded
+    values are the ONLY floats the DP ever adds, so the fold arithmetic
+    is an identical IEEE sequence on identical inputs)."""
+    tot = vocab.agg(F.sum("cnt").alias("tot"))
+    return vocab.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("piece"),
+                    F.round(
+                        F.log(F.col("cnt").cast("double") / F.col("tot")), 9
+                    ).alias("v"),
+                )
+            )
+        ).alias("m"),
+    )
+
+
+def _ulm_lpx(m: Column, w: Column, i: Column, k: int) -> Column:
+    # try_element_at: ANSI element_at raises on a missing map key
+    return F.coalesce(
+        F.try_element_at(m, w.substr(i - (k - 1), F.lit(k))), F.lit(ULM_NEG)
+    )
+
+
+def _ulm_seg(words: DataFrame, lp: DataFrame) -> DataFrame:
+    """Viterbi segmentation of every word type under the current
+    piece log-probs — two JVM folds per word, zero Python:
+
+    1. DP fold: best[i] = max over k=1..MAXP of best[i-k] +
+       logp(w[i-k+1..i]); accumulator is the growing best array.
+    2. Backtrace fold: walk pos from L to 0 re-testing the SAME
+       score expressions (float equality between identically-computed
+       doubles is exact); ties prefer the SMALLEST k — the when-arm
+       order, identical to the oracle's CASE order.
+
+    Both folds run a CONSTANT ULM_MAXW steps regardless of word
+    length (steps past the word no-op: the DP's tail entries are
+    never read, the backtrace holds at pos=0). The constant step
+    count is a hard portability contract: DuckDB 1.0's list_reduce
+    misassigns rows within a vector when per-row step counts differ
+    (measured: the longest word received a NEIGHBOR row's backtrace),
+    so BOTH engines fold exactly ULM_MAXW steps."""
+
+    def dp_step(acc: Column, _x: Column) -> Column:
+        w, m = F.col("w"), F.col("m")
+        i = F.size(acc)
+        cands = [
+            F.when(
+                i >= k, F.element_at(acc, i - (k - 1)) + _ulm_lpx(m, w, i, k)
+            ).otherwise(F.lit(2 * ULM_NEG))
+            for k in range(1, ULM_MAXP + 1)
+        ]
+        return F.concat(acc, F.array(F.greatest(*cands)))
+
+    sega = words.crossJoin(F.broadcast(lp)).select(
+        "w",
+        "wc",
+        "m",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(ULM_MAXW)), F.array(F.lit(0.0)), dp_step
+        ).alias("best"),
+    )
+
+    def bt_step(acc: Column, _x: Column) -> Column:
+        w, m, best = F.col("w"), F.col("m"), F.col("best")
+        pos = F.element_at(acc, 1).cast("int")
+        out = F.when(pos == 0, acc)
+        for k in range(1, ULM_MAXP + 1):
+            piece = w.substr(pos - (k - 1), F.lit(k))
+            cond = (F.lit(k) <= pos) & (
+                F.element_at(best, pos - (k - 1))
+                + F.coalesce(F.try_element_at(m, piece), F.lit(ULM_NEG))
+                == F.element_at(best, pos + 1)
+            )
+            take = F.concat(
+                F.array((pos - k).cast("string"), piece),
+                F.slice(acc, F.lit(2), F.size(acc) - 1),
+            )
+            out = out.when(cond, take)
+        return out.otherwise(acc)
+
+    return sega.select(
+        "w",
+        "wc",
+        "best",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(ULM_MAXW)),
+            F.array(F.length("w").cast("string")),
+            bt_step,
+        ).alias("bt"),
+    )
+
+
+def _ulm_counts(seg: DataFrame) -> DataFrame:
+    return (
+        seg.select("wc", F.explode(F.slice("bt", 2, ULM_MAXW)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("cnt"))
+    )
+
+
+def _ulm_next_vocab(chars: DataFrame, counts: DataFrame) -> DataFrame:
+    """M-step vocabulary: Viterbi piece counts; multi-char pieces the
+    segmentations stopped using drop out (the degenerate form of
+    Kudo's prune step), single chars persist with a floor count of 1
+    (completeness; add-1 on starved chars)."""
+    ch = chars.join(counts, "piece", "left").select(
+        "piece",
+        F.greatest(F.coalesce(F.col("cnt"), F.lit(0)), F.lit(1)).alias("cnt"),
+    )
+    return ch.unionAll(counts.where(F.length("piece") > 1).select("piece", "cnt"))
+
+
+def _ulm_summary(seg: DataFrame, lp: DataFrame, r: int) -> DataFrame:
+    # decimal(13,9) x decimal(19,0) -> (33,9): inside Spark's 38-digit
+    # exact range (a (28,9) x bigint product overflows precision and
+    # silently RE-ROUNDS at reduced scale — measured as a 2e-6 nll
+    # drift vs the oracle; the house decimal-product rule applies to
+    # decimal x integral too)
+    nll9 = F.round(-F.element_at("best", F.length("w") + 1), 9).cast("decimal(13,9)")
+    agg = seg.agg(
+        F.coalesce(F.sum(F.col("wc") * (F.size("bt") - 1)), F.lit(0)).alias(
+            "n_pieces"
+        ),
+        F.round(
+            F.coalesce(
+                F.sum(nll9 * F.col("wc").cast("decimal(19,0)")),
+                F.lit(0).cast("decimal(33,9)"),
+            ).cast("double"),
+            6,
+        ).alias("nll"),
+    )
+    return agg.crossJoin(F.broadcast(lp.select("n_vocab"))).select(
+        F.lit(r).alias("round"), "n_vocab", "n_pieces", "nll"
+    )
+
+
+def _ulm_train(
+    spark: SparkSession, sf_dir: str, rounds: int = ULM_ROUNDS
+) -> tuple[DataFrame, DataFrame]:
+    """Shared trainer loop: per-round localCheckpoints (iterative-loop
+    house rule — stage i must not re-embed every earlier round's DAG)
+    returning (per-round summary frame, final vocab frame)."""
+    words = _ulm_words(spark, sf_dir)
+    vocab, chars = _ulm_seed(words)
+    vocab = vocab.localCheckpoint()
+    chars = chars.localCheckpoint()
+    summaries = []
+    for r in range(1, rounds + 1):
+        lp = _ulm_lp(vocab).localCheckpoint()
+        seg = _ulm_seg(words, lp).localCheckpoint()
+        summaries.append(_ulm_summary(seg, lp, r))
+        vocab = _ulm_next_vocab(chars, _ulm_counts(seg)).localCheckpoint()
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round"), vocab
+
+
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer induction (Kudo, ACL 2018, arXiv:1804.10959
+    — the SentencePiece unigram model) in its deterministic hard-EM
+    (Viterbi) form: seed a substring vocabulary, then per round
+    Viterbi-segment every word type under the current piece
+    log-probabilities (E-step) and recount/renormalize (M-step);
+    unused pieces prune themselves. Output: one row per round
+    (round, n_vocab, n_pieces, nll) — the corpus negative
+    log-likelihood must fall round-over-round (pytest-pinned), the
+    trainer's own convergence evidence.
+
+    This completes the tokenizer-induction family: bpe_merge_candidates
+    (one rollup), bpe_learn_merges (word-level loop), bpe_learn_merges_bytes
+    (char-level Sennrich), bpe_encode (application), the fertility
+    reports (evaluation) — and now the OTHER mainstream subword
+    algorithm, whose segmentation is model-based rather than
+    merge-order-based.
+
+    Scale shape: identical posture to ``bpe_learn_merges_bytes`` — the
+    working set is the word-TYPE table, so every round shuffles
+    |vocab| rows, never the corpus; the per-round model is a one-row
+    broadcast map; the Viterbi DP + backtrace are JVM expression folds
+    at a CONSTANT step count (plan-tested: zero Python nodes). The
+    whole loop is hash-oracled by an unrolled CTE chain running the
+    same folds (list_reduce) on DuckDB, with the constant step count
+    doubling as the workaround for DuckDB 1.0's varying-step
+    list_reduce row misalignment (docstring of ``_ulm_seg``).
+
+    Hard-EM note: full SentencePiece runs forward-backward expected
+    counts; the Viterbi count is the standard deterministic
+    simplification (same family as the BPE trainer's greedy apply),
+    chosen so every number in the loop is engine-exact — the
+    measured NLL descent shows the objective still falls.
+    """
+    return _ulm_train(spark, sf_dir)[0]
+
+
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned piece table after ULM_ROUNDS hard-EM rounds:
+    (piece, cnt, prob) ordered by count — the artifact a tokenizer
+    ships (the second surface over the ONE ``_ulm_train`` loop, same
+    two-surface pattern as ``bpe_learn_merges_bytes`` /
+    ``tokenizer_fertility_subword``)."""
+    _, vocab = _ulm_train(spark, sf_dir)
+    tot = vocab.agg(F.sum("cnt").alias("tot"))
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("tot"), 6).alias("prob"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+    )
+
+
+def _ulm_sql_chain(rounds: int = ULM_ROUNDS) -> str:
+    """Unrolled DuckDB twin of the hard-EM loop. Every fold runs the
+    same CONSTANT ULM_MAXW steps as the Spark side — besides engine
+    parity, this works around a measured DuckDB 1.0 list_reduce
+    defect: with per-row step counts varying inside a vector, the
+    longest row's fold result was assigned a neighbor row's value."""
+    neg, neg2 = repr(ULM_NEG), repr(2 * ULM_NEG)
+
+    def lpx(m, i_expr, k):
+        return (
+            f"coalesce(map_extract({m}, substr(w, {i_expr} - {k - 1}, {k}))[1], {neg})"
+        )
+
+    dp_cands = ", ".join(
+        f"CASE WHEN len(acc) >= {k} THEN acc[len(acc) - {k - 1}] + "
+        + lpx("m", "len(acc)", k)
+        + f" ELSE {neg2} END"
+        for k in range(1, ULM_MAXP + 1)
+    )
+    dp = (
+        f"list_reduce(list_prepend([CAST(0.0 AS DOUBLE)], "
+        f"list_transform(range(1, {ULM_MAXW} + 1), i -> [CAST(0.0 AS DOUBLE)])), "
+        f"(acc, x) -> acc || [greatest({dp_cands})])"
+    )
+    bt_arms = " ".join(
+        f"WHEN {k} <= CAST(acc[1] AS INT) AND best[CAST(acc[1] AS INT) - {k - 1}] + "
+        + lpx("m", "CAST(acc[1] AS INT)", k)
+        + " = best[CAST(acc[1] AS INT) + 1] THEN "
+        f"list_prepend(CAST(CAST(acc[1] AS INT) - {k} AS VARCHAR), "
+        f"list_prepend(substr(w, CAST(acc[1] AS INT) - {k - 1}, {k}), acc[2:]))"
+        for k in range(1, ULM_MAXP + 1)
+    )
+    bt = (
+        f"list_reduce(list_prepend([CAST(length(w) AS VARCHAR)], "
+        f"list_transform(range(1, {ULM_MAXW} + 1), i -> [''])), "
+        f"(acc, x) -> CASE WHEN CAST(acc[1] AS INT) = 0 THEN acc {bt_arms} ELSE acc END)"
+    )
+    parts = [
+        rf"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+    FROM documents) GROUP BY w
+  HAVING length(w) <= {ULM_MAXW}
+), sub AS (
+  SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+    SELECT wc, substr(w, i, k) AS piece
+    FROM (SELECT w, wc, unnest(range(1, length(w) + 1)) AS i FROM words),
+         range(1, {ULM_MAXP} + 1) u(k)
+    WHERE i + k - 1 <= length(w))
+  GROUP BY piece
+), chars AS (
+  SELECT piece, cnt FROM sub WHERE length(piece) = 1
+), v0 AS (
+  SELECT piece, cnt FROM chars
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM sub WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {ULM_V_MULTI})
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""", lp{r} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         MAP(list(piece ORDER BY piece),
+             list(CAST(ROUND(ln(CAST(cnt AS DOUBLE) / tot), 9) AS DOUBLE) ORDER BY piece)) AS m
+  FROM v{r - 1}, (SELECT SUM(cnt) AS tot FROM v{r - 1}) GROUP BY tot
+), sega{r} AS (
+  SELECT w, wc, {dp} AS best FROM words, lp{r}
+), seg{r} AS (
+  SELECT w, wc, best, {bt} AS bt FROM sega{r}, lp{r}
+), sum{r} AS (
+  SELECT {r} AS round,
+         coalesce((SELECT n_vocab FROM lp{r}), 0) AS n_vocab,
+         CAST(coalesce(SUM(wc * (len(bt) - 1)), 0) AS BIGINT) AS n_pieces,
+         ROUND(CAST(coalesce(SUM(CAST(ROUND(-best[length(w) + 1], 9) AS DECIMAL(13,9)) * CAST(wc AS DECIMAL(19,0))), 0) AS DOUBLE), 6) AS nll
+  FROM seg{r}
+), cnt{r} AS (
+  SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
+  FROM (SELECT wc, unnest(bt[2:]) AS piece FROM seg{r}) GROUP BY piece
+), v{r} AS (
+  SELECT ch.piece, GREATEST(coalesce(c.cnt, 0), 1) AS cnt
+  FROM chars ch LEFT JOIN cnt{r} c ON ch.piece = c.piece
+  UNION ALL
+  SELECT piece, cnt FROM cnt{r} WHERE length(piece) > 1
+)""")
+    return "".join(parts)
+
+
+ULM_TRAIN_SQL = (
+    _ulm_sql_chain()
+    + "\n"
+    + "\nUNION ALL\n".join(f"SELECT * FROM sum{r}" for r in range(1, ULM_ROUNDS + 1))
+    + "\nORDER BY round\n"
+)
+
+ULM_VOCAB_SQL = (
+    _ulm_sql_chain()
+    + f"""
+SELECT piece, cnt, ROUND(CAST(cnt AS DOUBLE) / tot, 6) AS prob
+FROM v{ULM_ROUNDS}, (SELECT SUM(cnt) AS tot FROM v{ULM_ROUNDS})
+ORDER BY cnt DESC, piece
+"""
+)

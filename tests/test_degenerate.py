@@ -95,6 +95,12 @@ DOC_OPS = [
     # probe set and empty pair frame; the keep-all clamped sample
     # threshold path)
     "bloom_decontaminate_report",
+    # r9 session 2: unigram-LM trainer (empty/whitespace docs add no
+    # word types; 1-char words are single-piece Viterbi paths; on a
+    # fully degenerate corpus both surfaces return the agreed empty
+    # forms — train: per-round rows with n_vocab=0/nll=0, vocab: 0 rows)
+    "unigram_lm_train",
+    "unigram_lm_vocab",
 ]
 EMB_OPS = [
     "quantize_embeddings",

@@ -541,3 +541,23 @@ def test_bloom_decontaminate_broadcasts_and_samples(spark, sf_dir):
     for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
                  "MapInPandas"):
         assert node not in plan
+
+
+def test_unigram_lm_segmentation_is_jvm_expression_folds(spark, sf_dir):
+    """The Viterbi DP + backtrace are pure expression folds: the whole
+    per-round segmentation plan is projections over the checkpointed
+    word-TYPE scan plus ONE broadcast of the 1-row model map — zero
+    Python nodes, zero shuffles, no join but the model broadcast."""
+    from mito_spark.operators.text import _ulm_lp, _ulm_seed, _ulm_seg, _ulm_words
+
+    words = _ulm_words(spark, sf_dir)
+    vocab, _chars = _ulm_seed(words)
+    lp = _ulm_lp(vocab.localCheckpoint()).localCheckpoint()
+    plan = _plan(_ulm_seg(words, lp))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas", "CartesianProduct",
+                 "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    # formatted mode prints each node in the tree AND the detail list
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # ONE node: the 1-row model
+    assert "Exchange hashpartitioning" not in plan  # word table never reshuffled

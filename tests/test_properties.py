@@ -763,3 +763,102 @@ def test_minhash_estimate_is_calibrated(spark):
                 f"bucket {r.jaccard_bucket}: est {r.mean_est} vs exact "
                 f"{r.mean_exact} over {r.n_pairs} pairs"
             )
+
+
+# ---------- unigram-LM trainer (hard-EM Viterbi) ----------
+
+
+def _ulm_reference(word_counts, rounds=2, maxp=4, v_multi=48):
+    """Pure-Python reference of the hard-EM unigram trainer — same
+    tie-breaks (seed: count desc/piece asc; DP: smallest k)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
+
+    cnt = {}
+    for w, wc in word_counts.items():
+        for i in range(len(w)):
+            for k in range(1, maxp + 1):
+                if i + k <= len(w):
+                    cnt[w[i : i + k]] = cnt.get(w[i : i + k], 0) + wc
+    chars = {p: c for p, c in cnt.items() if len(p) == 1}
+    vocab = dict(chars)
+    vocab.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in cnt.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0]),
+            )[:v_multi]
+        )
+    )
+    report = []
+    for r in range(1, rounds + 1):
+        tot = sum(vocab.values())
+        lp = {p: r9(math.log(c / tot)) for p, c in vocab.items()}
+        counts, n_pieces, nll = {}, 0, Decimal(0)
+        for w, wc in word_counts.items():
+            best = [0.0] * (len(w) + 1)
+            for i in range(1, len(w) + 1):
+                best[i] = max(
+                    best[i - k] + lp.get(w[i - k : i], -1e9)
+                    for k in range(1, maxp + 1)
+                    if k <= i
+                )
+            pieces, pos = [], len(w)
+            while pos > 0:
+                for k in range(1, maxp + 1):
+                    if (
+                        k <= pos
+                        and best[pos - k] + lp.get(w[pos - k : pos], -1e9)
+                        == best[pos]
+                    ):
+                        pieces.append(w[pos - k : pos])
+                        pos -= k
+                        break
+            for p in pieces:
+                counts[p] = counts.get(p, 0) + wc
+            n_pieces += wc * len(pieces)
+            nll += Decimal(repr(r9(-best[len(w)]))) * wc
+        report.append((r, len(lp), n_pieces, float(round(nll, 6))))
+        vocab = dict(counts)
+        for p in chars:
+            vocab[p] = max(vocab.get(p, 0), 1)
+    probs = sorted(vocab.items(), key=lambda pc: (-pc[1], pc[0]))
+    return report, probs
+
+
+def test_unigram_lm_matches_python_reference(spark, tmp_path):
+    """Both surfaces against the hermetic pure-Python hard-EM
+    reference on a constructed corpus — rounds summary exactly, final
+    vocab exactly (counts and order)."""
+    from mito_spark.operators.text import unigram_lm_train, unigram_lm_vocab
+
+    words = {"lower": 4, "low": 7, "newest": 5, "widest": 6, "wide": 3}
+    text = " ".join(w for w, c in words.items() for _ in range(c))
+    d = str(tmp_path / "ulm")
+    spark.createDataFrame(
+        [(0, text, "en", "t", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    ref_report, ref_vocab = _ulm_reference(words)
+    got = [
+        (r["round"], r["n_vocab"], r["n_pieces"], r["nll"])
+        for r in unigram_lm_train(spark, d).collect()
+    ]
+    assert got == ref_report
+    got_vocab = [(r["piece"], r["cnt"]) for r in unigram_lm_vocab(spark, d).collect()]
+    assert got_vocab == [(p, c) for p, c in ref_vocab]
+
+
+def test_unigram_lm_nll_descends_on_gate_corpus(spark, sf_dir):
+    """The hard-EM objective must fall round-over-round on the real
+    corpus — the trainer's own convergence evidence — and the piece
+    inventory must stay segmentation-complete (every corpus char)."""
+    from mito_spark.operators.text import unigram_lm_train
+
+    rows = unigram_lm_train(spark, sf_dir).collect()
+    assert [r["round"] for r in rows] == [1, 2]
+    assert rows[1]["nll"] < rows[0]["nll"]
+    assert rows[1]["n_vocab"] <= rows[0]["n_vocab"]  # self-pruning
