@@ -228,6 +228,10 @@ HEADLINE = [
     # chains. unigram_lm_vocab excluded by the two-surface rule (the
     # SAME _ulm_train loop; only the final projection differs).
     "unigram_lm_train",
+    # hll_calibration_report IS benched: the 5-domain item explode, the
+    # register hash-agg, and the exact COUNT(DISTINCT) yardstick leg
+    # are its own corpus-sized work.
+    "hll_calibration_report",
 ]
 
 

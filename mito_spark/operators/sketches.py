@@ -699,3 +699,215 @@ FROM scored GROUP BY count_bin ORDER BY count_bin
 
 
 CMS_CALIBRATION_SQL = _cms_sql()
+
+
+# --- HyperLogLog cardinality calibration -------------------------------
+
+HLL_P = 12  # register-index bits
+HLL_M = 1 << HLL_P  # 4096 registers
+# w = v >> HLL_P is a (60 - HLL_P) = 48-bit value; rho(w) in [1, 49]
+_HLL_WBITS = 60 - HLL_P
+# alpha_m * m^2 * 2^49, folded to ONE double literal in Python so both
+# engines divide the same exact constant by the integer register sum
+# (alpha_4096 = 0.7213 / (1 + 1.079/m), Flajolet et al. 2007 Fig. 3)
+_HLL_EST_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * float(HLL_M) * float(HLL_M) * float(
+    1 << (_HLL_WBITS + 1)
+)
+_HLL_LIN_THRESHOLD = 2.5 * HLL_M  # small-range correction cut
+
+
+def hll_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED HyperLogLog error (Flajolet/Fusy/Gandouet/Meunier,
+    AofA'07) on five cardinality domains of this corpus — token types,
+    token-bigram types, token-5-gram types, doc ids, sources — against
+    exact
+    COUNT(DISTINCT): per domain the exact count, the HLL estimate, the
+    signed error %, the empty-register count, and which estimator
+    branch fired ('linear' small-range correction vs 'raw' harmonic
+    mean). The domains are chosen to straddle the 2.5m correction cut:
+    sources/docs/tokens sit deep in linear-counting territory (the
+    synthetic corpus has a 31-word vocabulary), 5-gram types
+    (~24k at gate SFs) exercise the raw harmonic-mean branch.
+
+    Unlike ``sketch_estimates`` (Spark's built-in HLL++, checkable
+    only through an error-bound boolean), this HLL is ENGINE-PORTABLE
+    and the estimate itself is hash-oracled: register index and rank
+    derive from the salted 60-bit md5 (idx = low HLL_P bits, rho =
+    leading-zero count of the remaining 48 bits + 1, exact via
+    length(bin(w)) on both engines), and the harmonic-mean denominator
+    sum(2^-rho_j) is computed as the INTEGER sum(2^(49-rho_j)) — every
+    term a power of two <= 2^48, <= m terms, so the sum is exact in
+    int64 and order-free where a float sum of 2^-rho would round by
+    addition order. The only transcendental is the linear branch's
+    ln(m/V), 9dp-rounded before scaling (house ln discipline).
+
+    Why it earns its place at 100 TB: the register table IS the
+    mergeable summary — (domain, idx, max rho) is m rows per domain
+    regardless of corpus size, folded across shards/days with a MAX
+    groupBy (``merge_hll_sketches`` is the built-in-sketch version of
+    the same rollup); the exact COUNT(DISTINCT) this replaces shuffles
+    every distinct key. The exact leg here exists only as the
+    calibration yardstick, same discipline as cms_calibration_report /
+    minhash_estimate_report.
+
+    Scale shape: ONE tokenize scan staged (token + bigram arrays as
+    real columns, checkpointed BEFORE the explodes — the Generate
+    re-evaluation rule); the register groupBy carries <= m rows per
+    partition per domain after map-side combine; the report is
+    |domains| rows. Zero Python, zero windows, zero joins beyond the
+    4-row exact-vs-estimate join.
+    """
+    from mito_spark.engine import spread
+    from mito_spark.operators.dedup import _hash60
+    from mito_spark.operators.text import _tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(F.lower(F.col("text")))
+    bi_idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    staged = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            "toks",
+            F.transform(
+                bi_idx, lambda i: F.array_join(F.slice("toks", i, 2), " ")
+            ).alias("bis"),
+            F.transform(
+                F.when(
+                    F.size("toks") >= 5, F.sequence(F.lit(1), F.size("toks") - 4)
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.array_join(F.slice("toks", i, 5), " "),
+            ).alias("g5s"),
+        )
+        .localCheckpoint()
+    )
+    items = (
+        staged.select(F.lit("token").alias("domain"), F.explode("toks").alias("item"))
+        .unionAll(
+            staged.select(F.lit("bigram").alias("domain"), F.explode("bis").alias("item"))
+        )
+        .unionAll(
+            staged.select(F.lit("gram5").alias("domain"), F.explode("g5s").alias("item"))
+        )
+        .unionAll(
+            staged.select(
+                F.lit("doc").alias("domain"), F.col("doc_id").cast("string").alias("item")
+            )
+        )
+        .unionAll(
+            staged.select(F.lit("source").alias("domain"), F.col("source").alias("item"))
+        )
+    )
+    exact = items.groupBy("domain").agg(F.countDistinct("item").alias("n_exact"))
+
+    v = _hash60(F.col("item"), F.lit("hll"))
+    w = F.shiftright(v, HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        items.select("domain", v.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"), rho.alias("rho"))
+        .groupBy("domain", "idx")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    # pyspark's shiftleft() binding takes a PYTHON-int shift; the SQL
+    # function form accepts the column-valued shift
+    sums = regs.select(
+        "domain",
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - mreg)").alias("term"),
+    ).groupBy("domain").agg(
+        F.sum("term").alias("s_ne"), F.count(F.lit(1)).alias("n_reg")
+    )
+    v_empty = (F.lit(HLL_M) - F.col("n_reg")).cast("bigint")
+    s_total = F.col("s_ne") + v_empty * F.lit(1 << (_HLL_WBITS + 1)).cast("bigint")
+    e_raw = F.lit(_HLL_EST_NUM) / s_total.cast("double")
+    lin = (e_raw <= F.lit(_HLL_LIN_THRESHOLD)) & (v_empty > 0)
+    est = F.when(
+        lin,
+        F.round(
+            F.lit(float(HLL_M))
+            * F.round(F.log(F.lit(float(HLL_M)) / v_empty.cast("double")), 9),
+            6,
+        ),
+    ).otherwise(F.round(e_raw, 6))
+    report = sums.select(
+        "domain",
+        v_empty.alias("v_empty"),
+        F.when(lin, F.lit("linear")).otherwise(F.lit("raw")).alias("branch"),
+        est.alias("n_hll"),
+    )
+    return (
+        exact.join(report, "domain")
+        .select(
+            "domain",
+            "n_exact",
+            "n_hll",
+            F.round(
+                (F.col("n_hll") - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+                * 100,
+                4,
+            ).alias("err_pct"),
+            "v_empty",
+            "branch",
+        )
+        .orderBy("domain")
+    )
+
+
+def _hll_sql() -> str:
+    wb1 = _HLL_WBITS + 1
+    v = "CAST('0x' || substr(md5('hll:' || item), 1, 15) AS BIGINT)"
+    return rf"""
+WITH rawtok AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), items AS (
+  SELECT 'token' AS domain, unnest(toks) AS item FROM rawtok
+  UNION ALL
+  SELECT 'bigram' AS domain, array_to_string(toks[i:i+1], ' ') AS item
+  FROM (SELECT toks, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i FROM rawtok)
+  UNION ALL
+  SELECT 'gram5' AS domain, array_to_string(toks[i:i+4], ' ') AS item
+  FROM (SELECT toks, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i FROM rawtok)
+  UNION ALL
+  SELECT 'doc' AS domain, CAST(doc_id AS VARCHAR) AS item FROM documents
+  UNION ALL
+  SELECT 'source' AS domain, source AS item FROM documents
+), hashed AS (
+  SELECT domain, {v} & {HLL_M - 1} AS idx, {v} >> {HLL_P} AS w FROM items
+), regs AS (
+  SELECT domain, idx,
+         MAX(CASE WHEN w = 0 THEN {wb1} ELSE {wb1} - length(bin(w)) END) AS mreg
+  FROM hashed GROUP BY domain, idx
+), sums AS (
+  SELECT domain, CAST(SUM(1::BIGINT << ({wb1} - mreg)) AS BIGINT) AS s_ne,
+         CAST(COUNT(*) AS BIGINT) AS n_reg
+  FROM regs GROUP BY domain
+), scored AS (
+  SELECT domain, {HLL_M} - n_reg AS v_empty,
+         {_HLL_EST_NUM!r} / CAST(s_ne + ({HLL_M} - n_reg) * (1::BIGINT << {wb1}) AS DOUBLE) AS e_raw
+  FROM sums
+), report AS (
+  SELECT domain, v_empty,
+         CASE WHEN e_raw <= {_HLL_LIN_THRESHOLD!r} AND v_empty > 0 THEN 'linear' ELSE 'raw' END AS branch,
+         CASE WHEN e_raw <= {_HLL_LIN_THRESHOLD!r} AND v_empty > 0
+              THEN ROUND({float(HLL_M)!r} * ROUND(ln({float(HLL_M)!r} / CAST(v_empty AS DOUBLE)), 9), 6)
+              ELSE ROUND(e_raw, 6) END AS n_hll
+  FROM scored
+), exact AS (
+  SELECT domain, CAST(COUNT(DISTINCT item) AS BIGINT) AS n_exact FROM items GROUP BY domain
+)
+SELECT e.domain, e.n_exact, r.n_hll,
+       ROUND((r.n_hll - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE) * 100, 4) AS err_pct,
+       r.v_empty, r.branch
+FROM exact e JOIN report r ON e.domain = r.domain
+ORDER BY e.domain
+"""
+
+
+HLL_SQL = _hll_sql()

@@ -101,6 +101,10 @@ DOC_OPS = [
     # forms — train: per-round rows with n_vocab=0/nll=0, vocab: 0 rows)
     "unigram_lm_train",
     "unigram_lm_vocab",
+    # r9 session 3: HLL calibration (empty/whitespace docs add no
+    # token/bigram/gram5 items but still count in doc/source domains;
+    # a domain with zero items is absent from BOTH legs identically)
+    "hll_calibration_report",
 ]
 EMB_OPS = [
     "quantize_embeddings",

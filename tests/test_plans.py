@@ -561,3 +561,19 @@ def test_unigram_lm_segmentation_is_jvm_expression_folds(spark, sf_dir):
     # formatted mode prints each node in the tree AND the detail list
     assert plan.count("BroadcastNestedLoopJoin") == 2  # ONE node: the 1-row model
     assert "Exchange hashpartitioning" not in plan  # word table never reshuffled
+
+
+def test_hll_register_rollup_is_jvm_only_and_join_bounded(spark, sf_dir):
+    """The HLL path must be scan -> explode -> hash-agg: zero Python
+    nodes, zero windows, and the ONLY join is the |domains|-row
+    exact-vs-estimate report join."""
+    from mito_spark.operators.sketches import hll_calibration_report
+
+    plan = _plan(hll_calibration_report(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas", "CartesianProduct", "Window",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    joins = sum(plan.count(j) for j in
+                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins <= 2  # tree + detail rendering of the ONE report join

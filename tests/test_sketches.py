@@ -315,3 +315,90 @@ def test_bbit_estimator_is_exact_on_identical_docs(spark, tmp_path):
     assert (pdf["mean_est"] == 1.0).all()
     assert (pdf["mean_exact"] == 1.0).all()
     assert (pdf["mean_abs_err"] == 0.0).all()
+
+
+# ---------- HLL calibration ----------
+
+
+def _py_hll(items, p=12):
+    """Pure-Python twin of the engine-portable HLL: salted-md5 60-bit
+    hash, idx = low p bits, rho = leading-zero count of the remaining
+    bits + 1, exact integer register sum, linear-counting small-range
+    correction with the 9dp-rounded ln."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    m = 1 << p
+    wbits = 60 - p
+    regs = {}
+    for it in items:
+        v = int(hashlib.md5(f"hll:{it}".encode()).hexdigest()[:15], 16)
+        idx, w = v & (m - 1), v >> p
+        rho = (wbits + 1) if w == 0 else (wbits + 1 - w.bit_length())
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s = sum(1 << (wbits + 1 - r) for r in regs.values())
+    v_empty = m - len(regs)
+    s_total = s + v_empty * (1 << (wbits + 1))
+    alpha_num = (0.7213 / (1.0 + 1.079 / m)) * float(m) * float(m) * float(
+        1 << (wbits + 1)
+    )
+    e_raw = alpha_num / float(s_total)
+
+    def r(x, dp):
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{dp}"), ROUND_HALF_UP))
+
+    if e_raw <= 2.5 * m and v_empty > 0:
+        return r(float(m) * r(math.log(float(m) / v_empty), 9), 6), v_empty, "linear"
+    return r(e_raw, 6), v_empty, "raw"
+
+
+def test_hll_matches_python_reference(spark, tmp_path):
+    """Register contents, branch choice, and the 6dp estimate must
+    equal the hermetic pure-Python HLL on a constructed corpus."""
+    from mito_spark.operators.sketches import hll_calibration_report
+
+    docs = [
+        (i, " ".join(f"w{(i * 31 + j) % 97}" for j in range(40)), "en", f"s{i % 3}", 40)
+        for i in range(25)
+    ]
+    d = str(tmp_path / "hll")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+
+    toks = [t for _, text, *_ in docs for t in text.lower().split()]
+    token_items = set(toks)
+    per_doc = [text.lower().split() for _, text, *_ in docs]
+    bigrams = {f"{ts[i]} {ts[i+1]}" for ts in per_doc for i in range(len(ts) - 1)}
+    grams5 = {" ".join(ts[i : i + 5]) for ts in per_doc for i in range(len(ts) - 4)}
+    want = {
+        "token": (len(token_items), *_py_hll(token_items)),
+        "bigram": (len(bigrams), *_py_hll(bigrams)),
+        "gram5": (len(grams5), *_py_hll(grams5)),
+        "doc": (25, *_py_hll({str(i) for i in range(25)})),
+        "source": (3, *_py_hll({f"s{i}" for i in range(3)})),
+    }
+    got = {
+        r["domain"]: (r["n_exact"], r["n_hll"], r["v_empty"], r["branch"])
+        for r in hll_calibration_report(spark, d).collect()
+    }
+    assert got == want
+
+
+def test_hll_error_is_calibrated_on_gate_corpus(spark, sf_dir):
+    """The measured error must sit inside sane bounds for each branch:
+    linear-counting domains (tiny cardinality vs m=4096) within 5%,
+    the raw harmonic-mean branch within 3 standard errors
+    (3 * 1.04/sqrt(m) ~ 4.9%). Both branches must actually fire on the
+    gate corpus — the report exists to measure both."""
+    from mito_spark.operators.sketches import hll_calibration_report
+
+    rows = hll_calibration_report(spark, sf_dir).collect()
+    assert {r["domain"] for r in rows} == {"token", "bigram", "gram5", "doc", "source"}
+    branches = {r["domain"]: r["branch"] for r in rows}
+    assert branches["source"] == "linear"
+    assert branches["gram5"] == "raw"
+    for r in rows:
+        bound = 4.9 if r["branch"] == "raw" else 5.0
+        assert abs(r["err_pct"]) <= bound, (r["domain"], r["err_pct"])
