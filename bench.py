@@ -232,6 +232,9 @@ HEADLINE = [
     # register hash-agg, and the exact COUNT(DISTINCT) yardstick leg
     # are its own corpus-sized work.
     "hll_calibration_report",
+    # collocation_pmi_report excluded by the composition rule: its
+    # pair explode + count IS bpe_merge_candidates' benched shuffle,
+    # plus vocab-bounded broadcast joins and a TakeOrdered.
 ]
 
 

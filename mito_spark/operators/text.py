@@ -2168,3 +2168,115 @@ FROM v{ULM_ROUNDS}, (SELECT SUM(cnt) AS tot FROM v{ULM_ROUNDS})
 ORDER BY cnt DESC, piece
 """
 )
+
+
+# --- PMI collocations ---------------------------------------------------
+
+PMI_MIN_COUNT = 5  # Church-Hanks minimum pair count (PMI is unstable below)
+PMI_TOP = 100
+
+
+def collocation_pmi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church &
+    Hanks, CL 1990): adjacent token pairs scored by
+    ln(P(a,b) / (P(a)P(b))) against the corpus unigram/bigram counts,
+    min-count-thresholded (PMI is dominated by hapax noise below ~5
+    occurrences — the classic failure mode the threshold exists for),
+    top PMI_TOP by (pmi desc, pair asc). The ASSOCIATION-strength
+    complement of ``bpe_merge_candidates`` (raw count: what a
+    tokenizer merges) and ``text_bigram_surprisal`` (per-doc order
+    anomaly): PMI surfaces the pairs that co-occur far above chance —
+    multiword expressions, boilerplate templates, glued entities — the
+    list a corpus auditor reads before deciding n-gram
+    dedup/boilerplate thresholds.
+
+    Scale shape: one tokenize scan staged (pair structs checkpointed
+    before the explode — Generate re-evaluation rule); unigram and
+    bigram counts are vocab- / vocab²-bounded groupBys with map-side
+    combine; both count joins BROADCAST the unigram table (vocab-sized
+    — small at any corpus size by Heaps' law relative to the corpus);
+    the total is a 1-row broadcast; top-K is a TakeOrdered, never a
+    global sort. The pmi expression is one ln over an
+    identically-associated double product, 6dp-rounded — hash-exact
+    across engines.
+    """
+    from mito_spark.engine import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pair_structs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("a"),
+                F.element_at(F.col("toks"), i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    staged = (
+        docs.select(_tokens(F.lower(F.col("text"))).alias("toks"))
+        .select("toks", pair_structs.alias("pairs"))
+        .localCheckpoint()
+    )
+    uni = (
+        staged.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    big = (
+        staged.select(F.explode("pairs").alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    tot = big.agg(F.sum("c_ab").alias("n"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
+    return (
+        big.where(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_a",
+            "c_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("c_a"))
+                    * (F.col("n").cast("double") / F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(PMI_TOP)
+    )
+
+
+COLLOCATION_PMI_SQL = rf"""
+WITH rawtok AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+  FROM (SELECT unnest(toks) AS w FROM rawtok) GROUP BY w
+), pairs AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM (SELECT toks, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i FROM rawtok)
+), big AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b
+), tot AS (
+  SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM big
+)
+SELECT big.a, big.b, ua.c_w AS c_a, ub.c_w AS c_b, c_ab,
+       ROUND(ln((CAST(c_ab AS DOUBLE) / ua.c_w) * (CAST(n AS DOUBLE) / ub.c_w)), 6) AS pmi
+FROM big
+JOIN uni ua ON big.a = ua.w
+JOIN uni ub ON big.b = ub.w, tot
+WHERE c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, big.a, big.b
+LIMIT {PMI_TOP}
+"""

@@ -105,6 +105,9 @@ DOC_OPS = [
     # token/bigram/gram5 items but still count in doc/source domains;
     # a domain with zero items is absent from BOTH legs identically)
     "hll_calibration_report",
+    # r9 session 3: PMI collocations (degenerate corpus has no pair
+    # crossing the min count -> 0 rows on both engines, not a crash)
+    "collocation_pmi_report",
 ]
 EMB_OPS = [
     "quantize_embeddings",

@@ -577,3 +577,18 @@ def test_hll_register_rollup_is_jvm_only_and_join_bounded(spark, sf_dir):
     joins = sum(plan.count(j) for j in
                 ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert joins <= 2  # tree + detail rendering of the ONE report join
+
+
+def test_collocation_pmi_broadcasts_vocab_and_take_orders(spark, sf_dir):
+    """Both unigram-count joins must BROADCAST the vocab-sized side,
+    the total is a 1-row broadcast, top-K is a TakeOrdered (no global
+    sort), and the row path is JVM-only."""
+    from mito_spark.operators.text import collocation_pmi_report
+
+    plan = _plan(collocation_pmi_report(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                 "SortMergeJoin", "ShuffledHashJoin", "Window"):
+        assert node not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    assert "TakeOrderedAndProject" in plan

@@ -862,3 +862,45 @@ def test_unigram_lm_nll_descends_on_gate_corpus(spark, sf_dir):
     assert [r["round"] for r in rows] == [1, 2]
     assert rows[1]["nll"] < rows[0]["nll"]
     assert rows[1]["n_vocab"] <= rows[0]["n_vocab"]  # self-pruning
+
+
+def test_collocation_pmi_matches_python_reference(spark, tmp_path):
+    """PMI scores and the (min-count, top-K, tie-break) cut against a
+    pure-Python reference on a constructed corpus with a known strong
+    collocation."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mito_spark.operators.text import PMI_MIN_COUNT, collocation_pmi_report
+
+    # "new york" is the only pair crossing PMI_MIN_COUNT: the filler
+    # words vary per repetition so every other pair occurs once
+    text = " ".join(f"new york alpha{i} the beta{i} the gamma{i}" for i in range(8))
+    d = str(tmp_path / "pmi")
+    spark.createDataFrame(
+        [(0, text, "en", "t", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+
+    toks = text.lower().split()
+    uni, big = {}, {}
+    for w in toks:
+        uni[w] = uni.get(w, 0) + 1
+    for x, y in zip(toks, toks[1:]):
+        big[(x, y)] = big.get((x, y), 0) + 1
+    n = sum(big.values())
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    want = sorted(
+        (
+            (a, b, uni[a], uni[b], c, r6(math.log((c / uni[a]) * (n / uni[b]))))
+            for (a, b), c in big.items()
+            if c >= PMI_MIN_COUNT
+        ),
+        key=lambda t: (-t[5], t[0], t[1]),
+    )[:100]
+    got = [tuple(r) for r in collocation_pmi_report(spark, d).collect()]
+    assert got == want
+    assert got[0][:2] == ("new", "york")  # the planted collocation wins
