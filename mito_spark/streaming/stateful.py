@@ -601,3 +601,118 @@ def streaming_user_ewma_calendar(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming weighted reservoir (Efraimidis-Spirakis) -----------------
+
+ES_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_chars", LongType()),
+        StructField("es_key", DoubleType()),
+        StructField("es_rank", LongType()),
+    ]
+)
+
+ES_STATE_SCHEMA = StructType(
+    [
+        StructField("doc_ids", ArrayType(LongType())),
+        StructField("ncs", ArrayType(LongType())),
+        StructField("keys", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _es_step_factory(k: int, salt: str):
+    def step(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from mito_spark.operators.sampling import _U_DENOM
+
+        if state.exists:
+            doc_ids, ncs, keys = (list(x) for x in state.get)
+        else:
+            doc_ids, ncs, keys = [], [], []
+        pool = {d: (n, e) for d, n, e in zip(doc_ids, ncs, keys)}
+        buf = [pdf[["doc_id", "n_chars"]] for pdf in batches if not pdf.empty]
+        if buf:
+            allrows = pd.concat(buf, ignore_index=True)
+            for d, n in zip(allrows["doc_id"], allrows["n_chars"]):
+                d, n = int(d), int(n)
+                if n <= 0:  # zero weight = zero selection probability
+                    continue
+                # mirror the batch expression tree op-for-op:
+                # (CAST(v AS DOUBLE) + 1) / 2^60, ln, HALF_UP round 9dp
+                v = int(hashlib.md5(f"{salt}:{d}".encode()).hexdigest()[:15], 16)
+                u = (float(v) + 1.0) / float(_U_DENOM)
+                es = float(
+                    Decimal(repr(math.log(u) / float(n))).quantize(
+                        Decimal("1e-9"), rounding=ROUND_HALF_UP
+                    )
+                )
+                pool[d] = (n, es)
+        top = sorted(pool.items(), key=lambda it: (-it[1][1], it[0]))[:k]
+        state.update(
+            (
+                [d for d, _ in top],
+                [n for _, (n, _) in top],
+                [e for _, (_, e) in top],
+            )
+        )
+        yield pd.DataFrame(
+            [
+                (key[0], d, n, e, r)
+                for r, (d, (n, e)) in enumerate(top, start=1)
+            ],
+            columns=["source", "doc_id", "n_chars", "es_key", "es_rank"],
+        )
+
+    return step
+
+
+def streaming_weighted_sample(
+    docs: DataFrame, k: int | None = None, salt: str = "wsample:v1"
+) -> DataFrame:
+    """Streaming twin of ``sampling.weighted_sample_es`` — a continuous
+    weight-proportional reservoir per source stratum: every micro-batch
+    re-emits each touched stratum's refreshed top-k reservoir (update
+    mode; replace the stratum's previous emission wholesale — evicted
+    docs do NOT get retraction rows).
+
+    Unlike the EWMA/rolling twins, equality with the batch operator
+    holds under ANY arrival order, not just in-order streams: the
+    Efraimidis-Spirakis keys are content-derived (md5 of the salted
+    doc_id), so the reservoir is a top-k merge — associative,
+    commutative, idempotent (a replayed doc overwrites itself in the
+    pool by doc_id). This is the mergeable-summary property the batch
+    docstring cites, running live.
+
+    State is O(k) scalars per stratum, independent of stream length;
+    the per-batch work is |batch| hash+ln evaluations plus a sort of
+    pool+batch (≤ k + |batch| rows). The es_key arithmetic mirrors the
+    batch expression tree op-for-op (exact power-of-two u scaling, 9dp
+    HALF_UP round), so the final reservoir equals
+    ``weighted_sample_es`` on the replayed log bit-for-bit —
+    batch-vs-stream equality is pytest-pinned across an
+    ARBITRARY (non-chronological) 3-way split.
+    """
+    from mito_spark.operators.sampling import WEIGHTED_SAMPLE_K
+
+    if k is None:
+        k = WEIGHTED_SAMPLE_K
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _es_step_factory(k, salt),
+            outputStructType=ES_OUTPUT_SCHEMA,
+            stateStructType=ES_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

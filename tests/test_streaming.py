@@ -630,3 +630,62 @@ def test_streaming_user_ewma_calendar_matches_batch_multibatch(spark, sf_dir, tm
     # whenever any user has a quiet day — require real gap coverage
     assert sum(1 for (_, _day), (v, _) in want.items() if v == 0.0) > 0
     assert len(want) > 50 and got == want
+
+
+def test_streaming_weighted_sample_matches_batch_any_order(spark, sf_dir, tmp_path):
+    """The ES reservoir twin must equal the batch operator bit-for-bit
+    after the full stream — under an ARBITRARY (doc_id mod 3,
+    non-chronological) micro-batch split, since content-derived keys
+    make the top-k merge order-independent. Each touched stratum
+    re-emits its whole reservoir, so the LAST emission per source is
+    the comparison unit (evicted docs have no retraction rows)."""
+    import os
+    import time
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.sampling import weighted_sample_es
+    from mito_spark.streaming.stateful import streaming_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = str(tmp_path / "ws")
+    dest = d + "/documents.parquet"
+    seen: set = set()
+    base_t = time.time()
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(dest)
+        for f in os.listdir(dest):
+            if f in seen:
+                continue
+            seen.add(f)
+            fp = os.path.join(dest, f)
+            os.utime(fp, (base_t + 100 * i, base_t + 100 * i))
+    schema = spark.read.parquet(dest).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    latest: dict = {}
+
+    def on_batch(b, _i):
+        rows = b.collect()
+        for src in {r.source for r in rows}:
+            latest[src] = [r for r in rows if r.source == src]
+
+    sink = ChannelSink("wsstream", on_batch)
+    q = sink.send_to(
+        streaming_weighted_sample(stream), output_mode="update", availableNow=True
+    )
+    q.awaitTermination(180)
+    sink.close()
+
+    got = {
+        (r.source, r.doc_id): (r.n_chars, r.es_key, r.es_rank)
+        for rows in latest.values()
+        for r in rows
+    }
+    want = {
+        (r.source, r.doc_id): (r.n_chars, r.es_key, r.es_rank)
+        for r in weighted_sample_es(spark, d).collect()
+    }
+    assert len(want) > 0 and got == want
