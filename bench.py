@@ -235,6 +235,9 @@ HEADLINE = [
     # collocation_pmi_report excluded by the composition rule: its
     # pair explode + count IS bpe_merge_candidates' benched shuffle,
     # plus vocab-bounded broadcast joins and a TakeOrdered.
+    # unigram_encode excluded like bpe_encode: its cost IS the benched
+    # unigram_lm_train loop plus one more type-table seg pass and a
+    # doc-keyed usage rollup.
 ]
 
 

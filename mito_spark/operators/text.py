@@ -2280,3 +2280,80 @@ WHERE c_ab >= {PMI_MIN_COUNT}
 ORDER BY pmi DESC, big.a, big.b
 LIMIT {PMI_TOP}
 """
+
+
+def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION under the trained unigram model — the
+    ``bpe_encode`` symmetry for the other induction algorithm: train
+    ULM_ROUNDS hard-EM rounds, then Viterbi-segment every word TYPE
+    under the FINAL vocabulary (one extra lp+seg pass over the type
+    table) and roll the per-type piece counts up to documents through
+    the (doc, word) usage frame. Output per doc: n_words, n_pieces,
+    pieces_per_word (the per-doc fertility a sequence-packing planner
+    budgets with; NULL on zero-word docs via the left join). Words
+    longer than ULM_MAXW are excluded on both engines (the trainer's
+    cap — they never had a segmentation).
+
+    Scale shape: everything corpus-sized is ONE usage explode + the
+    doc-keyed rollup; the segmented type table joins in under a
+    BROADCAST (vocab-scale by Heaps' law), and the training loop it
+    composes is the audited |vocab|-row-shuffle design. The oracle
+    unrolls the SAME chain one round deeper (lp/seg built on the final
+    v{R} table are exactly round R+1's E-step CTEs)."""
+    from mito_spark.engine import spread
+
+    _, vocab = _ulm_train(spark, sf_dir)
+    lp = _ulm_lp(vocab).localCheckpoint()
+    words = _ulm_words(spark, sf_dir)
+    segp = _ulm_seg(words, lp).select(
+        "w", (F.size("bt") - 1).cast("bigint").alias("n_pieces_w")
+    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    usage = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    ).where(F.length("w") <= ULM_MAXW)
+    per_doc = (
+        usage.join(F.broadcast(segp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.sum("n_pieces_w").alias("np"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nw"), F.lit(0).cast("bigint")).alias("n_words"),
+            F.coalesce(F.col("np"), F.lit(0).cast("bigint")).alias("n_pieces"),
+            F.round(F.col("np").cast("double") / F.col("nw"), 6).alias(
+                "pieces_per_word"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ULM_ENCODE_SQL = (
+    _ulm_sql_chain(ULM_ROUNDS + 1)
+    + f"""
+, segp AS (
+  SELECT w, CAST(len(bt) - 1 AS BIGINT) AS n_pieces_w FROM seg{ULM_ROUNDS + 1}
+), usage AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS w
+    FROM documents)
+  WHERE length(w) <= {ULM_MAXW}
+), perdoc AS (
+  SELECT u.doc_id, CAST(COUNT(*) AS BIGINT) AS nw, CAST(SUM(s.n_pieces_w) AS BIGINT) AS np
+  FROM usage u JOIN segp s ON u.w = s.w GROUP BY u.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.nw, 0) AS n_words,
+       coalesce(p.np, 0) AS n_pieces,
+       ROUND(CAST(p.np AS DOUBLE) / p.nw, 6) AS pieces_per_word
+FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+)

@@ -108,6 +108,9 @@ DOC_OPS = [
     # r9 session 3: PMI collocations (degenerate corpus has no pair
     # crossing the min count -> 0 rows on both engines, not a crash)
     "collocation_pmi_report",
+    # r9 session 3: unigram application (zero-word docs keep a row
+    # with n_words=0 and NULL ratio via the left join)
+    "unigram_encode",
 ]
 EMB_OPS = [
     "quantize_embeddings",

@@ -904,3 +904,76 @@ def test_collocation_pmi_matches_python_reference(spark, tmp_path):
     got = [tuple(r) for r in collocation_pmi_report(spark, d).collect()]
     assert got == want
     assert got[0][:2] == ("new", "york")  # the planted collocation wins
+
+
+def test_unigram_encode_matches_python_reference(spark, tmp_path):
+    """Per-doc piece counts under the FINAL trained vocabulary must
+    equal a pure-Python Viterbi over the reference trainer's output
+    (same lp rounding, same smallest-k tie-break)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mito_spark.operators.text import unigram_encode
+
+    words = {"lower": 4, "low": 7, "newest": 5, "widest": 6, "wide": 3}
+    # two docs with different word mixes
+    doc_words = [["low"] * 3 + ["newest"] * 2, ["lower", "widest", "wide"] * 2]
+    text_all = " ".join(w for w, c in words.items() for _ in range(c))
+    d = str(tmp_path / "ulmenc")
+    rows = [(0, text_all, "en", "t", len(text_all))] + [
+        (i + 1, " ".join(ws), "en", "t", len(" ".join(ws)))
+        for i, ws in enumerate(doc_words)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+
+    # corpus word counts include ALL docs
+    wc = dict(words)
+    for ws in doc_words:
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+    _, probs = _ulm_reference(wc)
+    vocab = dict(probs)
+    tot = sum(vocab.values())
+
+    def r9(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    lp = {p: r9(math.log(c / tot)) for p, c in vocab.items()}
+
+    def pieces(w, maxp=4):
+        best = [0.0] * (len(w) + 1)
+        for i in range(1, len(w) + 1):
+            best[i] = max(
+                best[i - k] + lp.get(w[i - k : i], -1e9)
+                for k in range(1, maxp + 1)
+                if k <= i
+            )
+        n, pos = 0, len(w)
+        while pos > 0:
+            for k in range(1, maxp + 1):
+                if (
+                    k <= pos
+                    and best[pos - k] + lp.get(w[pos - k : pos], -1e9) == best[pos]
+                ):
+                    n += 1
+                    pos -= k
+                    break
+        return n
+
+    def want_row(doc_id, ws):
+        np_ = sum(pieces(w) for w in ws)
+        # HALF_UP like F.round, not Python's banker's round
+        r6 = float(
+            Decimal(repr(np_ / len(ws))).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+        return (doc_id, len(ws), np_, r6)
+
+    want = [
+        want_row(0, [w for w, c in words.items() for _ in range(c)]),
+        want_row(1, doc_words[0]),
+        want_row(2, doc_words[1]),
+    ]
+    got = [tuple(r) for r in unigram_encode(spark, d).collect()]
+    assert got == want
