@@ -911,3 +911,49 @@ ORDER BY e.domain
 
 
 HLL_SQL = _hll_sql()
+
+
+def hll_distinct_by(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
+    """Per-key HLL distinct estimate over an item column — the
+    reusable batch form of ``hll_calibration_report``'s register
+    pipeline (same salted hash, exact integer register sum, branch
+    rule): (key, n_hll, v_empty, branch). This is the aggregate whose
+    per-key state is the m-row mergeable register summary; its
+    streaming twin (``streaming/stateful.streaming_hll_distinct``)
+    maintains exactly that summary live and is pytest-pinned equal
+    under ANY arrival order (register merge = MAX, associative and
+    commutative)."""
+    from mito_spark.operators.dedup import _hash60
+
+    v = _hash60(F.col(item_col), F.lit("hll"))
+    w = F.shiftright(v, HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(F.col(key_col).alias("k"), v.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"), rho.alias("rho"))
+        .groupBy("k", "idx")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    sums = regs.select(
+        "k",
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - mreg)").alias("term"),
+    ).groupBy("k").agg(F.sum("term").alias("s_ne"), F.count(F.lit(1)).alias("n_reg"))
+    v_empty = (F.lit(HLL_M) - F.col("n_reg")).cast("bigint")
+    s_total = F.col("s_ne") + v_empty * F.lit(1 << (_HLL_WBITS + 1)).cast("bigint")
+    e_raw = F.lit(_HLL_EST_NUM) / s_total.cast("double")
+    lin = (e_raw <= F.lit(_HLL_LIN_THRESHOLD)) & (v_empty > 0)
+    est = F.when(
+        lin,
+        F.round(
+            F.lit(float(HLL_M))
+            * F.round(F.log(F.lit(float(HLL_M)) / v_empty.cast("double")), 9),
+            6,
+        ),
+    ).otherwise(F.round(e_raw, 6))
+    return sums.select(
+        F.col("k").alias(key_col),
+        est.alias("n_hll"),
+        v_empty.alias("v_empty"),
+        F.when(lin, F.lit("linear")).otherwise(F.lit("raw")).alias("branch"),
+    )

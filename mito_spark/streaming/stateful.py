@@ -716,3 +716,103 @@ def streaming_weighted_sample(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming HLL distinct counter -------------------------------------
+
+HLL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("n_hll", DoubleType()),
+        StructField("v_empty", LongType()),
+        StructField("branch", StringType()),
+    ]
+)
+
+# sparse register summary: only the touched registers (idx, max rho)
+HLL_STREAM_STATE_SCHEMA = StructType(
+    [
+        StructField("idxs", ArrayType(LongType())),
+        StructField("rhos", ArrayType(LongType())),
+    ]
+)
+
+
+def _hll_step_factory():
+    def step(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from mito_spark.operators.sketches import (
+            HLL_M,
+            HLL_P,
+            _HLL_EST_NUM,
+            _HLL_LIN_THRESHOLD,
+            _HLL_WBITS,
+        )
+
+        regs: dict = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        for pdf in batches:
+            for it in pdf["item"]:
+                v = int(hashlib.md5(f"hll:{it}".encode()).hexdigest()[:15], 16)
+                idx, w = v & (HLL_M - 1), v >> HLL_P
+                rho = (_HLL_WBITS + 1) if w == 0 else (_HLL_WBITS + 1 - w.bit_length())
+                if rho > regs.get(idx, 0):
+                    regs[idx] = rho
+        state.update((list(regs.keys()), list(regs.values())))
+        s_ne = sum(1 << (_HLL_WBITS + 1 - r) for r in regs.values())
+        v_empty = HLL_M - len(regs)
+        s_total = s_ne + v_empty * (1 << (_HLL_WBITS + 1))
+        e_raw = _HLL_EST_NUM / float(s_total)
+
+        def rdp(x, dp):
+            return float(
+                Decimal(repr(x)).quantize(Decimal(f"1e-{dp}"), ROUND_HALF_UP)
+            )
+
+        if e_raw <= _HLL_LIN_THRESHOLD and v_empty > 0:
+            est, branch = (
+                rdp(float(HLL_M) * rdp(math.log(float(HLL_M) / v_empty), 9), 6),
+                "linear",
+            )
+        else:
+            est, branch = rdp(e_raw, 6), "raw"
+        yield pd.DataFrame(
+            [(key[0], est, v_empty, branch)],
+            columns=["source", "n_hll", "v_empty", "branch"],
+        )
+
+    return step
+
+
+def streaming_hll_distinct(items: DataFrame) -> DataFrame:
+    """Streaming twin of ``sketches.hll_distinct_by`` — a LIVE per-key
+    distinct counter: each micro-batch folds arriving items into the
+    key's sparse HLL register summary (at most m = 4096 (idx, max rho)
+    pairs of state, regardless of stream length or cardinality) and
+    re-emits the refreshed estimate (update mode).
+
+    Register merge is MAX — associative, commutative, idempotent — so
+    like ``streaming_weighted_sample`` (and unlike the order-sensitive
+    EWMA twins) batch-vs-stream equality holds under ANY arrival order
+    and ANY batch split, including replayed items. The estimate
+    arithmetic mirrors the batch expression tree op-for-op (exact
+    integer register sums; the linear branch's ln 9dp-rounded), so the
+    final emission per key equals ``hll_distinct_by`` on the replayed
+    log bit-for-bit — pytest-pinned across a non-chronological split.
+
+    Expects an (source, item) frame: tokenize upstream with the SAME
+    JVM expressions as the batch op so the hashed items are identical
+    (the test streams ``explode(_tokens(lower(text)))``)."""
+    return items.groupBy("source").applyInPandasWithState(
+        _hll_step_factory(),
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

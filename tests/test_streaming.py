@@ -689,3 +689,62 @@ def test_streaming_weighted_sample_matches_batch_any_order(spark, sf_dir, tmp_pa
         for r in weighted_sample_es(spark, d).collect()
     }
     assert len(want) > 0 and got == want
+
+
+def test_streaming_hll_distinct_matches_batch_any_order(spark, sf_dir, tmp_path):
+    """The live HLL register summary must equal the batch
+    hll_distinct_by bit-for-bit after the full stream, under a
+    non-chronological (doc_id mod 3) split — register merge is MAX, so
+    arrival order and batch boundaries cannot matter."""
+    import os
+    import time
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.sketches import hll_distinct_by
+    from mito_spark.operators.text import _tokens
+    from mito_spark.streaming.stateful import streaming_hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = str(tmp_path / "hll")
+    dest = d + "/documents.parquet"
+    seen: set = set()
+    base_t = time.time()
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(dest)
+        for f in os.listdir(dest):
+            if f in seen:
+                continue
+            seen.add(f)
+            os.utime(os.path.join(dest, f), (base_t + 100 * i, base_t + 100 * i))
+    schema = spark.read.parquet(dest).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+        .select(
+            "source", F.explode(_tokens(F.lower(F.col("text")))).alias("item")
+        )
+    )
+    latest: dict = {}
+
+    def on_batch(b, _i):
+        for r in b.collect():
+            latest[r.source] = (r.n_hll, r.v_empty, r.branch)
+
+    sink = ChannelSink("hllstream", on_batch)
+    q = sink.send_to(
+        streaming_hll_distinct(stream), output_mode="update", availableNow=True
+    )
+    q.awaitTermination(180)
+    sink.close()
+
+    batch_items = docs.select(
+        "source", F.explode(_tokens(F.lower(F.col("text")))).alias("item")
+    )
+    want = {
+        r.source: (r.n_hll, r.v_empty, r.branch)
+        for r in hll_distinct_by(batch_items, "source", "item").collect()
+    }
+    assert len(want) > 1 and latest == want
