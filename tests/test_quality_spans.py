@@ -465,6 +465,11 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "bbit_minhash_report",
         "cms_calibration_report",
         "bloom_decontaminate_report",
+        "unigram_lm_train",
+        "unigram_lm_vocab",
+        "unigram_encode",
+        "hll_calibration_report",
+        "collocation_pmi_report",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
