@@ -238,6 +238,9 @@ HEADLINE = [
     # unigram_encode excluded like bpe_encode: its cost IS the benched
     # unigram_lm_train loop plus one more type-table seg pass and a
     # doc-keyed usage rollup.
+    # lsh_bucket_skew_report excluded by the composition rule: its
+    # cost IS the benched dedup_minhash_lsh signature/band stages plus
+    # a (band,key) count and a BANDS-row rollup.
 ]
 
 

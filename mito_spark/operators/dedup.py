@@ -258,13 +258,12 @@ def minhash_lsh_dedup(
     )
 
 
-def _minhash_cand_sql(shingle: int = 3) -> str:
-    """Shared oracle head: tokenize → shingle → md5 hash → salted
-    signatures (K independent salted md5s, matching the module-level
-    scheme at line ~153) → band keys → distinct candidate pairs, ending with the
-    ``cand`` CTE open for a caller-appended continuation (the ``sig``
-    CTE still carries ``sh`` for exact-Jaccard verification). Used by
-    the LSH-dedup oracle and the estimate-report oracle."""
+def _minhash_keyed_sql(shingle: int = 3) -> str:
+    """Oracle head through the ``keyed`` CTE: tokenize → shingle →
+    salted signatures (K independent salted md5s, matching the
+    module-level scheme at line ~153) → (doc_id, band, key). Shared by
+    the candidate head below and the bucket-skew report (which needs
+    band keys but no pair join)."""
     sep = " || ':' || "
     band_cases = " ".join(
         f"WHEN {b} THEN md5("
@@ -290,10 +289,22 @@ WITH rawtok AS (
 ), keyed AS (
   SELECT doc_id, band, CASE band {band_cases} END AS key
   FROM sig, range(0, {BANDS}) t(band)
-), cand AS (
+)"""
+
+
+def _minhash_cand_sql(shingle: int = 3) -> str:
+    """Shared oracle head: the ``keyed`` chain plus distinct candidate
+    pairs, ending with the ``cand`` CTE open for a caller-appended
+    continuation (the ``sig`` CTE still carries ``sh`` for
+    exact-Jaccard verification). Used by the LSH-dedup oracle and the
+    estimate-report oracle."""
+    return (
+        _minhash_keyed_sql(shingle)
+        + """, cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )"""
+    )
 
 
 def _minhash_sql(threshold: float = 0.5, shingle: int = 3) -> str:
@@ -2015,3 +2026,81 @@ FROM bk GROUP BY jaccard_bucket, b ORDER BY jaccard_bucket, b
 
 
 BBIT_MINHASH_SQL = _bbit_minhash_sql()
+
+
+def lsh_bucket_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED LSH band-bucket skew — the standing monitor for the
+    failure mode minhash_estimate_report caught in r8 (the
+    affine-rehash scheme put every document sharing the corpus-minimum
+    shingle into ONE bucket in EVERY band): per band, the bucket-size
+    distribution the banding actually produced — bucket count, max
+    bucket, singleton share, top-bucket occupancy share, and the
+    band's generated candidate-pair mass Σ C(size, 2). That last
+    column is THE 100 TB number: the LSH self-join's cost is exactly
+    the candidate mass, and a hot bucket makes it quadratic while
+    every mean-size statistic still looks healthy. Healthy banding
+    reads max_bucket ≈ near-dup cluster size and candidate_pairs ≈
+    (true near-dup pairs) / (1 - miss rate); the r8 pathology read
+    max_bucket ≈ 0.8·n_docs and candidate_pairs ≈ n_docs²/2 per band
+    — this report would have flagged it in round 2.
+
+    Scale shape: ONE signature pass (the shared `_band_keys` stage the
+    dedup tiers use), a (band, key)-keyed count with map-side combine
+    (≤ |docs|·BANDS slim rows into a uniform md5 key space), and a
+    BANDS-row rollup of integer stats — no joins, no windows, nothing
+    corpus-sized past the bucket count. All-integer arithmetic except
+    the two 6dp share ratios, so the report is hash-oracled.
+    """
+    from mito_spark.engine import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = _staged_shingles(docs, 3)
+    sigd = sh.select(
+        "doc_id", _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig")
+    ).localCheckpoint()
+    sizes = (
+        _band_keys(sigd)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("sz").alias("n_docs"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).alias("n_single"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).alias("candidate_pairs"),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_buckets",
+            "n_docs",
+            "max_bucket",
+            F.round(
+                F.col("n_single").cast("double") / F.col("n_buckets"), 6
+            ).alias("singleton_share"),
+            F.round(
+                F.col("max_bucket").cast("double") / F.col("n_docs"), 6
+            ).alias("top_bucket_share"),
+            "candidate_pairs",
+        )
+        .orderBy("band")
+    )
+
+
+LSH_BUCKET_SKEW_SQL = (
+    _minhash_keyed_sql(3)
+    + """, sizes AS (
+  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS sz FROM keyed GROUP BY band, key
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       MAX(sz) AS max_bucket,
+       ROUND(CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS singleton_share,
+       ROUND(CAST(MAX(sz) AS DOUBLE) / CAST(SUM(sz) AS BIGINT), 6) AS top_bucket_share,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM sizes GROUP BY band ORDER BY band
+"""
+)

@@ -111,6 +111,10 @@ DOC_OPS = [
     # r9 session 3: unigram application (zero-word docs keep a row
     # with n_words=0 and NULL ratio via the left join)
     "unigram_encode",
+    # r9 session 3: bucket skew (degenerate docs still produce one
+    # truncated shingle each; all-identical signatures are exactly the
+    # hot-bucket shape the report exists to measure, not a crash)
+    "lsh_bucket_skew_report",
 ]
 EMB_OPS = [
     "quantize_embeddings",

@@ -508,3 +508,42 @@ def test_simhash_estimate_tracks_exact_cosine_at_served_distances(spark, sf_dir)
         assert abs(r.mean_est_cos - round(math.cos(math.pi * r.hamming / SIMHASH_BITS), 6)) < 1e-6
         if r.hamming <= SIMHASH_MAX_DIST:
             assert r.mean_abs_err < 0.05, (r.hamming, r.mean_abs_err)
+
+
+def test_lsh_bucket_skew_flags_planted_hot_bucket(spark, tmp_path):
+    """A planted cluster of identical docs must surface as max_bucket
+    == cluster size in EVERY band (identical signatures share every
+    band key) with candidate_pairs >= C(cluster, 2) — the signal shape
+    the r8 affine-rehash pathology would have shown; distinct docs
+    stay in small buckets."""
+    from mito_spark.operators.dedup import BANDS, lsh_bucket_skew_report
+
+    cluster = ["common text body shared verbatim by the hot cluster"] * 6
+    # fully disjoint token sets — no shared shingles, no collisions
+    distinct = [
+        " ".join(f"w{i}x{j}" for j in range(8)) for i in range(20)
+    ]
+    rows = [(i, t) for i, t in enumerate(cluster + distinct)]
+    d = str(tmp_path / "skew")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        d + "/documents.parquet"
+    )
+    out = lsh_bucket_skew_report(spark, d).collect()
+    assert len(out) == BANDS
+    for r in out:
+        assert r["max_bucket"] == 6
+        assert r["candidate_pairs"] >= 15  # C(6,2)
+        assert r["n_docs"] == 26
+
+
+def test_lsh_bucket_skew_is_healthy_on_gate_corpus(spark, sf_dir):
+    """On the real corpus the post-r8 salted scheme must show no hot
+    bucket: top_bucket_share stays tiny and the per-band candidate
+    mass stays linear-ish in docs (quadratic blowup = regression to
+    the affine-rehash failure)."""
+    from mito_spark.operators.dedup import lsh_bucket_skew_report
+
+    rows = lsh_bucket_skew_report(spark, sf_dir).collect()
+    for r in rows:
+        assert r["top_bucket_share"] <= 0.05
+        assert r["candidate_pairs"] <= r["n_docs"]

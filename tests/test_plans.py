@@ -592,3 +592,19 @@ def test_collocation_pmi_broadcasts_vocab_and_take_orders(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_bucket_skew_has_no_joins_and_reuses_signatures(spark, sf_dir):
+    """The skew report is count + rollup only: zero joins of any kind,
+    zero Python, zero windows; the band keys derive from the
+    checkpointed signature scan (the shared signature-pass
+    discipline), so the minhash fold never re-runs in this plan."""
+    from mito_spark.operators.dedup import lsh_bucket_skew_report
+
+    plan = _plan(lsh_bucket_skew_report(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                 "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "Window"):
+        assert node not in plan
+    assert "ExistingRDD" in plan  # checkpointed signatures
+    assert "aggregate(" not in plan  # the minhash fold ran at checkpoint
