@@ -2250,6 +2250,23 @@ def collocation_pmi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("pmi"),
+            # NPMI (Bouma, GSCL 2009): pmi / -ln(p(a,b)) in [-1, 1] —
+            # the corpus-size-normalized score comparable across
+            # datasets; same two lns, identically associated. p(a,b)=1
+            # (a one-pair corpus) zeroes the denominator — NULL on
+            # both engines (Spark would say Infinity, DuckDB NULL)
+            F.when(F.col("c_ab") == F.col("n"), F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.log(
+                        (F.col("c_ab").cast("double") / F.col("c_a"))
+                        * (F.col("n").cast("double") / F.col("c_b"))
+                    )
+                    / -F.log(F.col("c_ab").cast("double") / F.col("n")),
+                    6,
+                )
+            )
+            .alias("npmi"),
         )
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(PMI_TOP)
@@ -2272,7 +2289,10 @@ WITH rawtok AS (
   SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM big
 )
 SELECT big.a, big.b, ua.c_w AS c_a, ub.c_w AS c_b, c_ab,
-       ROUND(ln((CAST(c_ab AS DOUBLE) / ua.c_w) * (CAST(n AS DOUBLE) / ub.c_w)), 6) AS pmi
+       ROUND(ln((CAST(c_ab AS DOUBLE) / ua.c_w) * (CAST(n AS DOUBLE) / ub.c_w)), 6) AS pmi,
+       CASE WHEN c_ab = n THEN NULL
+            ELSE ROUND(ln((CAST(c_ab AS DOUBLE) / ua.c_w) * (CAST(n AS DOUBLE) / ub.c_w))
+                       / -ln(CAST(c_ab AS DOUBLE) / n), 6) END AS npmi
 FROM big
 JOIN uni ua ON big.a = ua.w
 JOIN uni ub ON big.b = ub.w, tot

@@ -893,9 +893,24 @@ def test_collocation_pmi_matches_python_reference(spark, tmp_path):
     def r6(x):
         return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
 
+    def npmi(a, b, c):
+        if c == n:
+            return None
+        return r6(
+            math.log((c / uni[a]) * (n / uni[b])) / -math.log(c / n)
+        )
+
     want = sorted(
         (
-            (a, b, uni[a], uni[b], c, r6(math.log((c / uni[a]) * (n / uni[b]))))
+            (
+                a,
+                b,
+                uni[a],
+                uni[b],
+                c,
+                r6(math.log((c / uni[a]) * (n / uni[b]))),
+                npmi(a, b, c),
+            )
             for (a, b), c in big.items()
             if c >= PMI_MIN_COUNT
         ),
