@@ -241,6 +241,9 @@ HEADLINE = [
     # lsh_bucket_skew_report excluded by the composition rule: its
     # cost IS the benched dedup_minhash_lsh signature/band stages plus
     # a (band,key) count and a BANDS-row rollup.
+    # dedup_threshold_sweep excluded by the composition rule: ONE
+    # benched dedup_minhash_lsh pass + a 5x fan-out of the bounded
+    # checkpointed pair frame.
 ]
 
 

@@ -2104,3 +2104,91 @@ SELECT band,
 FROM sizes GROUP BY band ORDER BY band
 """
 )
+
+
+DEDUP_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-threshold KNOB LADDER — the config table a dedup
+    rollout reads before picking its Jaccard cutoff (the
+    minhash/LSH sibling of ann_pq_recall_report's rerank/nprobe
+    ladders): for each threshold in DEDUP_SWEEP_THRESHOLDS, the
+    verified near-dup pair count, the number of documents touched by
+    at least one pair (the upper bound on removals under any
+    keep-one-per-group policy), and the mean Jaccard of surviving
+    pairs. ONE candidate generation + ONE exact verification at the
+    ladder floor (0.5); the sweep itself is a 5x fan-out of the
+    BOUNDED verified-pair frame — no re-scan, no re-verify per rung.
+
+    Zero-pair rungs keep their row (n_pairs = 0, NULL mean) so the
+    ladder shape is stable as corpora change. Mean Jaccard follows the
+    house decimal discipline (9dp-round -> DECIMAL(28,9) sum ->
+    divide), so the report is hash-oracled end-to-end.
+    """
+    pairs = minhash_lsh_dedup(spark, sf_dir, threshold=0.5).localCheckpoint()
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in DEDUP_SWEEP_THRESHOLDS])
+        ).alias("threshold")
+    )
+    swept = th.join(pairs, F.col("jaccard") >= F.col("threshold"))
+    pp = swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.round(F.col("jaccard"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_jaccard"),
+    )
+    dd = (
+        swept.select("threshold", F.explode(F.array("id_a", "id_b")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        th.join(pp, "threshold", "left")
+        .join(dd, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint")).alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0).cast("bigint")).alias("n_docs"),
+            "mean_jaccard",
+        )
+        .orderBy("threshold")
+    )
+
+
+_SWEEP_TH_SQL = ", ".join(f"{t!r}::DOUBLE" for t in DEDUP_SWEEP_THRESHOLDS)
+
+DEDUP_SWEEP_SQL = (
+    _minhash_cand_sql(3)
+    + rf""", pairs AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+           / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
+  FROM cand JOIN tok ta ON cand.id_a = ta.doc_id
+            JOIN tok tb ON cand.id_b = tb.doc_id
+  WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+           / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) >= 0.5
+), th AS (
+  SELECT unnest([{_SWEEP_TH_SQL}]) AS threshold
+), swept AS (
+  SELECT threshold, id_a, id_b, jaccard FROM th, pairs WHERE jaccard >= threshold
+), pp AS (
+  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         ROUND(CAST(SUM(CAST(ROUND(jaccard, 9) AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
+  FROM swept GROUP BY threshold
+), dd AS (
+  SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT threshold, unnest([id_a, id_b]) AS d FROM swept) GROUP BY threshold
+)
+SELECT th.threshold,
+       coalesce(pp.n_pairs, 0) AS n_pairs,
+       coalesce(dd.n_docs, 0) AS n_docs,
+       pp.mean_jaccard
+FROM th LEFT JOIN pp ON th.threshold = pp.threshold
+        LEFT JOIN dd ON th.threshold = dd.threshold
+ORDER BY th.threshold
+"""
+)

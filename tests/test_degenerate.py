@@ -115,6 +115,9 @@ DOC_OPS = [
     # truncated shingle each; all-identical signatures are exactly the
     # hot-bucket shape the report exists to measure, not a crash)
     "lsh_bucket_skew_report",
+    # r9 session 3: threshold sweep (degenerate corpora keep all five
+    # rungs with n_pairs=0 / NULL mean via the left joins)
+    "dedup_threshold_sweep",
 ]
 EMB_OPS = [
     "quantize_embeddings",

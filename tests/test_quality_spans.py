@@ -471,6 +471,7 @@ def test_lsh_recall_on_planted_dups(spark, tmp_path):
         "hll_calibration_report",
         "collocation_pmi_report",
         "lsh_bucket_skew_report",
+        "dedup_threshold_sweep",
     ],
 )
 def test_partition_count_invariance(spark, sf_dir, name):
