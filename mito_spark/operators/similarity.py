@@ -1493,6 +1493,12 @@ def jl_projection_report(
     )
     if sample_hex is None:
         sample_hex = auto_sample_hex(emb.count())
+    if len({len(h) for h in sample_hex}) != 1:
+        # mixed prefix widths compare an N-char md5 prefix against a
+        # different-width literal — some can never match, silently
+        # shrinking the sample; fail loudly instead (auto_sample_hex
+        # always emits a uniform width)
+        raise ValueError(f"sample_hex prefixes must share one length: {sample_hex}")
     scale = math.sqrt(3.0 / out_dim)
     projs = [
         (
@@ -1551,6 +1557,8 @@ def _jl_report_sql(
     for j in range(out_dim):
         plane = "[" + ", ".join(repr(x) for x in _hyperplane(dim, j, table=_JL_TABLE)) + "]"
         proj_items.append(f"{_dot_sql('v', f'({plane})', dim)} * {scale}")
+    if len({len(h) for h in sample_hex}) != 1:
+        raise ValueError(f"sample_hex prefixes must share one length: {sample_hex}")
     hexes = ", ".join(f"'{h}'" for h in sample_hex)
     klen = len(sample_hex[0])
     dsq = lambda x, y, d: (  # noqa: E731

@@ -714,9 +714,25 @@ _HLL_EST_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * float(HLL_M) * float(HLL_M) * 
     1 << (_HLL_WBITS + 1)
 )
 _HLL_LIN_THRESHOLD = 2.5 * HLL_M  # small-range correction cut
+# yardstick bound: above this many TOTAL items, the calibration
+# restricts BOTH legs to a 1/rate hash subdomain so the exact
+# COUNT(DISTINCT) leg never shuffles unbounded distinct types
+HLL_YARDSTICK_MAX = 1 << 24
 
 
-def hll_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hll_yard_rate(n_items: int, yardstick_max: int = HLL_YARDSTICK_MAX) -> int:
+    """Smallest power-of-2 rate r with n_items / r <= yardstick_max
+    (1 when the corpus already fits — the gate-SF floor the static
+    oracle SQL is generated with)."""
+    rate = 1
+    while n_items > yardstick_max * rate:
+        rate *= 2
+    return rate
+
+
+def hll_calibration_report(
+    spark: SparkSession, sf_dir: str, yardstick_max: int = HLL_YARDSTICK_MAX
+) -> DataFrame:
     """MEASURED HyperLogLog error (Flajolet/Fusy/Gandouet/Meunier,
     AofA'07) on five cardinality domains of this corpus — token types,
     token-bigram types, token-5-gram types, doc ids, sources — against
@@ -748,7 +764,21 @@ def hll_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same rollup); the exact COUNT(DISTINCT) this replaces shuffles
     every distinct key. The exact leg here exists only as the
     calibration yardstick, same discipline as cms_calibration_report /
-    minhash_estimate_report.
+    minhash_estimate_report — and it is itself scale-bounded (r9
+    VERDICT): when the total item count (one LINEAR sum over the
+    staged scan, no distinct shuffle) exceeds ``yardstick_max``, BOTH
+    legs restrict to the same 1/rate hash subdomain
+    (``_hll_yard_rate`` picks the power-of-2 rate; salt 'hllyard',
+    independent of the register salt), so exact-vs-estimate stays
+    apples-to-apples while NO yardstick leg ever shuffles unbounded
+    distinct types; the expected subdomain (~16.7M items) still
+    dwarfs the 2.5m correction cut (~10k), so the raw branch is
+    genuinely exercised. ``yard_rate`` in the output records the
+    restriction; the gate-SF corpus floors to rate 1, the constant
+    the static oracle SQL is generated with (asserted in tests).
+    Production cardinalities always come from the UNRESTRICTED
+    register pipeline (``hll_distinct_by``) — the subdomain exists
+    only inside this calibration.
 
     Scale shape: ONE tokenize scan staged (token + bigram arrays as
     real columns, checkpointed BEFORE the explodes — the Generate
@@ -801,6 +831,19 @@ def hll_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             staged.select(F.lit("source").alias("domain"), F.col("source").alias("item"))
         )
     )
+    # linear item count over the checkpointed stage — no distinct
+    # shuffle — sizes the yardstick subdomain
+    n_items = int(
+        staged.select(
+            F.sum(F.size("toks") + F.size("bis") + F.size("g5s") + F.lit(2)).alias("n")
+        ).first()["n"]
+        or 0
+    )
+    yard_rate = _hll_yard_rate(n_items, yardstick_max)
+    if yard_rate > 1:
+        items = items.where(
+            F.pmod(_hash60(F.col("item"), F.lit("hllyard")), F.lit(yard_rate)) == 0
+        )
     exact = items.groupBy("domain").agg(F.countDistinct("item").alias("n_exact"))
 
     v = _hash60(F.col("item"), F.lit("hll"))
@@ -853,6 +896,7 @@ def hll_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_pct"),
             "v_empty",
             "branch",
+            F.lit(yard_rate).cast("bigint").alias("yard_rate"),
         )
         .orderBy("domain")
     )
@@ -904,7 +948,7 @@ WITH rawtok AS (
 )
 SELECT e.domain, e.n_exact, r.n_hll,
        ROUND((r.n_hll - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE) * 100, 4) AS err_pct,
-       r.v_empty, r.branch
+       r.v_empty, r.branch, CAST(1 AS BIGINT) AS yard_rate
 FROM exact e JOIN report r ON e.domain = r.domain
 ORDER BY e.domain
 """

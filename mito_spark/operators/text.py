@@ -2193,10 +2193,13 @@ def collocation_pmi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one tokenize scan staged (pair structs checkpointed
     before the explode — Generate re-evaluation rule); unigram and
     bigram counts are vocab- / vocab²-bounded groupBys with map-side
-    combine; both count joins BROADCAST the unigram table (vocab-sized
-    — small at any corpus size by Heaps' law relative to the corpus);
-    the total is a 1-row broadcast; top-K is a TakeOrdered, never a
-    global sort. The pmi expression is one ln over an
+    combine; the unigram-count joins are left to AQE's size-based
+    strategy choice (at web scale the unigram table can reach ~1e9
+    distinct tokens — the same assumption ``heavy_hitters`` documents —
+    so a forced broadcast would blow the driver exactly where this
+    report claims to scale; at gate SF AQE picks broadcast on its
+    own); only the genuinely 1-row total is broadcast-hinted; top-K is
+    a TakeOrdered, never a global sort. The pmi expression is one ln over an
     identically-associated double product, 6dp-rounded — hash-exact
     across engines.
     """
@@ -2234,8 +2237,8 @@ def collocation_pmi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub = uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
     return (
         big.where(F.col("c_ab") >= PMI_MIN_COUNT)
-        .join(F.broadcast(ua), "a")
-        .join(F.broadcast(ub), "b")
+        .join(ua, "a")
+        .join(ub, "b")
         .crossJoin(F.broadcast(tot))
         .select(
             "a",

@@ -19,15 +19,22 @@ crawl ingest):
 
 - ``ingest_dedup_stream``: the production twin. The SAME page
   sequence read through the http_paginated STREAMING source (the
-  cursor is the checkpointed source offset — crash recovery resumes
-  from the last committed page, exactly like the reference resumes
-  from carried state), processed in foreachBatch. Pages inside a
-  micro-batch are processed IN PAGE ORDER against a canon parquet
-  directory, so the result is micro-batch-boundary invariant: any
-  ``max_pages_per_batch`` produces byte-identical flags to the
-  continuation loop (pinned by the batch-vs-replay equality test).
-  The canon directory append is the demo stand-in for a real table
-  format's transactional append.
+  cursor is the checkpointed source offset), processed in
+  foreachBatch. Pages inside a micro-batch are processed IN PAGE
+  ORDER against a canon parquet directory, so the result is
+  micro-batch-boundary invariant: any ``max_pages_per_batch``
+  produces byte-identical flags to the continuation loop (pinned by
+  the batch-vs-replay equality test). Source offsets are
+  batch-granular, so crash recovery REPLAYS the whole in-flight
+  micro-batch; the sink makes that replay idempotent at PAGE
+  granularity (ADVICE r9): a page's flag append is its commit marker
+  (written LAST, skipped on replay if the page is already in
+  ``out_dir``), the canon append is anti-joined on doc_id so a
+  partially-committed page never double-appends, and the flag
+  computation excludes the page's own doc_ids from the canon view so
+  a crash between the canon append and the flag append re-derives
+  the SAME flags on replay. The canon directory append remains the
+  demo stand-in for a real table format's transactional append.
 
 Semantics (shared by both forms): a page's docs are flagged against
 the canon AS OF the start of that page — docs within one page are not
@@ -131,7 +138,17 @@ def ingest_dedup_stream(
     parquet; flags append to ``out_dir``. Runs until every page is
     processed (the finite-source completion the reference's loop
     reaches when want_more goes false), then returns the flag log
-    read back from ``out_dir``."""
+    read back from ``out_dir``.
+
+    Page commit protocol (replay-idempotent, ADVICE r9): per page,
+    (1) flags + accepted are computed against the canon EXCLUDING the
+    page's own doc_ids, then MATERIALIZED (localCheckpoint) so no
+    Spark job both reads and writes ``canon_dir``; (2) accepted is
+    anti-joined against the current canon doc_ids and appended; (3)
+    the flag append — the page's commit marker — lands last. On
+    micro-batch replay, pages already in ``out_dir`` are skipped
+    outright, and a page that crashed between (2) and (3) recomputes
+    identical flags because (1) masked its own half-committed rows."""
     import time
 
     register(spark)
@@ -144,15 +161,38 @@ def ingest_dedup_stream(
     )
     pages_done: set[int] = set()
 
+    def _committed_pages(s: SparkSession) -> set[int]:
+        try:
+            return {
+                int(r["page"])
+                for r in s.read.parquet(out_dir).select("page").distinct().collect()
+            }
+        except Exception:  # out_dir not created yet — first page
+            return set()
+
     def process(batch_df: DataFrame, _batch_id: int) -> None:
+        s = batch_df.sparkSession
         docs = parse_json_pages(batch_df, DOC_SCHEMA).localCheckpoint()
+        committed = _committed_pages(s)
         for row in sorted(docs.select("page").distinct().collect()):
             page = int(row["page"])
+            if page in committed:  # replayed page, already committed
+                pages_done.add(page)
+                continue
             page_docs = docs.where(F.col("page") == page).select("doc_id", "text")
-            canon = batch_df.sparkSession.read.parquet(canon_dir)
+            canon_all = s.read.parquet(canon_dir)
+            # mask the page's own doc_ids: a crashed attempt may have
+            # appended this page's accepted docs without its flags
+            canon = canon_all.join(page_docs.select("doc_id"), "doc_id", "left_anti")
             flags, accepted = _flag_page(page_docs, canon, page, threshold, shingle)
-            flags.write.mode("append").parquet(out_dir)
+            # materialize BEFORE the canon append: no job may read
+            # canon_dir while writing it (self-read-write hazard)
+            flags = flags.localCheckpoint()
+            accepted = accepted.join(
+                canon_all.select("doc_id"), "doc_id", "left_anti"
+            ).localCheckpoint()
             accepted.write.mode("append").parquet(canon_dir)
+            flags.write.mode("append").parquet(out_dir)  # commit marker
             pages_done.add(page)
 
     q = (

@@ -160,3 +160,84 @@ def test_ingest_dedup_stream_equals_continuation_replay(
         ).collect()
     )
     assert got == want
+
+
+def _accepted_page0(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in _PAGES[0] if _EXPECT_DUP_OF[i] is None],
+        "doc_id long, text string",
+    )
+
+
+def test_ingest_dedup_stream_replay_half_committed_page(
+    spark, doc_server, tmp_path
+):
+    """Crash between the canon append and the flag append (ADVICE r9):
+    page 0's ACCEPTED docs are already in the canon but its flags
+    never landed. Replay must recompute IDENTICAL flags (the canon
+    view masks the page's own doc_ids) and never double-append the
+    canon (doc_id anti-join before the append)."""
+    from mito_spark.streaming.ingest_dedup import (
+        ingest_dedup_continuation,
+        ingest_dedup_stream,
+    )
+
+    want = sorted(
+        tuple(r)
+        for r in ingest_dedup_continuation(
+            spark, doc_server, len(_PAGES), _canon_df(spark)
+        ).collect()
+    )
+    base = tmp_path / "half"
+    canon_dir = str(base / "canon")
+    _canon_df(spark).write.parquet(canon_dir)
+    _accepted_page0(spark).write.mode("append").parquet(canon_dir)
+    got = sorted(
+        tuple(r)
+        for r in ingest_dedup_stream(
+            spark,
+            doc_server,
+            len(_PAGES),
+            canon_dir,
+            str(base / "out"),
+            str(base / "ckpt"),
+            max_pages_per_batch=2,
+        ).collect()
+    )
+    assert got == want
+    canon = spark.read.parquet(canon_dir)
+    assert canon.count() == canon.select("doc_id").distinct().count()
+
+
+def test_ingest_dedup_stream_replay_committed_page_skipped(
+    spark, doc_server, tmp_path
+):
+    """Fully-committed page replay (ADVICE r9): page 0's flags AND
+    accepted docs already landed; the replayed source re-delivers the
+    page, the sink skips it (flag append is the commit marker), and
+    the flag log holds exactly one row per doc."""
+    from mito_spark.streaming.ingest_dedup import (
+        ingest_dedup_continuation,
+        ingest_dedup_stream,
+    )
+
+    cont = ingest_dedup_continuation(spark, doc_server, len(_PAGES), _canon_df(spark))
+    want = sorted(tuple(r) for r in cont.collect())
+    base = tmp_path / "committed"
+    canon_dir, out_dir = str(base / "canon"), str(base / "out")
+    _canon_df(spark).write.parquet(canon_dir)
+    _accepted_page0(spark).write.mode("append").parquet(canon_dir)
+    cont.where("page = 0").write.parquet(out_dir)
+    got = sorted(
+        tuple(r)
+        for r in ingest_dedup_stream(
+            spark,
+            doc_server,
+            len(_PAGES),
+            canon_dir,
+            out_dir,
+            str(base / "ckpt"),
+            max_pages_per_batch=10,
+        ).collect()
+    )
+    assert got == want  # exactly one flag row per doc — page 0 not re-flagged

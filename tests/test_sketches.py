@@ -386,6 +386,88 @@ def test_hll_matches_python_reference(spark, tmp_path):
     assert got == want
 
 
+def test_hll_yard_rate_floor_and_doubling():
+    """The yardstick rate floors to 1 up to the bound (the constant
+    the static oracle SQL is generated with) and doubles as the item
+    count crosses each power-of-2 multiple."""
+    from mito_spark.operators.sketches import HLL_YARDSTICK_MAX, _hll_yard_rate
+
+    assert _hll_yard_rate(0) == 1
+    assert _hll_yard_rate(HLL_YARDSTICK_MAX) == 1
+    assert _hll_yard_rate(HLL_YARDSTICK_MAX + 1) == 2
+    assert _hll_yard_rate(4 * HLL_YARDSTICK_MAX) == 4
+    assert _hll_yard_rate(4 * HLL_YARDSTICK_MAX + 1) == 8
+
+
+def test_hll_gate_corpus_floors_to_unrestricted_yardstick(spark, sf_dir):
+    """The gate corpus must derive yard_rate == 1 (auto-knob floor
+    discipline: the derived value must equal the constant in the
+    static oracle SQL)."""
+    from mito_spark.operators.sketches import hll_calibration_report
+
+    rows = hll_calibration_report(spark, sf_dir).collect()
+    assert {r["yard_rate"] for r in rows} == {1}
+
+
+def test_hll_yardstick_subdomain_matches_python_reference(spark, tmp_path):
+    """Forced tiny yardstick_max: BOTH legs must restrict to the SAME
+    'hllyard'-salted hash subdomain — exact counts and estimates equal
+    the pure-Python twin computed on that subdomain, and yard_rate
+    records the power-of-2 restriction."""
+    import hashlib
+
+    from mito_spark.operators.sketches import _hll_yard_rate, hll_calibration_report
+
+    docs = [
+        (i, " ".join(f"w{(i * 31 + j) % 97}" for j in range(40)), "en", f"s{i % 3}", 40)
+        for i in range(25)
+    ]
+    d = str(tmp_path / "hllyard")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+
+    per_doc = [text.lower().split() for _, text, *_ in docs]
+    n_items = sum(len(ts) + max(len(ts) - 1, 0) + max(len(ts) - 4, 0) + 2 for ts in per_doc)
+    rate = _hll_yard_rate(n_items, yardstick_max=256)
+    assert rate > 1  # the restriction actually fires
+
+    def in_sub(item):
+        return int(hashlib.md5(f"hllyard:{item}".encode()).hexdigest()[:15], 16) % rate == 0
+
+    token_items = {t for ts in per_doc for t in ts if in_sub(t)}
+    bigrams = {
+        f"{ts[i]} {ts[i+1]}"
+        for ts in per_doc
+        for i in range(len(ts) - 1)
+        if in_sub(f"{ts[i]} {ts[i+1]}")
+    }
+    grams5 = {
+        " ".join(ts[i : i + 5])
+        for ts in per_doc
+        for i in range(len(ts) - 4)
+        if in_sub(" ".join(ts[i : i + 5]))
+    }
+    doc_items = {str(i) for i in range(25) if in_sub(str(i))}
+    src_items = {f"s{i}" for i in range(3) if in_sub(f"s{i}")}
+    want = {
+        dom: (len(it), *_py_hll(it), rate)
+        for dom, it in [
+            ("token", token_items),
+            ("bigram", bigrams),
+            ("gram5", grams5),
+            ("doc", doc_items),
+            ("source", src_items),
+        ]
+        if it  # an empty subdomain drops out of the groupBy on both engines
+    }
+    got = {
+        r["domain"]: (r["n_exact"], r["n_hll"], r["v_empty"], r["branch"], r["yard_rate"])
+        for r in hll_calibration_report(spark, d, yardstick_max=256).collect()
+    }
+    assert got == want
+
+
 def test_hll_error_is_calibrated_on_gate_corpus(spark, sf_dir):
     """The measured error must sit inside sane bounds for each branch:
     linear-counting domains (tiny cardinality vs m=4096) within 5%,
