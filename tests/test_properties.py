@@ -864,6 +864,53 @@ def test_unigram_lm_nll_descends_on_gate_corpus(spark, sf_dir):
     assert rows[1]["n_vocab"] <= rows[0]["n_vocab"]  # self-pruning
 
 
+def test_unigram_prune_descends_to_target_vocab(spark, sf_dir):
+    """The loss-ranked shrink trainer (Kudo step 3) must drive n_vocab
+    DOWN to exactly |charset| + ULM_TARGET_MULTI on the gate corpus,
+    with n_pruned accounting for every cut, and n_pruned = 0 once the
+    target is reached (the cut never bites below the floor)."""
+    from mito_spark.operators.text import ULM_TARGET_MULTI, unigram_lm_prune, _ulm_prune_train
+
+    rows = unigram_lm_prune(spark, sf_dir).collect()
+    n_vocab = [r["n_vocab"] for r in rows]
+    assert n_vocab == sorted(n_vocab, reverse=True)  # monotone descent
+    assert n_vocab[0] > n_vocab[-1]
+    _, vocab = _ulm_prune_train(spark, sf_dir)
+    pieces = [r["piece"] for r in vocab.collect()]
+    assert sum(1 for p in pieces if len(p) > 1) == ULM_TARGET_MULTI
+    # every corpus char still present: segmentation completeness
+    chars = {p for p in pieces if len(p) == 1}
+    assert rows[-1]["n_vocab"] == len(chars) + ULM_TARGET_MULTI
+    assert rows[-1]["n_pruned"] == 0
+
+
+def test_unigram_prune_alt_dp_masks_self_span(spark):
+    """The alternative-segmentation DP must EXCLUDE the piece itself:
+    for 'ab' with vocab {a, b, ab}, alt('ab') = logp(a) + logp(b),
+    never logp(ab) — otherwise every loss would be 0 and the cut
+    arbitrary."""
+    from mito_spark.operators.text import _ulm_alt_seg, _ulm_lp
+
+    vocab = spark.createDataFrame(
+        [("a", 6), ("b", 3), ("ab", 3)], "piece string, cnt long"
+    )
+    lp = _ulm_lp(vocab)
+    row = (
+        _ulm_alt_seg(vocab.where("piece = 'ab'"), lp)
+        .selectExpr("piece", "lpx", "element_at(best, length(piece) + 1) as alt")
+        .first()
+    )
+    import math
+
+    def r9(x):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    assert row["lpx"] == r9(math.log(3 / 12))
+    assert row["alt"] == r9(math.log(6 / 12)) + r9(math.log(3 / 12))
+
+
 def test_collocation_pmi_matches_python_reference(spark, tmp_path):
     """PMI scores and the (min-count, top-K, tie-break) cut against a
     pure-Python reference on a constructed corpus with a known strong
