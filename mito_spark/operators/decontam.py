@@ -292,20 +292,41 @@ LEFT JOIN a3 ON b.doc_id = a3.doc_id
 
 # --- Bloom-filter decontamination: the broadcast-bitset scale path ----
 
-BLOOM_M = 4096  # bit positions; sized so the gate corpus MEASURES a
-# real FP rate (~0.15 at ~1.1k probe shingles). Production sizing is
-# 10-15 bits per probe shingle for ~1e-4 FP — the knob scales with the
-# BENCHMARK (bounded), never the corpus.
-BLOOM_K = 3  # hash functions per shingle
+BLOOM_TARGET_FP = 0.15  # quarantine-rate budget: every Bloom FP costs
+# one exact re-check, so the target IS the extra-verify spend; 0.15
+# keeps the gate corpus's measured-FP leg statistically meaningful
+# (a production benchmark sets ~1e-4 and pays ~15 bits/shingle)
+# gate-SF floor constants (the static oracle SQL is generated with
+# these; tests assert the sf0.01 corpus derives exactly them): the
+# 1,179 gate probe shingles at target 0.15 need ceil(n·ln p / −ln²2)
+# = 4,655 bits -> next pow2 8192; k = HALF_UP(ln2 · m/n) = 5
+BLOOM_M = 8192
+BLOOM_K = 5
 BLOOM_SAMPLE_TARGET = 2048  # expected shingle-type budget for the
 # measured-FP leg (same COUNT(*)-derived threshold discipline as
 # cms_calibration_report)
 
 
-def _bloom_pos(gh: Column, k: int) -> Column:
+def _bloom_size(n_probe: int, target_fp: float = BLOOM_TARGET_FP) -> tuple[int, int]:
+    """Standard Bloom sizing from the PROBE-SET count (benchmark-
+    bounded, never the corpus): m = −n·ln p / ln²2 rounded UP to a
+    power of two (cheap modulo, stable plateaus), k = HALF_UP(ln2·m/n)
+    clamped to [1, 16]. The auto_* discipline every other knob
+    follows — derived from measured data, flooring to the static
+    oracle's constants at the gate SF."""
+    import math
+
+    n = max(n_probe, 1)
+    m_raw = math.ceil(-n * math.log(target_fp) / (math.log(2) ** 2))
+    m = 1 << (max(m_raw, 2) - 1).bit_length()
+    k = min(max(1, int(math.log(2) * m / n + 0.5)), 16)
+    return m, k
+
+
+def _bloom_pos(gh: Column, k: int, m: int = BLOOM_M) -> Column:
     from mito_spark.operators.dedup import _hash60
 
-    return _hash60(gh, F.lit(f"bl{k}")) % BLOOM_M
+    return _hash60(gh, F.lit(f"bl{k}")) % m
 
 
 def bloom_decontaminate_report(
@@ -321,6 +342,14 @@ def bloom_decontaminate_report(
     report compares doc-level contamination flags under the Bloom
     probe against ``decontaminate``'s exact semantics — plus a
     shingle-TYPE-level FP rate measured on a hash-sampled type set.
+
+    M and K are AUTO-SIZED from the measured probe-set count and
+    BLOOM_TARGET_FP (``_bloom_size``: m = −n·ln p/ln²2 rounded up to a
+    power of two, k = HALF_UP(ln2·m/n) — the auto_* discipline every
+    other knob follows; the gate corpus derives exactly the static
+    oracle's constants, pytest-pinned), and the report carries the
+    textbook prediction (1 − e^{−kn/m})^k beside the measured rate —
+    measured-within-3σ-of-predicted is a standing test.
 
     Why it earns its place at 100 TB: the exact decontamination join
     ships the PROBE SET to every task (already broadcast — benchmark-
@@ -364,8 +393,15 @@ def bloom_decontaminate_report(
     pairs = per_doc.select(
         "doc_id", F.explode_outer("ghs").alias("gh")
     ).localCheckpoint()  # one shingle pass feeds probe/bloom/exact/sample legs
-    probe = pairs.where(F.col("doc_id") % probe_mod == 0).select("gh").distinct()
-    posarr = F.array(*[_bloom_pos(F.col("gh"), k) for k in range(BLOOM_K)])
+    probe = (
+        pairs.where(F.col("doc_id") % probe_mod == 0).select("gh").distinct()
+        .localCheckpoint()  # counted for sizing, then reused by 3 legs
+    )
+    # auto-sized filter: M bits / K hashes derived from the probe-set
+    # count and the target FP (plan-time constants — the count is the
+    # benchmark-bounded probe set, one bounded job)
+    m_bits, k_hashes = _bloom_size(probe.count())
+    posarr = F.array(*[_bloom_pos(F.col("gh"), k, m_bits) for k in range(k_hashes)])
     bloomset = probe.select(F.explode(posarr).alias("pos")).distinct()  # <= M rows
     kin = (
         pairs.select("doc_id", "gh", F.explode(posarr).alias("pos"))
@@ -374,7 +410,7 @@ def bloom_decontaminate_report(
         .agg(F.count(F.lit(1)).alias("kin"))
     )
     nb = (
-        kin.where(F.col("kin") == BLOOM_K)
+        kin.where(F.col("kin") == k_hashes)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bloom"))
     )
@@ -417,7 +453,7 @@ def bloom_decontaminate_report(
         .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("kin"))
     )
-    bloom_in = (F.coalesce(F.col("kin"), F.lit(0)) == BLOOM_K).cast("int")
+    bloom_in = (F.coalesce(F.col("kin"), F.lit(0)) == k_hashes).cast("int")
     exact_in = F.col("inp").isNotNull().cast("int")
     sagg = (
         stypes.join(skin, "gh", "left")
@@ -435,11 +471,27 @@ def bloom_decontaminate_report(
         )
     )
     neg = F.col("sample_lookups") - F.col("strue")
+    # textbook prediction (1 - e^{-kn/m})^k from the DERIVED m/k and
+    # the measured probe count — 9dp-rounded exp, then an explicit
+    # k-factor product (identical expression trees on both engines;
+    # no pow() ulp hazard)
+    e9 = F.round(
+        F.exp(
+            -(F.lit(float(k_hashes)) * F.col("n_probe_shingles").cast("double"))
+            / F.lit(float(m_bits))
+        ),
+        9,
+    )
+    pred = F.lit(1.0) - e9
+    for _ in range(k_hashes - 1):
+        pred = pred * (F.lit(1.0) - e9)
     return (
         dagg.crossJoin(F.broadcast(np_))
         .crossJoin(F.broadcast(sagg))
         .select(
             "n_probe_shingles",
+            F.lit(m_bits).cast("bigint").alias("m_bits"),
+            F.lit(k_hashes).cast("bigint").alias("k_hashes"),
             "n_docs",
             "contam_docs_exact",
             "contam_docs_bloom",
@@ -447,6 +499,7 @@ def bloom_decontaminate_report(
             "sample_lookups",
             "sample_fp",
             "false_negatives",
+            F.round(pred, 6).alias("predicted_fp"),
             F.when(
                 neg > 0, F.round(F.col("sample_fp").cast("double") / neg, 6)
             ).alias("fp_rate"),
@@ -520,12 +573,17 @@ WITH tok AS (
          CAST(SUM(e) AS BIGINT) AS strue
   FROM sflag
 )
-SELECT n_probe_shingles, n_docs, contam_docs_exact, contam_docs_bloom,
+SELECT n_probe_shingles,
+       CAST({BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+       n_docs, contam_docs_exact, contam_docs_bloom,
        extra_flagged_docs, sample_lookups, sample_fp, false_negatives,
+       ROUND({" * ".join(["(1.0 - e9)"] * BLOOM_K)}, 6) AS predicted_fp,
        CASE WHEN sample_lookups - strue > 0
             THEN ROUND(CAST(sample_fp AS DOUBLE) / (sample_lookups - strue), 6)
             END AS fp_rate
-FROM dagg, np, sagg
+FROM dagg, np, sagg,
+     (SELECT ROUND(EXP(-(CAST({BLOOM_K} AS DOUBLE) * CAST(n_probe_shingles AS DOUBLE)) / CAST({BLOOM_M} AS DOUBLE)), 9) AS e9 FROM np) pe
 """
 
 

@@ -1460,9 +1460,10 @@ def dedup_paragraphs(
 
     Paragraph boundary: the synthetic corpus has no newline structure,
     so the ingest unit is the ALIGNED NON-OVERLAPPING
-    ``chunk_tokens``-token window (a real corpus swaps in
-    split(text, '\\n\\n') — one projection; the dedup plan below is
-    boundary-agnostic). First occurrence is position-ordered:
+    ``chunk_tokens``-token window; ``dedup_paragraphs_newline`` is the
+    real-boundary form (split(text, '\\n\\n'), one projection in front
+    of the SAME ``_para_rollup`` plan — pytest-pinned on a
+    newline-structured fixture, r9 VERDICT). First occurrence is position-ordered:
     (doc_id, chunk_idx) ascending — deterministic on any partitioning,
     the same keep-first convention every dedup tier here uses.
 
@@ -1508,6 +1509,15 @@ def dedup_paragraphs(
         .select("doc_id", F.explode("cs").alias("c"))
         .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.h").alias("h"))
     )
+    return _para_rollup(docs.select("doc_id"), chunks)
+
+
+def _para_rollup(doc_ids: DataFrame, chunks: DataFrame) -> DataFrame:
+    """Boundary-agnostic half of the paragraph dedup: first-occurrence
+    rank per chunk hash + per-doc retained-fraction rollup, over any
+    (doc_id, chunk_idx, h) frame."""
+    from pyspark.sql import Window
+
     ranked = chunks.withColumn(
         "rn",
         F.row_number().over(
@@ -1521,8 +1531,7 @@ def dedup_paragraphs(
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
     )
     return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        doc_ids.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
@@ -1541,6 +1550,37 @@ def dedup_paragraphs(
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_paragraphs_newline(docs: DataFrame) -> DataFrame:
+    """The production boundary form of ``dedup_paragraphs``: the
+    ingest unit is the REAL paragraph — text split on blank lines
+    ('\\n\\n'), each paragraph trimmed, empty/whitespace-only
+    paragraphs dropped (CCNet's unit) — one projection swapped in
+    front of the SAME ``_para_rollup`` plan. Tested on a
+    newline-structured fixture (the synthetic gate corpus has no
+    newlines, so the registry entry uses the token-window chunker);
+    same output contract: (doc_id, n_chunks, n_dup_chunks,
+    dup_fraction, keep)."""
+    paras = F.filter(
+        F.transform(F.split(F.col("text"), "\n\n"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.transform(
+                paras,
+                lambda p, i: F.struct(
+                    i.cast("int").alias("chunk_idx"), F.md5(p).alias("h")
+                ),
+            ).alias("cs"),
+        )
+        .localCheckpoint()  # the same Generate rule as the token form
+        .select("doc_id", F.explode("cs").alias("c"))
+        .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.h").alias("h"))
+    )
+    return _para_rollup(docs.select("doc_id"), chunks)
 
 
 def _dedup_paragraphs_sql(chunk_tokens: int = PARA_CHUNK_TOKENS) -> str:

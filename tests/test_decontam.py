@@ -142,3 +142,32 @@ def test_bloom_never_misses_and_only_overflags(spark, sf_dir):
     assert r["sample_lookups"] <= 4 * 2048  # E|sample| bounded
     if r["fp_rate"] is not None:
         assert 0.0 <= r["fp_rate"] < 1.0
+
+
+def test_bloom_autosize_floors_to_gate_constants_and_fp_in_band(spark, sf_dir):
+    """Auto-knob discipline (r9 VERDICT next#6): the gate corpus must
+    derive exactly the (M, K) the static oracle SQL is generated with,
+    the sizing must scale with the probe count, and the MEASURED FP
+    rate must sit within 3 binomial standard errors of the textbook
+    prediction (1 - e^{-kn/m})^k."""
+    import math
+
+    from mito_spark.operators.decontam import (
+        BLOOM_K,
+        BLOOM_M,
+        _bloom_size,
+        bloom_decontaminate_report,
+    )
+
+    (r,) = bloom_decontaminate_report(spark, sf_dir).collect()
+    assert (r["m_bits"], r["k_hashes"]) == (BLOOM_M, BLOOM_K)
+    assert _bloom_size(r["n_probe_shingles"]) == (BLOOM_M, BLOOM_K)
+    # sizing scales: 10x the probe set needs a bigger filter
+    m10, _ = _bloom_size(10 * r["n_probe_shingles"])
+    assert m10 > BLOOM_M
+    # measured-vs-predicted: fp_rate = sample_fp / negative lookups,
+    # so recover the negative-lookup count for the binomial band
+    assert r["fp_rate"] is not None and r["fp_rate"] > 0
+    n_neg = round(r["sample_fp"] / r["fp_rate"])
+    sigma = math.sqrt(r["predicted_fp"] * (1 - r["predicted_fp"]) / n_neg)
+    assert abs(r["fp_rate"] - r["predicted_fp"]) <= 3 * sigma

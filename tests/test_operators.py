@@ -428,6 +428,36 @@ def test_dedup_paragraphs_planted(spark, tmp_path):
     assert rows[2].dup_fraction == 1.0 and rows[1].dup_fraction == 0.5
 
 
+def test_dedup_paragraphs_newline_boundary(spark, tmp_path):
+    """The real-boundary form (r9 VERDICT: the documented
+    split(text, '\\n\\n') swap-in, demonstrated not asserted): doc 1
+    repeats doc 0's first PARAGRAPH (different token count than any
+    window — only the newline boundary finds it); whitespace-only and
+    empty paragraphs from \\n\\n runs are dropped; a doc with no
+    newlines is one paragraph; empty text keeps a 0-chunk row."""
+    from mito_spark.operators.dedup import dedup_paragraphs_newline
+
+    p0 = "the quick brown fox"
+    p1 = "jumps over the lazy dog and keeps running"
+    p2 = "an entirely fresh paragraph"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{p0}\n\n{p1}"),
+            (1, f"{p0}\n\n\n\n  \n\n{p2}"),  # dup of p0 + empties + fresh
+            (2, "single paragraph no newlines"),
+            (3, ""),
+            (4, "  padded paragraph  \n\npadded paragraph"),  # trim-equal self-dup
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_paragraphs_newline(docs).collect()}
+    assert (rows[0].n_chunks, rows[0].n_dup_chunks, rows[0].keep) == (2, 0, True)
+    assert (rows[1].n_chunks, rows[1].n_dup_chunks, rows[1].keep) == (2, 1, True)
+    assert (rows[2].n_chunks, rows[2].n_dup_chunks) == (1, 0)
+    assert (rows[3].n_chunks, rows[3].dup_fraction, rows[3].keep) == (0, None, True)
+    assert (rows[4].n_chunks, rows[4].n_dup_chunks, rows[4].keep) == (2, 1, True)
+
+
 def test_dedup_canonical_quality_picks_best_not_first(spark, tmp_path):
     """A near-dup cluster where the HIGHER doc_id is the higher-quality
     variant: canonical must be the quality argmax, not min id (the

@@ -911,6 +911,30 @@ def test_unigram_prune_alt_dp_masks_self_span(spark):
     assert row["alt"] == r9(math.log(6 / 12)) + r9(math.log(3 / 12))
 
 
+def test_lsh_banding_stays_inside_healthy_bands(spark, sf_dir):
+    """The r9 skew monitor's healthy figures, pinned as a regression
+    net (r9 VERDICT next#7): on the gate corpus every band must show
+    near-dup-cluster-sized max buckets, overwhelmingly singleton
+    buckets, and bounded candidate-pair mass. BENCH_NOTES measured
+    max_bucket 2-4, singleton share ~0.95, 22-29 candidate pairs/band
+    from 500 docs at both gate SFs; the r8 affine-rehash pathology
+    read max_bucket ~0.8*n_docs and ~n_docs^2/2 pairs — a future
+    signature regression fails HERE, not just in the report."""
+    from mito_spark.operators.dedup import lsh_bucket_skew_report
+
+    rows = lsh_bucket_skew_report(spark, sf_dir).collect()
+    assert rows  # every band reports
+    for r in rows:
+        assert r["max_bucket"] <= 10, r
+        assert r["singleton_share"] >= 0.85, r
+        assert r["top_bucket_share"] <= 0.05, r
+        assert r["candidate_pairs"] <= 200, r
+        # candidate mass is the LSH cost number: keep it linear-ish in
+        # the corpus, nowhere near the quadratic n*(n-1)/2 blowup
+        n = r["n_docs"]
+        assert r["candidate_pairs"] < n * (n - 1) // 20, r
+
+
 def test_collocation_pmi_matches_python_reference(spark, tmp_path):
     """PMI scores and the (min-count, top-K, tie-break) cut against a
     pure-Python reference on a constructed corpus with a known strong
