@@ -2232,3 +2232,356 @@ FROM th LEFT JOIN pp ON th.threshold = pp.threshold
 ORDER BY th.threshold
 """
 )
+
+
+# --- LSH (bands x rows) configuration tuner ---------------------------
+
+
+def _lsh_configs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    """Every (bands, rows_per_band) factorization of the signature
+    budget, bands ascending — the ladder the curve report walks."""
+    return [
+        (b, num_hashes // b) for b in range(1, num_hashes + 1) if num_hashes % b == 0
+    ]
+
+
+LSH_CURVE_JS = (0.5, 0.7, 0.9)  # Jaccard points for the theory columns
+
+
+def _band_keys_cfg(sigd: DataFrame, bands: int, rows: int) -> DataFrame:
+    """``_band_keys`` generalized to any (bands, rows) split of the
+    SAME signature array — slot [b*rows+1 .. b*rows+rows] per band,
+    identical md5 key expression."""
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.element_at(F.col("sig"), b * rows + r + 1).cast("string")
+            for r in range(rows)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *parts)).alias("key"))
+        )
+    return sigd.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def _catch_prob(j: float, rows: int, bands: int) -> Column:
+    """1 - (1 - j^rows)^bands as explicit left-assoc literal products
+    (no pow() — identical IEEE sequences on both engines)."""
+    jr = F.lit(float(j))
+    for _ in range(rows - 1):
+        jr = jr * F.lit(float(j))
+    miss = F.lit(1.0) - jr
+    p = miss
+    for _ in range(bands - 1):
+        p = p * (F.lit(1.0) - jr)
+    return F.round(F.lit(1.0) - p, 6)
+
+
+def lsh_curve_report(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, shingle: int = 3
+) -> DataFrame:
+    """The LSH knob-tuning table: for EVERY (bands, rows_per_band)
+    factorization of the NUM_HASHES signature budget, the measured
+    cost AND the measured catch of that banding on this corpus, beside
+    the textbook S-curve — the table a dedup rollout reads to pick
+    (b, r) for its threshold, completing the tuner family
+    (dedup_threshold_sweep walks the VERIFY knob; this walks the
+    CANDIDATE-GENERATION knob; lsh_bucket_skew_report monitors the
+    chosen config in production).
+
+    Per config: candidate-pair mass Sigma C(sz,2) (THE cost number —
+    the skew monitor's column, now comparable across configs),
+    enumerated distinct candidate pairs, measured recall against the
+    exact prefix-join ground truth at ``threshold`` (recall 1.0 by
+    construction on the truth side), and the theoretical catch
+    probability 1-(1-j^r)^b at J in {0.5, 0.7, 0.9} (explicit literal
+    products — engine-exact, no pow()).
+
+    Scale shape: ONE shingle scan and ONE signature pass feed every
+    config (both checkpointed); each config adds a slim (band, key)
+    count plus a bucket self-join whose output size IS the config's
+    reported candidate mass — the ladder's total cost is the sum of
+    the masses it measures, and the loose configs that would explode
+    at 100 TB (bands=NUM_HASHES, rows=1) announce themselves in the
+    same row that costs them. The truth side is the bounded verified-
+    pair frame. At a production run the ladder subsets to configs
+    whose predicted mass (from the skew monitor) fits budget.
+
+    Parity: candidate masses and catches are integer-exact; recall is
+    one 6dp try_divide; theory columns are literal products.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    shd = _staged_shingles(docs, shingle).localCheckpoint()
+    truth = (
+        jaccard_prefix_join(
+            spark, sf_dir, threshold=threshold, shingle=shingle, shingles=shd
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    sigd = shd.select(
+        "doc_id", _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig")
+    ).localCheckpoint()
+    n_true = truth.count()  # bounded verified-pair frame
+    outs = []
+    for bands, rows in _lsh_configs():
+        keys = _band_keys_cfg(sigd, bands, rows)
+        mass = (
+            keys.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.coalesce(F.sum(F.expr("sz * (sz - 1) DIV 2")), F.lit(0)).alias(
+                    "candidate_mass"
+                ),
+            )
+        )
+        cand = (
+            keys.alias("a")
+            .join(keys.alias("b"), ["band", "key"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        counts = cand.agg(F.count(F.lit(1)).alias("n_candidates")).crossJoin(
+            cand.join(truth, ["id_a", "id_b"]).agg(
+                F.count(F.lit(1)).alias("n_caught")
+            )
+        )
+        outs.append(
+            mass.crossJoin(counts).select(
+                F.lit(bands).cast("bigint").alias("bands"),
+                F.lit(rows).cast("bigint").alias("rows_per_band"),
+                "n_buckets",
+                "candidate_mass",
+                "n_candidates",
+                F.lit(n_true).cast("bigint").alias("n_true_pairs"),
+                "n_caught",
+                F.round(
+                    F.try_divide(
+                        F.col("n_caught").cast("double"), F.lit(float(n_true))
+                    ),
+                    6,
+                ).alias("recall"),
+                *[
+                    _catch_prob(j, rows, bands).alias(f"p_catch_{int(j * 100)}")
+                    for j in LSH_CURVE_JS
+                ],
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("bands")
+
+
+def _catch_prob_sql(j: float, rows: int, bands: int) -> str:
+    # bare float literals parse as DECIMAL in DuckDB — cast every
+    # operand to DOUBLE so the product chain is IEEE like Spark's
+    lit = f"CAST({float(j)!r} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    jr = " * ".join([lit] * rows)
+    miss = f"({one} - ({jr}))"
+    p = " * ".join([miss] * bands)
+    return f"ROUND({one} - ({p}), 6)"
+
+
+def _lsh_curve_sql(threshold: float = 0.5, shingle: int = 3) -> str:
+    """Oracle twin of ``lsh_curve_report``: one MATERIALIZED sig CTE
+    (DuckDB inlines multiply-referenced CTEs otherwise — the unigram
+    prune lesson), one per-config keyed/cand chain, the same literal
+    S-curve products."""
+    sep = " || ':' || "
+    parts = [
+        rf"""
+WITH rawtok AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), tok AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {shingle - 1}, 1) + 1),
+           i -> array_to_string(toks[i:i+{shingle - 1}], ' '))) AS sh
+  FROM rawtok
+), sig AS MATERIALIZED (
+  SELECT doc_id, sh,
+         list_transform(range(0, {NUM_HASHES}),
+           j -> list_min(list_transform(sh,
+                s -> CAST('0x' || substr(md5('mh' || CAST(j AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)))) AS sig
+  FROM tok
+), truth AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM (SELECT doc_id, sh FROM tok WHERE len(sh) > 0) a
+  JOIN (SELECT doc_id, sh FROM tok WHERE len(sh) > 0) b2 ON a.doc_id < b2.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) >= {threshold}
+)"""
+    ]
+    rows_sql = []
+    for bands, rows in _lsh_configs():
+        cases = " ".join(
+            f"WHEN {b} THEN md5("
+            + sep.join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+            + ")"
+            for b in range(bands)
+        )
+        theory = ", ".join(
+            _catch_prob_sql(j, rows, bands) + f" AS p_catch_{int(j * 100)}"
+            for j in LSH_CURVE_JS
+        )
+        parts.append(f""", keyed{bands} AS MATERIALIZED (
+  SELECT doc_id, band, CASE band {cases} END AS key
+  FROM sig, range(0, {bands}) t(band)
+), cand{bands} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM keyed{bands} a JOIN keyed{bands} b2 USING (band, key)
+  WHERE a.doc_id < b2.doc_id
+), row{bands} AS MATERIALIZED (
+  SELECT CAST({bands} AS BIGINT) AS bands,
+         CAST({rows} AS BIGINT) AS rows_per_band,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT band, key, COUNT(*) AS sz FROM keyed{bands} GROUP BY band, key)) AS n_buckets,
+         (SELECT CAST(coalesce(SUM(sz * (sz - 1) // 2), 0) AS BIGINT)
+          FROM (SELECT band, key, COUNT(*) AS sz FROM keyed{bands} GROUP BY band, key)) AS candidate_mass,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{bands}) AS n_candidates,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{bands} JOIN truth USING (id_a, id_b)) AS n_caught,
+         ROUND(CAST((SELECT COUNT(*) FROM cand{bands} JOIN truth USING (id_a, id_b)) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6) AS recall,
+         {theory}
+)""")
+        rows_sql.append(f"SELECT * FROM row{bands}")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows_sql) + "\nORDER BY bands\n"
+
+
+LSH_CURVE_SQL = _lsh_curve_sql()
+
+
+# --- weighted (term-frequency) Jaccard verify --------------------------
+
+WJ_THRESHOLD = 0.4  # weighted measure runs below the set measure: the
+# min/max ratio punishes frequency mismatch that set-Jaccard can't see
+
+
+def dedup_weighted_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = WJ_THRESHOLD,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-dup pairs under WEIGHTED Jaccard — the term-frequency
+    multiset measure J_w(A,B) = Σ_t min(tf_A, tf_B) / Σ_t max(tf_A,
+    tf_B) — the similarity CCNet-style pipelines use when duplicated
+    boilerplate repeats WITHIN a document (set-Jaccard saturates at 1
+    for any permutation/repetition of the same types; the weighted
+    form sees the frequency profile). Candidate generation is the
+    SHARED unweighted MinHash banding (the standing candidate
+    generator of every dedup tier here — a candidate filter, so the
+    weighted verify can only shrink it); verification is exact
+    weighted Jaccard on token frequencies.
+
+    The max-sum identity does the heavy lifting: Σ max(a,b) =
+    Σ_A tf + Σ_B tf − Σ min(a,b), so the verify needs only the
+    SHARED-token min-sum (an equi-join on token over the
+    candidate-restricted tf frames) plus each doc's total token count
+    — never a full outer union of the two vocabularies.
+
+    Scale shape: one tokenize scan feeds signatures and tf frames
+    (staged); candidates are banding-bounded; the verify join
+    explodes ONLY candidate docs' tokens (semi-join restriction
+    first). Output (id_a, id_b, weighted_jaccard >= threshold),
+    integer-exact ratio, 6dp.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    shd = _staged_shingles(docs, shingle).localCheckpoint()
+    # banding candidates WITHOUT the set-Jaccard verify cut: reuse the
+    # signature/banding stages directly
+    sigd = shd.select(
+        "doc_id", _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig")
+    ).localCheckpoint()
+    bands = _band_keys(sigd)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cdocs = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    tf = (
+        docs.join(cdocs, "doc_id")  # verify explodes ONLY candidate docs
+        .select("doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").alias("tot"))
+    minsum = (
+        cand.join(tf.select(F.col("doc_id").alias("id_a"), "tok", F.col("tf").alias("tfa")), "id_a")
+        .join(
+            tf.select(F.col("doc_id").alias("id_b"), "tok", F.col("tf").alias("tfb")),
+            ["id_b", "tok"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("tfa", "tfb")).alias("msum"))
+    )
+    return (
+        cand.join(minsum, ["id_a", "id_b"], "left")
+        .join(tot.alias("ta"), F.col("id_a") == F.col("ta.doc_id"))
+        .join(tot.alias("tb"), F.col("id_b") == F.col("tb.doc_id"))
+        .select("id_a", "id_b", F.coalesce(F.col("msum"), F.lit(0)).alias("msum"),
+                F.col("ta.tot").alias("tot_a"), F.col("tb.tot").alias("tot_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("msum").cast("double")
+                / (F.col("tot_a") + F.col("tot_b") - F.col("msum")).cast("double"),
+                6,
+            ).alias("weighted_jaccard"),
+        )
+        .where(F.col("weighted_jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _weighted_jaccard_sql(threshold: float = WJ_THRESHOLD, shingle: int = 3) -> str:
+    """Twin of ``dedup_weighted_jaccard``: the shared candidate head,
+    then tf frames and the min-sum equi-join (MATERIALIZED — cand and
+    tf are each referenced more than once)."""
+    return (
+        _minhash_cand_sql(shingle)
+        + rf""", tfr AS MATERIALIZED (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM rawtok
+        WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand))
+  GROUP BY doc_id, tok
+), tot AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot FROM tfr GROUP BY doc_id
+), msum AS (
+  SELECT c.id_a, c.id_b, CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS msum
+  FROM cand c
+  JOIN tfr a ON a.doc_id = c.id_a
+  JOIN tfr b ON b.doc_id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       ROUND(CAST(coalesce(msum, 0) AS DOUBLE)
+             / CAST(ta.tot + tb.tot - coalesce(msum, 0) AS DOUBLE), 6) AS weighted_jaccard
+FROM cand LEFT JOIN msum USING (id_a, id_b)
+JOIN tot ta ON ta.doc_id = cand.id_a
+JOIN tot tb ON tb.doc_id = cand.id_b
+WHERE ROUND(CAST(coalesce(msum, 0) AS DOUBLE)
+            / CAST(ta.tot + tb.tot - coalesce(msum, 0) AS DOUBLE), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+    )
+
+
+DEDUP_WEIGHTED_JACCARD_SQL = _weighted_jaccard_sql()

@@ -12,6 +12,11 @@ NOT match Spark's int64 ``5``. That dtype strictness is the point: the
 r1 tree had 6 driver-red rows this script's predecessor could not see.
 
 Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+                                            [--json out.json]
+
+--json writes the per-query results as a JSON object (the committed
+CORRECTNESS_LOCAL_r{N}.json artifact — r9 VERDICT next#2: the
+full-registry sweep as an auditable file, not a prose claim).
 """
 
 from __future__ import annotations
@@ -68,8 +73,14 @@ def canon(pdf) -> tuple[str, int, list[str], list[str]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a)) or None
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = set(a for a in argv if not os.path.isdir(a)) or None
 
     import duckdb
 
@@ -86,6 +97,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -95,15 +107,19 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"spark: {e}"[:300]}
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s) — no oracle")
+            results[name] = {"status": "rows_only", "rows": len(spdf),
+                             "sec": round(time.time() - t0, 1)}
             continue
         try:
             dpdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"duckdb: {e}"[:300]}
             continue
         try:
             sh, sn, sc, sdt = canon(spdf)
@@ -111,8 +127,14 @@ def main() -> int:
         except Exception as e:
             print(f"ERR   {name}: canon error (driver would ERR too): {type(e).__name__}: {e}")
             failures.append(name)
+            results[name] = {"status": "ERR", "err": f"canon: {type(e).__name__}: {e}"[:300]}
             continue
         status = "PASS" if (sh == dh and sn == dn and sc == dc) else "FAIL"
+        results[name] = {
+            "status": status, "rows": sn, "hash": sh,
+            "hash_match": sh == dh, "rows_match": sn == dn,
+            "cols_match": sc == dc, "sec": round(time.time() - t0, 1),
+        }
         detail = ""
         if status == "FAIL":
             failures.append(name)
@@ -129,6 +151,19 @@ def main() -> int:
                 detail = f" first diffs: {diffs}"
         print(f"{status}  {name}: {sn} rows, {time.time()-t0:.1f}s{detail}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_path:
+        import json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_pass": sum(1 for r in results.values() if r.get("status") == "PASS"),
+            "n_fail": len(failures),
+            "queries": results,
+        }
+        with open(json_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     spark.stop()
     return 1 if failures else 0
 

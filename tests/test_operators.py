@@ -458,6 +458,33 @@ def test_dedup_paragraphs_newline_boundary(spark, tmp_path):
     assert (rows[4].n_chunks, rows[4].n_dup_chunks, rows[4].keep) == (2, 1, True)
 
 
+def test_weighted_jaccard_sees_frequency_not_set(spark, tmp_path):
+    """Periodic repetition: docs 0/1/2 share the IDENTICAL 3-shingle
+    SET (so minhash signatures are equal and banding catches every
+    pair deterministically) but doc 1 repeats the period once more —
+    set-Jaccard says 1.0 for all pairs; the weighted measure reads
+    tf-min/tf-max = 6/9 for the length-mismatched pairs and 1.0 only
+    for the true twin."""
+    from mito_spark.operators.dedup import dedup_weighted_jaccard
+
+    d = str(tmp_path / "wj")
+    _write_docs(
+        spark,
+        d,
+        [
+            (0, "a b c a b c"),
+            (1, "a b c a b c a b c"),
+            (2, "a b c a b c"),
+        ],
+    )
+    rows = {
+        (r.id_a, r.id_b): r.weighted_jaccard
+        for r in dedup_weighted_jaccard(spark, d).collect()
+    }
+    assert rows[(0, 2)] == 1.0
+    assert rows[(0, 1)] == rows[(1, 2)] == 0.666667
+
+
 def test_dedup_canonical_quality_picks_best_not_first(spark, tmp_path):
     """A near-dup cluster where the HIGHER doc_id is the higher-quality
     variant: canonical must be the quality argmax, not min id (the
