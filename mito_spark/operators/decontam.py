@@ -588,3 +588,129 @@ FROM dagg, np, sagg,
 
 
 BLOOM_DECONTAM_SQL = _bloom_sql()
+
+
+# --- decontamination n-gram sensitivity ladder --------------------------
+
+DECONTAM_NS = (8, 13, 21)  # the convention (13) bracketed one step
+# looser and one stricter — GPT-3 App. C used 13, Gopher A.5 varied
+# 8-13 by dataset; the ladder measures what the choice costs HERE
+
+
+def decontam_ngram_ladder(
+    spark: SparkSession,
+    sf_dir: str,
+    ns: tuple[int, ...] = DECONTAM_NS,
+    probe_mod: int = PROBE_MOD,
+) -> DataFrame:
+    """Contamination-rule sensitivity in one table: the 13-gram
+    overlap convention re-measured at a looser and a stricter shingle
+    width. Per n: docs checked (>= n tokens), probe-set size,
+    contaminated docs under the standing 80% rule, and the mean
+    overlap fraction — the row a decontamination rollout reads before
+    trusting the convention on ITS corpus (shorter n flags more,
+    longer n can silently exempt short docs: the n_docs column makes
+    that visible instead of folding it into the rate).
+
+    Scale shape: ONE tokenize scan staged and checkpointed; each rung
+    re-shingles from the staged token arrays (shingling is the cheap
+    projection; tokenizing is the scan cost) with the same
+    broadcast-probe/hit-count plan as ``decontaminate``. Mean overlap
+    is a 9dp-decimal sum (order-free) finished at 6dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = (
+        docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
+        .localCheckpoint()
+    )
+    outs = []
+    for n in ns:
+        per_doc = staged.where(F.size("toks") >= n).select(
+            "doc_id", _shingle_hashes(F.col("toks"), n).alias("ghs")
+        )
+        probe = (
+            per_doc.where(F.col("doc_id") % probe_mod == 0)
+            .select(F.explode_outer("ghs").alias("gh"))
+            .distinct()
+        )
+        hits = (
+            per_doc.select("doc_id", F.explode_outer("ghs").alias("gh"))
+            .join(F.broadcast(probe), "gh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+        flags = (
+            per_doc.select("doc_id", F.size("ghs").alias("n_grams"))
+            .join(hits, "doc_id", "left")
+            .select(
+                (n_hit * CONTAM_DEN >= F.col("n_grams") * CONTAM_NUM)
+                .cast("int")
+                .alias("c"),
+                F.round(n_hit.cast("double") / F.col("n_grams"), 9)
+                .cast("decimal(20,9)")
+                .alias("frac"),
+            )
+        )
+        agg = flags.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("contam_docs"),
+            F.round(
+                F.try_divide(
+                    F.sum("frac").cast("double"), F.count(F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("mean_overlap"),
+        )
+        np_ = probe.agg(F.count(F.lit(1)).alias("n_probe_shingles"))
+        outs.append(
+            agg.crossJoin(F.broadcast(np_)).select(
+                F.lit(n).cast("bigint").alias("ngram_n"),
+                "n_docs",
+                "n_probe_shingles",
+                "contam_docs",
+                "mean_overlap",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("ngram_n")
+
+
+def _decontam_ladder_sql(
+    ns: tuple[int, ...] = DECONTAM_NS, probe_mod: int = PROBE_MOD
+) -> str:
+    parts = [
+        r"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+)"""
+    ]
+    rows = []
+    for n in ns:
+        parts.append(f""", dg{n} AS MATERIALIZED (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[s:s+{n - 1}], ' ')) AS gh
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {n} + 2)) AS s
+        FROM tok WHERE len(toks) >= {n})
+), probe{n} AS MATERIALIZED (
+  SELECT DISTINCT gh FROM dg{n} WHERE doc_id % {probe_mod} = 0
+), flags{n} AS (
+  SELECT CASE WHEN coalesce(h.n_hit, 0) * {CONTAM_DEN} >= t.n_grams * {CONTAM_NUM} THEN 1 ELSE 0 END AS c,
+         CAST(ROUND(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_grams, 9) AS DECIMAL(20,9)) AS frac
+  FROM (SELECT doc_id, count(*) AS n_grams FROM dg{n} GROUP BY doc_id) t
+  LEFT JOIN (SELECT dg{n}.doc_id, count(*) AS n_hit
+             FROM dg{n} JOIN probe{n} USING (gh) GROUP BY dg{n}.doc_id) h
+  USING (doc_id)
+)""")
+        rows.append(f"""SELECT CAST({n} AS BIGINT) AS ngram_n,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM flags{n}) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM probe{n}) AS n_probe_shingles,
+       (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) FROM flags{n}) AS contam_docs,
+       (SELECT ROUND(CAST(SUM(frac) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) FROM flags{n}) AS mean_overlap""")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows) + "\nORDER BY ngram_n\n"
+
+
+DECONTAM_LADDER_SQL = _decontam_ladder_sql()

@@ -322,3 +322,95 @@ SELECT f.source, f.src_tokens,
 FROM fracs f LEFT JOIN kept k USING (source)
 ORDER BY f.source
 """
+
+
+# --- mixing-epoch plan (the upsampling complement) ----------------------
+
+EPOCH_BUDGET_FACTOR = 2.0  # train-token budget as a multiple of the corpus
+EPOCH_CAP = 4.0  # max repeats per source before quality degrades
+# (the 4-epoch convention from repeated-data studies — past ~4 epochs
+# repeated tokens stop helping; the flag column marks sources the
+# target mixture would over-repeat)
+
+
+def domain_epoch_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = MIX_T_ALPHA,
+    budget_factor: float = EPOCH_BUDGET_FACTOR,
+    epoch_cap: float = EPOCH_CAP,
+) -> DataFrame:
+    """Per-source EPOCH plan for a fixed training-token budget — the
+    UPSAMPLING complement of ``domain_mix_temperature`` (which
+    downsamples to the binding source): target share ∝ tokens^alpha,
+    allocated_i = budget·share_i, epochs_i = allocated_i /
+    available_i — the published data-mixture table (GPT-3 Table 2.2 /
+    LLaMA Table 1 report exactly these epochs columns). Sources whose
+    epochs exceed ``epoch_cap`` are flagged and capped (repeating
+    data past ~4 epochs stops helping); realized_tokens re-reports
+    the post-cap allocation so the shortfall is visible rather than
+    silently re-spread.
+
+    Scale shape: ONE corpus aggregate to |sources| rows, then pure
+    window math on that tiny frame — same posture as the temperature
+    op; nothing here grows with the corpus. Parity: pow/shares mirror
+    the temperature op's established expressions; epochs round 6dp;
+    token columns integer-floored identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != F.lit(""))
+    )
+    totals = (
+        docs.select("source", toks.alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+    )
+    w = Window.partitionBy()
+    powed = totals.withColumn(
+        "_p", F.pow(F.col("src_tokens").cast("double"), F.lit(alpha))
+    ).withColumn("target_share", F.try_divide(F.col("_p"), F.sum("_p").over(w)))
+    budget = F.sum("src_tokens").over(w).cast("double") * F.lit(float(budget_factor))
+    alloc = budget * F.col("target_share")
+    epochs = F.try_divide(alloc, F.col("src_tokens").cast("double"))
+    eff = F.least(epochs, F.lit(float(epoch_cap)))
+    return (
+        powed.select(
+            "source",
+            "src_tokens",
+            F.round("target_share", 6).alias("target_share"),
+            F.floor(alloc).cast("bigint").alias("allocated_tokens"),
+            F.round(epochs, 6).alias("epochs"),
+            (epochs > F.lit(float(epoch_cap))).alias("capped"),
+            F.floor(eff * F.col("src_tokens").cast("double"))
+            .cast("bigint")
+            .alias("realized_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_EPOCH_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+), totals AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY source
+), powed AS (
+  SELECT source, src_tokens,
+         pow(CAST(src_tokens AS DOUBLE), {MIX_T_ALPHA})
+           / SUM(pow(CAST(src_tokens AS DOUBLE), {MIX_T_ALPHA})) OVER () AS target_share,
+         CAST(SUM(src_tokens) OVER () AS DOUBLE) * CAST({EPOCH_BUDGET_FACTOR!r} AS DOUBLE) AS budget
+  FROM totals
+)
+SELECT source, src_tokens,
+       ROUND(target_share, 6) AS target_share,
+       CAST(FLOOR(budget * target_share) AS BIGINT) AS allocated_tokens,
+       ROUND(budget * target_share / CAST(src_tokens AS DOUBLE), 6) AS epochs,
+       budget * target_share / CAST(src_tokens AS DOUBLE) > CAST({EPOCH_CAP!r} AS DOUBLE) AS capped,
+       CAST(FLOOR(LEAST(budget * target_share / CAST(src_tokens AS DOUBLE), CAST({EPOCH_CAP!r} AS DOUBLE))
+                  * CAST(src_tokens AS DOUBLE)) AS BIGINT) AS realized_tokens
+FROM powed
+ORDER BY source
+"""

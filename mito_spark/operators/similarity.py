@@ -1588,3 +1588,131 @@ FROM bk GROUP BY ratio_bucket ORDER BY ratio_bucket
 
 
 JL_REPORT_SQL = _jl_report_sql()
+
+
+# --- dimension-truncation (matryoshka-style) recall ablation -----------
+
+MRL_DIMS = (8, 16, 32, 64)  # truncation ladder; 64 = the full dim,
+# whose recall-1.0 row is the report's self-check anchor
+
+
+def embedding_dim_ablation_report(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """Recall of DIMENSION-TRUNCATED cosine retrieval against the
+    full-dimension exact top-k — the measurement behind
+    matryoshka-style dim reduction (Kusupati et al., NeurIPS'22:
+    serve the first d coordinates, pay d/D of the bandwidth) and the
+    cheapest ANN memory lever there is (no codebooks, no training —
+    just read fewer coordinates). One row per d in MRL_DIMS:
+    (dim, n_truth, n_caught, recall) over the standing bounded query
+    set; the d = full-dim row must read recall 1.0 (self-check
+    anchor, pytest-pinned).
+
+    Relation to the rest of the ANN family: jl_projection_report
+    measures RANDOM-projection distortion on pair distances; this
+    measures PREFIX-truncation retrieval quality — the two
+    dimensionality levers a serving stack chooses between — and the
+    SQ8/PQ tiers quantize precision instead of dimension. Together
+    the four reports are the compression decision table.
+
+    Scale shape: ONE embedding scan (checkpointed) feeds every rung;
+    each rung is the brute-force scorer on a PREFIX slice (the dot
+    folds run d steps, so cheaper rungs cost proportionally less)
+    with the two-stage per_key_topk; queries are the bounded
+    standing set (production subsets queries, the standard
+    recall-report posture). The intersection joins are k·n_queries
+    rows. Integer-exact counts; recall is one 6dp try_divide.
+    """
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint()
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+
+    def topk_at(d: int) -> DataFrame:
+        joined = (
+            emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                _cosine(
+                    F.slice(F.col("q"), 1, d), F.slice(F.col("v"), 1, d)
+                ).alias("cos"),
+            )
+            .where(F.col("cos").isNotNull())
+        )
+        return per_key_topk(
+            joined, "query_id", [F.desc("cos"), F.asc("neighbor_id")], k
+        ).select("query_id", "neighbor_id")
+
+    full_dim = max(MRL_DIMS)
+    truth = topk_at(full_dim).localCheckpoint()
+    n_truth = truth.count()
+    outs = []
+    for d in MRL_DIMS:
+        tk = truth if d == full_dim else topk_at(d)
+        caught = tk.join(truth, ["query_id", "neighbor_id"]).agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_caught")
+        )
+        outs.append(
+            caught.select(
+                F.lit(d).cast("bigint").alias("dim"),
+                F.lit(n_truth).cast("bigint").alias("n_truth"),
+                F.col("n_caught").cast("bigint").alias("n_caught"),
+                F.round(
+                    F.try_divide(
+                        F.col("n_caught").cast("double"), F.lit(float(n_truth))
+                    ),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("dim")
+
+
+def _dim_ablation_sql(n_queries: int = 10, k: int = 10) -> str:
+    def cos(d: int) -> str:
+        rng = f"range(1, {d} + 1)"
+        return (
+            f"list_sum(list_transform({rng}, i -> q[i] * v[i]))"
+            f" / (sqrt(list_sum(list_transform({rng}, i -> q[i]*q[i])))"
+            f" * sqrt(list_sum(list_transform({rng}, i -> v[i]*v[i]))))"
+        )
+
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < {n_queries}
+)"""
+    ]
+    full = max(MRL_DIMS)
+    for d in MRL_DIMS:
+        parts.append(f""", top{d} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM (SELECT query_id, e.vec_id AS neighbor_id, {cos(d)} AS cos
+          FROM e, q WHERE e.vec_id <> q.query_id)
+    WHERE cos IS NOT NULL)
+  WHERE rank <= {k}
+)""")
+    rows = []
+    for d in MRL_DIMS:
+        rows.append(f"""SELECT CAST({d} AS BIGINT) AS dim,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM top{full}) AS n_truth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM top{d} t1 JOIN top{full} t2 USING (query_id, neighbor_id)) AS n_caught,
+       ROUND(CAST((SELECT COUNT(*) FROM top{d} t1 JOIN top{full} t2 USING (query_id, neighbor_id)) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM top{full}) AS DOUBLE), 6) AS recall""")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows) + "\nORDER BY dim\n"
+
+
+DIM_ABLATION_SQL = _dim_ablation_sql()

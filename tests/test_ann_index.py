@@ -379,3 +379,21 @@ def test_pq_recall_report_matches_set_arithmetic(spark, sf_dir):
         r["n_exact"] for r in rows.values()
     )
     assert total >= 0.6  # the ADC recall floor, now measured as a report
+
+
+def test_dim_ablation_anchor_and_monotone(spark, sf_dir):
+    """The full-dim rung must read recall exactly 1.0 (self-check
+    anchor: truth vs itself), recall must be non-decreasing in d
+    (a prefix of a longer prefix can only lose information), and
+    every rung scores against the SAME truth size."""
+    from mito_spark.operators.similarity import (
+        MRL_DIMS,
+        embedding_dim_ablation_report,
+    )
+
+    rows = embedding_dim_ablation_report(spark, sf_dir).collect()
+    assert [r["dim"] for r in rows] == sorted(MRL_DIMS)
+    assert rows[-1]["recall"] == 1.0
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert len({r["n_truth"] for r in rows}) == 1

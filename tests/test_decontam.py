@@ -171,3 +171,21 @@ def test_bloom_autosize_floors_to_gate_constants_and_fp_in_band(spark, sf_dir):
     n_neg = round(r["sample_fp"] / r["fp_rate"])
     sigma = math.sqrt(r["predicted_fp"] * (1 - r["predicted_fp"]) / n_neg)
     assert abs(r["fp_rate"] - r["predicted_fp"]) <= 3 * sigma
+
+
+def test_decontam_ladder_monotone_and_exempts_short_docs(spark, sf_dir):
+    """Gate-corpus shape: a stricter (longer) shingle can only check
+    FEWER docs (length exemption made visible) and the standing n=13
+    row must agree with the single-n operator's totals."""
+    from mito_spark.operators.decontam import (
+        NGRAM_N,
+        decontam_ngram_ladder,
+        decontaminate,
+    )
+
+    rows = {r["ngram_n"]: r for r in decontam_ngram_ladder(spark, sf_dir).collect()}
+    assert sorted(rows) == [8, 13, 21]
+    assert rows[8]["n_docs"] >= rows[13]["n_docs"] >= rows[21]["n_docs"]
+    single = decontaminate(spark, sf_dir).toPandas()
+    assert rows[NGRAM_N]["n_docs"] == len(single)
+    assert rows[NGRAM_N]["contam_docs"] == int(single["contaminated"].sum())

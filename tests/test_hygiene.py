@@ -128,3 +128,28 @@ def test_domain_mix_temperature_flattens_toward_uniform(spark, sf_dir):
     # feasibility: no source oversampled, the binding source keeps all
     assert all(0 < r.keep_frac <= 1.0 + 1e-9 for r in rows.values())
     assert any(abs(r.keep_frac - 1.0) < 1e-6 for r in rows.values())
+
+
+def test_domain_epoch_plan_hand_numbers(spark, tmp_path):
+    """Two planted sources (90 and 10 tokens) at alpha=0.5: shares
+    are exactly 0.75/0.25 (sqrt(90):sqrt(10) = 3:1), a 2x budget
+    allocates 150/50 tokens, so epochs read 1.667/5.0 — and the small
+    source crosses the 4-epoch cap: flagged, realized capped at 40."""
+    import pyspark.sql.functions as F
+
+    from mito_spark.operators.hygiene import domain_epoch_plan
+
+    docs = [(i, " ".join(f"w{j}" for j in range(9)), "A") for i in range(10)]
+    docs += [(100, " ".join(f"v{j}" for j in range(10)), "B")]
+    d = str(tmp_path / "epoch")
+    spark.createDataFrame(docs, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(d + "/documents.parquet")
+    rows = {r["source"]: r for r in domain_epoch_plan(spark, d).collect()}
+    a, b = rows["A"], rows["B"]
+    assert (a["src_tokens"], b["src_tokens"]) == (90, 10)
+    assert (a["target_share"], b["target_share"]) == (0.75, 0.25)
+    assert (a["allocated_tokens"], b["allocated_tokens"]) == (150, 50)
+    assert (a["epochs"], b["epochs"]) == (1.666667, 5.0)
+    assert (a["capped"], b["capped"]) == (False, True)
+    assert (a["realized_tokens"], b["realized_tokens"]) == (150, 40)
