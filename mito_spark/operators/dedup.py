@@ -2585,3 +2585,120 @@ ORDER BY id_a, id_b
 
 
 DEDUP_WEIGHTED_JACCARD_SQL = _weighted_jaccard_sql()
+
+
+# --- cross-modality dedup agreement -------------------------------------
+
+
+def dedup_modality_agreement(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    cos_threshold: float = 0.45,
+    shingle: int = 3,
+) -> DataFrame:
+    """Agreement between the two near-dup modalities — text-shingle
+    MinHash-LSH pairs (J >= threshold, exact-verified) vs
+    embedding-cosine pairs (cos >= cos_threshold, LSH-blocked) — as
+    one row: pair counts, the intersection, each-modality-only
+    counts, and the pair-set Jaccard. THE question this answers for a
+    100 TB rollout: can the embedding tier REPLACE the shingle tier
+    (high agreement) or do they catch different duplication
+    (paraphrase vs verbatim) and both must run? Text-only pairs =
+    verbatim overlap the embedding space smooths away; embedding-only
+    pairs = semantic near-dups sharing few exact shingles.
+
+    The synthetic corpus aligns vec_id = doc_id 1:1 (TESTDATA);
+    production inserts its doc->embedding id map before the joins.
+
+    Scale shape: pure composition of two already-audited tiers — both
+    inputs are their bounded VERIFIED pair frames (checkpointed);
+    agreement is two counts and one equi-join on those frames. Counts
+    integer-exact; pair-set Jaccard one 6dp try_divide.
+    """
+    from mito_spark.operators.similarity import embedding_near_dup
+
+    tp = (
+        minhash_lsh_dedup(spark, sf_dir, threshold=threshold, shingle=shingle)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    ep = (
+        embedding_near_dup(spark, sf_dir, threshold=cos_threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    both = tp.join(ep, ["id_a", "id_b"]).agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias("n_both")
+    )
+    return (
+        tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_text_pairs"))
+        .crossJoin(ep.agg(F.count(F.lit(1)).cast("bigint").alias("n_emb_pairs")))
+        .crossJoin(both)
+        .select(
+            "n_text_pairs",
+            "n_emb_pairs",
+            "n_both",
+            (F.col("n_text_pairs") - F.col("n_both")).alias("n_text_only"),
+            (F.col("n_emb_pairs") - F.col("n_both")).alias("n_emb_only"),
+            F.round(
+                F.try_divide(
+                    F.col("n_both").cast("double"),
+                    (
+                        F.col("n_text_pairs")
+                        + F.col("n_emb_pairs")
+                        - F.col("n_both")
+                    ).cast("double"),
+                ),
+                6,
+            ).alias("pair_jaccard"),
+        )
+    )
+
+
+def _modality_agreement_sql(
+    threshold: float = 0.5, cos_threshold: float = 0.45, shingle: int = 3, dim: int = 64
+) -> str:
+    from mito_spark.operators.similarity import _bucket_sql, _dot_sql
+
+    cos = (
+        f"{_dot_sql('x.v', 'y.v', dim)} / (sqrt({_dot_sql('x.v', 'x.v', dim)})"
+        f" * sqrt({_dot_sql('y.v', 'y.v', dim)}))"
+    )
+    jac = (
+        "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)"
+        " / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)))"
+    )
+    return (
+        _minhash_cand_sql(shingle)
+        + f""", tpairs AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM cand JOIN tok ta ON cand.id_a = ta.doc_id
+            JOIN tok tb ON cand.id_b = tb.doc_id
+  WHERE {jac} >= {threshold}
+), ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bv AS (
+  SELECT vec_id, v, {_bucket_sql('v', dim)} AS bucket FROM ev
+), epairs AS MATERIALIZED (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bv x JOIN bv y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE {cos} >= {cos_threshold}
+), nboth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM tpairs JOIN epairs USING (id_a, id_b)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tpairs) AS n_text_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM epairs) AS n_emb_pairs,
+       n_both,
+       (SELECT COUNT(*) FROM tpairs) - n_both AS n_text_only,
+       (SELECT COUNT(*) FROM epairs) - n_both AS n_emb_only,
+       ROUND(CAST(n_both AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM tpairs) + (SELECT COUNT(*) FROM epairs) - n_both AS DOUBLE), 6)
+         AS pair_jaccard
+FROM nboth
+"""
+    )
+
+
+DEDUP_MODALITY_SQL = _modality_agreement_sql()

@@ -283,3 +283,137 @@ WITH cand AS (
 SELECT source, doc_id, n_chars, es_key, es_rank
 FROM ranked WHERE es_rank <= {WEIGHTED_SAMPLE_K}
 """
+
+
+# --- packing-strategy efficiency --------------------------------------
+
+PACK_SEQ_LENS = (32, 128, 512)  # context lengths bracketing the
+# corpus's ~54-token mean doc, so all three regimes appear: docs
+# mostly longer than L (truncation bites), comparable, and shorter
+# (padding dominates)
+
+
+def packing_efficiency_report(
+    spark: SparkSession, sf_dir: str, seq_lens: tuple[int, ...] = PACK_SEQ_LENS
+) -> DataFrame:
+    """The sequence-assembly decision table: per context length L, the
+    cost of the two standard strategies — PAD (one doc per sequence,
+    truncated at L: pays padding waste + truncation loss) vs PACK
+    (concatenate-and-chunk, GPT-2 style: pays near-zero padding but
+    splits documents across sequence boundaries, i.e. attention
+    contamination unless the loader masks). Columns per L:
+    (seq_len, n_docs, total_tokens, trunc_lost, pad_seqs, pad_waste,
+    pack_seqs, pack_waste, split_docs). ``token_pack_bins`` emits the
+    manifest for the chosen strategy; this report is how you choose.
+
+    Scale shape: ONE tokenize scan into a per-lang running-sum window
+    (the shard-local cumulative sum ``token_pack_bins`` already uses —
+    never a global single-partition window), checkpointed and shared
+    by every L; each rung is pure column arithmetic + one |langs|-row
+    rollup. All counts integer-exact (ceil as (x + L - 1) DIV L);
+    the two waste ratios are 6dp try_divides.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != F.lit(""))
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = (
+        docs.select("lang", "doc_id", toks.alias("n"))
+        .select("lang", "doc_id", "n", F.sum("n").over(w).alias("cum"))
+        .localCheckpoint()  # one window pass shared by every rung
+    )
+    lang_tot = base.groupBy("lang").agg(F.max("cum").alias("tot"))
+    outs = []
+    for L in seq_lens:
+        kept = F.least(F.col("n"), F.lit(L))
+        split = (
+            (F.col("n") > 0)
+            & (
+                F.floor((F.col("cum") - F.col("n")) / L)
+                != F.floor((F.col("cum") - 1) / L)
+            )
+        ).cast("int")
+        d = base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum(kept), F.lit(0)).cast("bigint").alias("kept"),
+            F.coalesce(F.sum(split), F.lit(0)).cast("bigint").alias("split_docs"),
+        )
+        p = lang_tot.agg(
+            F.coalesce(
+                F.sum(F.expr(f"(tot + {L} - 1) DIV {L}")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("pack_seqs")
+        )
+        outs.append(
+            d.crossJoin(F.broadcast(p)).select(
+                F.lit(L).cast("bigint").alias("seq_len"),
+                "n_docs",
+                "total_tokens",
+                (F.col("total_tokens") - F.col("kept")).alias("trunc_lost"),
+                F.col("n_docs").alias("pad_seqs"),
+                F.round(
+                    F.try_divide(
+                        (F.col("n_docs") * L - F.col("kept")).cast("double"),
+                        (F.col("n_docs") * L).cast("double"),
+                    ),
+                    6,
+                ).alias("pad_waste"),
+                "pack_seqs",
+                F.round(
+                    F.try_divide(
+                        (F.col("pack_seqs") * L - F.col("total_tokens")).cast("double"),
+                        (F.col("pack_seqs") * L).cast("double"),
+                    ),
+                    6,
+                ).alias("pack_waste"),
+                "split_docs",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("seq_len")
+
+
+def _packing_efficiency_sql(seq_lens: tuple[int, ...] = PACK_SEQ_LENS) -> str:
+    rows = []
+    for L in seq_lens:
+        rows.append(f"""SELECT CAST({L} AS BIGINT) AS seq_len,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_docs,
+       (SELECT CAST(coalesce(SUM(n), 0) AS BIGINT) FROM base) AS total_tokens,
+       (SELECT CAST(coalesce(SUM(n), 0) - coalesce(SUM(LEAST(n, {L})), 0) AS BIGINT) FROM base) AS trunc_lost,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS pad_seqs,
+       (SELECT ROUND(CAST(COUNT(*) * {L} - coalesce(SUM(LEAST(n, {L})), 0) AS DOUBLE)
+                     / CAST(COUNT(*) * {L} AS DOUBLE), 6) FROM base) AS pad_waste,
+       (SELECT CAST(coalesce(SUM((tot + {L} - 1) // {L}), 0) AS BIGINT) FROM lang_tot) AS pack_seqs,
+       (SELECT ROUND(CAST((SELECT coalesce(SUM((tot + {L} - 1) // {L}), 0) FROM lang_tot) * {L}
+                          - (SELECT coalesce(SUM(n), 0) FROM base) AS DOUBLE)
+                     / CAST((SELECT coalesce(SUM((tot + {L} - 1) // {L}), 0) FROM lang_tot) * {L} AS DOUBLE), 6)) AS pack_waste,
+       (SELECT CAST(coalesce(SUM(CASE WHEN n > 0 AND FLOOR((cum - n) / {L}) <> FLOOR((cum - 1) / {L})
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT) FROM base) AS split_docs""")
+    return (
+        r"""
+WITH base AS MATERIALIZED (
+  SELECT lang, doc_id, n,
+         SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT lang, doc_id,
+               len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n
+        FROM documents)
+), lang_tot AS MATERIALIZED (
+  SELECT lang, CAST(MAX(cum) AS BIGINT) AS tot FROM base GROUP BY lang
+)
+"""
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY seq_len\n"
+    )
+
+
+PACKING_EFFICIENCY_SQL = _packing_efficiency_sql()

@@ -153,3 +153,34 @@ def test_domain_epoch_plan_hand_numbers(spark, tmp_path):
     assert (a["epochs"], b["epochs"]) == (1.666667, 5.0)
     assert (a["capped"], b["capped"]) == (False, True)
     assert (a["realized_tokens"], b["realized_tokens"]) == (150, 40)
+
+
+def test_packing_efficiency_hand_numbers_and_invariants(spark, tmp_path, sf_dir):
+    """Planted: three 10-token docs at L=16 — concat-chunk needs
+    ceil(30/16)=2 sequences and splits exactly the middle doc; padding
+    wastes (48-30)/48. Gate invariants: totals constant across rungs,
+    pack always beats pad on waste, truncation shrinks with L."""
+    import pyspark.sql.functions as F
+
+    from mito_spark.operators.sampling import packing_efficiency_report
+
+    d = str(tmp_path / "packeff")
+    docs = [(i, " ".join(f"w{j}" for j in range(10))) for i in range(3)]
+    spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(d + "/documents.parquet")
+    (r,) = packing_efficiency_report(spark, d, seq_lens=(16,)).collect()
+    assert (r["n_docs"], r["total_tokens"], r["trunc_lost"]) == (3, 30, 0)
+    assert (r["pad_seqs"], r["pad_waste"]) == (3, 0.375)
+    assert (r["pack_seqs"], r["split_docs"]) == (2, 1)
+    assert r["pack_waste"] == round((2 * 16 - 30) / 32, 6)
+
+    rows = packing_efficiency_report(spark, sf_dir).collect()
+    assert len({r["total_tokens"] for r in rows}) == 1
+    lost = [r["trunc_lost"] for r in rows]
+    assert lost == sorted(lost, reverse=True)
+    for r in rows:
+        assert r["pack_waste"] < r["pad_waste"]
+        assert r["pack_seqs"] * r["seq_len"] >= r["total_tokens"]
