@@ -1481,9 +1481,18 @@ def dedup_paragraphs(
     from pyspark.sql import Window
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return _para_rollup(
+        docs.select("doc_id"), _token_window_chunks(docs, chunk_tokens)
+    )
+
+
+def _token_window_chunks(docs: DataFrame, chunk_tokens: int) -> DataFrame:
+    """(doc_id, chunk_idx, h) aligned token-window chunk hashes — the
+    ingest unit shared by ``dedup_paragraphs`` and its streaming twin
+    (``streaming/stateful.streaming_paragraph_dedup``)."""
     toks = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
     n_chunk_expr = F.ceil(F.size("toks") / F.lit(chunk_tokens)).cast("int")
-    chunks = (
+    return (
         toks.select(
             "doc_id",
             F.when(
@@ -1509,7 +1518,6 @@ def dedup_paragraphs(
         .select("doc_id", F.explode("cs").alias("c"))
         .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.h").alias("h"))
     )
-    return _para_rollup(docs.select("doc_id"), chunks)
 
 
 def _para_rollup(doc_ids: DataFrame, chunks: DataFrame) -> DataFrame:
@@ -2702,3 +2710,90 @@ FROM nboth
 
 
 DEDUP_MODALITY_SQL = _modality_agreement_sql()
+
+
+# --- normalization-ladder exact dedup ----------------------------------
+
+
+def dedup_normalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much extra exact duplication each text-normalization rung
+    surfaces — the pre-dedup decision CCNet/RefinedWeb make before
+    hashing: raw bytes, lowercase, whitespace-collapse, and
+    punctuation-strip, each rung strictly coarser than the last. Per
+    rung: distinct hash count, dup doc count (docs minus distinct =
+    Σ(group-1)), and the dup fraction. A corpus where the rate jumps
+    at the punct rung is full of near-verbatim syndication; one where
+    raw already catches everything doesn't need normalization cost at
+    scale.
+
+    Scale shape: four hash-groupBys over ONE scan (the staged
+    normalized columns are projections — md5 group keys are uniform,
+    no skew; this is ``dedup_exact``'s plan replicated per rung).
+    Counts integer-exact; one 6dp ratio. Normalizers are anchored
+    ASCII regexes evaluated identically on both engines (DuckDB
+    regexp_replace needs the 'g' flag to match Spark's replace-all).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lower = F.lower(F.col("text"))
+    ws = F.regexp_replace(F.trim(lower), r"\s+", " ")
+    punct = F.regexp_replace(
+        F.regexp_replace(F.trim(lower), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    rungs = [
+        ("1_raw", F.col("text")),
+        ("2_lower", lower),
+        ("3_whitespace", ws),
+        ("4_punct", punct),
+    ]
+    staged = docs.select(
+        "doc_id", *[F.md5(expr).alias(f"h{i}") for i, (_, expr) in enumerate(rungs)]
+    ).localCheckpoint()
+    outs = []
+    for i, (name, _) in enumerate(rungs):
+        agg = staged.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.col(f"h{i}")).alias("n_distinct"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(name).alias("rung"),
+                "n_docs",
+                "n_distinct",
+                (F.col("n_docs") - F.col("n_distinct")).alias("n_dup_docs"),
+                F.round(
+                    F.try_divide(
+                        (F.col("n_docs") - F.col("n_distinct")).cast("double"),
+                        F.col("n_docs").cast("double"),
+                    ),
+                    6,
+                ).alias("dup_frac"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("rung")
+
+
+def _normalization_sql() -> str:
+    rungs = [
+        ("1_raw", "text"),
+        ("2_lower", "lower(text)"),
+        ("3_whitespace", r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"),
+        (
+            "4_punct",
+            r"regexp_replace(regexp_replace(trim(lower(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')",
+        ),
+    ]
+    rows = []
+    for name, expr in rungs:
+        rows.append(f"""SELECT '{name}' AS rung,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5({expr})) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT md5({expr})) AS BIGINT) AS n_dup_docs,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT md5({expr})) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM documents""")
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY rung\n"
+
+
+DEDUP_NORMALIZATION_SQL = _normalization_sql()

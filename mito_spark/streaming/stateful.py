@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -814,5 +816,70 @@ def streaming_hll_distinct(items: DataFrame) -> DataFrame:
         outputStructType=HLL_OUTPUT_SCHEMA,
         stateStructType=HLL_STREAM_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---- paragraph-hash first-occurrence dedup (live CCNet stage 1) ----
+
+PARA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("h", StringType()),
+        StructField("is_dup", BooleanType()),
+    ]
+)
+PARA_STATE_SCHEMA = StructType(
+    [StructField("first_doc", LongType()), StructField("first_idx", IntegerType())]
+)
+
+
+def _para_step_factory():
+    def step(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # buffer ALL Arrow chunks then sort once: a key's micro-batch
+        # arrives as multiple chunks with no cross-chunk ordering
+        rows: list[tuple[int, int]] = []
+        for pdf in batches:
+            rows.extend(
+                (int(d), int(i)) for d, i in zip(pdf["doc_id"], pdf["chunk_idx"])
+            )
+        rows.sort()
+        first = tuple(state.get) if state.exists else None
+        out = []
+        for doc, idx in rows:
+            if first is None:
+                first = (doc, idx)
+            # a replayed row equal to the stored first occurrence is
+            # still the original, never a dup (replay idempotence)
+            out.append((doc, idx, key[0], (doc, idx) != first))
+        state.update(first)
+        yield pd.DataFrame(out, columns=["doc_id", "chunk_idx", "h", "is_dup"])
+
+    return step
+
+
+def streaming_paragraph_dedup(chunks: DataFrame) -> DataFrame:
+    """Streaming twin of ``dedup_paragraphs``' first-occurrence flag —
+    the CCNet paragraph filter LIVE: per chunk-hash key, state is ONE
+    (first_doc, first_idx) pair (the minimal membership record — a
+    grow-only hash set sharded across the state store by key), and
+    every arriving chunk is flagged dup unless it IS the stored first
+    occurrence. In-order contract like the EWMA twins: batch equality
+    holds when micro-batches split chronologically by (doc_id,
+    chunk_idx), because 'first' is order-defined — within a
+    micro-batch the cross-chunk buffering + one sort restores the
+    order Arrow chunking loses (the applyInPandasWithState gotcha).
+    Replayed rows re-flag identically (the stored first is never
+    demoted to dup). Expects the (doc_id, chunk_idx, h) frame of
+    ``dedup._token_window_chunks`` — chunk upstream with the same JVM
+    expressions so hashes match the batch op bit-for-bit."""
+    return chunks.groupBy("h").applyInPandasWithState(
+        _para_step_factory(),
+        outputStructType=PARA_OUTPUT_SCHEMA,
+        stateStructType=PARA_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -642,3 +642,28 @@ def test_dedup_threshold_sweep_ladder_differentiates(spark, tmp_path):
         else:
             assert r["n_docs"] >= 2
             assert r["mean_jaccard"] >= t
+
+
+def test_dedup_normalization_ladder_planted(spark, tmp_path):
+    """Each rung catches exactly one more planted variant: casefold
+    catches doc 1, whitespace-collapse doc 2, punctuation-strip doc 3;
+    doc 4 stays unique everywhere."""
+    from mito_spark.operators.dedup import dedup_normalization_report
+
+    d = str(tmp_path / "norm")
+    _write_docs(
+        spark,
+        d,
+        [
+            (0, "Hello World"),
+            (1, "hello world"),
+            (2, "hello   world "),
+            (3, "hello, world!"),
+            (4, "different entirely"),
+        ],
+    )
+    rows = {r["rung"]: r for r in dedup_normalization_report(spark, d).collect()}
+    assert [rows[k]["n_dup_docs"] for k in sorted(rows)] == [0, 1, 2, 3]
+    assert all(r["n_docs"] == 5 for r in rows.values())
+    dist = [rows[k]["n_distinct"] for k in sorted(rows)]
+    assert dist == [5, 4, 3, 2]

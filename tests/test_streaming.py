@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from mito_spark.operators.asof import asof_join
 from mito_spark.streaming.stream_ops import (
@@ -748,3 +749,66 @@ def test_streaming_hll_distinct_matches_batch_any_order(spark, sf_dir, tmp_path)
         for r in hll_distinct_by(batch_items, "source", "item").collect()
     }
     assert len(want) > 1 and latest == want
+
+
+@pytest.mark.parametrize("n_files", [1, 3])
+def test_streaming_paragraph_dedup_matches_batch_rank(
+    spark, sf_dir, tmp_path, n_files
+):
+    """The live first-occurrence flag must equal the batch rank
+    (rn > 1) on the SAME chunk frame after the full stream, under
+    chronological (doc_id-range) splits at any micro-batch size —
+    the in-order contract, like the EWMA twins."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.dedup import PARA_CHUNK_TOKENS, _token_window_chunks
+    from mito_spark.streaming.stateful import streaming_paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = _token_window_chunks(docs, PARA_CHUNK_TOKENS)
+    want = {
+        (r.doc_id, r.chunk_idx): r.is_dup
+        for r in chunks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("h").orderBy(F.asc("doc_id"), F.asc("chunk_idx"))
+            ),
+        )
+        .select("doc_id", "chunk_idx", (F.col("rn") > 1).alias("is_dup"))
+        .collect()
+    }
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    d = str(tmp_path / f"parastream{n_files}")
+    dest = d + "/chunks.parquet"
+    seen: set = set()
+    base_t = time.time()
+    for i in range(n_files):
+        lo, hi = i * n_docs // n_files, (i + 1) * n_docs // n_files
+        chunks.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(dest)
+        for f in os.listdir(dest):
+            if f not in seen:
+                seen.add(f)
+                os.utime(os.path.join(dest, f), (base_t + 100 * i, base_t + 100 * i))
+    schema = spark.read.parquet(dest).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    got: dict = {}
+
+    def on_batch(b, _i):
+        for r in b.collect():
+            got[(r.doc_id, r.chunk_idx)] = r.is_dup
+
+    sink = ChannelSink(f"parastream{n_files}", on_batch)
+    q = sink.send_to(
+        streaming_paragraph_dedup(stream), output_mode="append", availableNow=True
+    )
+    q.awaitTermination(180)
+    sink.close()
+    assert got == want
