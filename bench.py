@@ -244,6 +244,23 @@ HEADLINE = [
     # dedup_threshold_sweep excluded by the composition rule: ONE
     # benched dedup_minhash_lsh pass + a 5x fan-out of the bounded
     # checkpointed pair frame.
+    # new in r10 — additive, no swaps. Each of these owns corpus-sized
+    # work beyond already-benched chains:
+    "dedup_weighted_jaccard",  # candidate-doc tf explode + min-sum join
+    "embedding_dim_ablation",  # 4 prefix-slice brute scorers, one scan
+    "decontam_ngram_ladder",  # 3 shingle-width legs off one staged scan
+    "packing_efficiency_report",  # shard-local running-sum window
+    "dedup_normalization_report",  # 4 normalization hash-groupBys
+    # lsh_curve_report excluded: an OFFLINE tuner whose cost is the
+    # benched banding x5 configs + the benched prefix-join truth leg
+    # (measured 20.4 s at sf0.1 — BENCH_NOTES r10); its candidate-mass
+    # column is the cost model, not a serving path.
+    # dedup_modality_agreement excluded by the composition rule (two
+    # benched tiers + bounded joins). unigram_lm_prune excluded by the
+    # two-surface rule (the benched unigram_lm_train loop + one more
+    # round + a vocab-bounded cut). domain_epoch_plan excluded by the
+    # composition rule (domain_mix_temperature's benched scan +
+    # |sources|-row math).
 ]
 
 
