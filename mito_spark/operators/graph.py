@@ -1017,3 +1017,99 @@ LEFT JOIN kcd cd ON n.vec_id = cd.vec_id
 
 
 KCORE_SQL = _kcore_sql()
+
+
+def dataset_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split — the FIX for what
+    ``split_leakage_check`` measures: the split hash is keyed on the
+    near-dup CLUSTER id (connected component of the MinHash-LSH pair
+    graph; unclustered docs key on their own doc_id), so every member
+    of a near-dup cluster lands in the SAME split and no J >= 0.5 pair
+    can ever straddle train/eval — leakage is zero BY CONSTRUCTION
+    with respect to the dedup graph, not merely measured after the
+    fact (pytest re-runs the leakage probe under this split and
+    asserts empty). The standard group-aware split (GroupShuffleSplit
+    semantics) at corpus scale.
+
+    Output: per split, doc count, distinct group count, and how many
+    docs took a CLUSTER key rather than their own id — the columns
+    that show the group structure actually bound the assignment.
+
+    Scale shape: the pair graph + CC are the audited
+    ``dedup_connected_components`` chain; the group key is one
+    LEFT-JOIN of the CC labels onto the corpus doc ids (cluster count
+    << corpus); the split label is a pure md5 column (zero extra
+    shuffle, same ``hash_split`` engine-portable rule as
+    ``dataset_split``); the rollup is 3 rows. Different salt
+    ('splitc:v1') than dataset_split: the two assignments are
+    independent deals.
+    """
+    from mito_spark.operators.dedup import minhash_lsh_dedup
+    from mito_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_dedup(spark, sf_dir)
+    cc = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    grouped = docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_key"),
+        F.col("cluster_id").isNotNull().alias("clustered"),
+    )
+    split = hash_split(
+        F.col("group_key"), {"train": 0.9, "val": 0.05, "test": 0.05}, salt="splitc:v1"
+    )
+    return (
+        grouped.select(split.alias("split"), "group_key", "clustered")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("group_key").alias("n_groups"),
+            F.coalesce(F.sum(F.col("clustered").cast("int")), F.lit(0))
+            .cast("bigint")
+            .alias("n_clustered_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+def _split_by_cluster_sql() -> str:
+    from mito_spark.operators.dedup import MINHASH_LSH_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({MINHASH_LSH_SQL}) mh
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+), grouped AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS group_key,
+         c.cluster_id IS NOT NULL AS clustered
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN comp c USING (doc_id)
+), assigned AS (
+  SELECT group_key, clustered,
+         CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT group_key, clustered,
+               CAST('0x' || substr(md5('splitc:v1:' || CAST(group_key AS VARCHAR)), 1, 15) AS BIGINT)
+                 / 1152921504606846976.0 AS u
+        FROM grouped)
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_groups,
+       CAST(coalesce(SUM(CASE WHEN clustered THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clustered_docs
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+SPLIT_BY_CLUSTER_SQL = _split_by_cluster_sql()

@@ -212,3 +212,69 @@ def test_kcore_converges_within_budget(spark, sf_dir):
         for r in graph_kcore(spark, sf_dir, rounds=KCORE_ROUNDS + 1).collect()
     }
     assert a == b
+
+
+def test_cluster_split_eliminates_leakage_baseline_leaks(spark, sf_dir):
+    """The group-aware split's guarantee, verified end-to-end: re-run
+    the leakage probe (near-dup pairs straddling splits) under the
+    CLUSTER-keyed assignment — it must be EMPTY by construction —
+    while the baseline doc-keyed split demonstrably leaks on the same
+    corpus (split_leakage_check finds pairs)."""
+    import pyspark.sql.functions as F
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.dedup import minhash_lsh_dedup, split_leakage_check
+    from mito_spark.operators.graph import connected_components
+    from mito_spark.operators.sampling import hash_split
+
+    assert split_leakage_check(spark, sf_dir).count() > 0  # baseline leaks
+
+    pairs = minhash_lsh_dedup(spark, sf_dir).localCheckpoint()
+    cc = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            hash_split(
+                F.coalesce("cluster_id", "doc_id"),
+                {"train": 0.9, "val": 0.05, "test": 0.05},
+                salt="splitc:v1",
+            ).alias("split"),
+        )
+    )
+    leaking = (
+        pairs.join(labels.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+        .join(labels.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+        .where(F.col("sa") != F.col("sb"))
+    )
+    assert leaking.count() == 0  # zero by construction
+
+
+def test_cluster_split_groups_never_straddle(spark, sf_dir):
+    """Every near-dup cluster's docs carry ONE split label (the
+    group-key invariant underneath the leakage guarantee)."""
+    import pyspark.sql.functions as F
+
+    from mito_spark.operators.dedup import minhash_lsh_dedup
+    from mito_spark.operators.graph import connected_components
+    from mito_spark.operators.sampling import hash_split
+
+    pairs = minhash_lsh_dedup(spark, sf_dir).localCheckpoint()
+    cc = connected_components(pairs, "id_a", "id_b")
+    per_cluster = (
+        cc.select(
+            F.col("component").alias("cluster_id"),
+            hash_split(
+                F.col("component"),
+                {"train": 0.9, "val": 0.05, "test": 0.05},
+                salt="splitc:v1",
+            ).alias("split"),
+        )
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_cluster.where("n_splits > 1").count() == 0

@@ -629,3 +629,33 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
     assert "md5" not in plan and "aggregate(" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert node not in plan
+
+
+@pytest.mark.parametrize(
+    "modname,fnname,extra_forbidden",
+    [
+        ("dedup", "dedup_weighted_jaccard", ()),
+        ("similarity", "embedding_dim_ablation_report", ()),
+        ("sampling", "packing_efficiency_report", ()),
+        # normalization report is unions of aggs over ONE staged scan:
+        # no joins of any kind, no windows
+        ("dedup", "dedup_normalization_report",
+         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin", "Window")),
+        ("decontam", "decontam_ngram_ladder", ()),
+        ("hygiene", "domain_epoch_plan", ()),
+        ("dedup", "lsh_curve_report", ()),
+        ("graph", "dataset_split_by_cluster", ()),
+    ],
+)
+def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
+    """Every r10 operator keeps the row path JVM-only (no Python eval
+    nodes) and never degenerates to a Cartesian product; per-op extras
+    pin stronger shapes (the normalization ladder is scan+agg only)."""
+    import importlib
+
+    mod = importlib.import_module(f"mito_spark.operators.{modname}")
+    plan = _plan(getattr(mod, fnname)(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas", "CartesianProduct") + tuple(extra_forbidden):
+        assert node not in plan, (fnname, node)
