@@ -198,18 +198,24 @@ def _band_keys(sigd: DataFrame) -> DataFrame:
     frame — the single definition shared by minhash_lsh_dedup and
     incremental_dedup (VERDICT r4 wrong#3: this block used to be
     pasted three times). Band key = md5 over the band's signature
-    slots, identical to the SQL oracle's CASE expression."""
-    band_cols = []
-    for b in range(BANDS):
-        parts = [
-            F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1).cast("string")
-            for r in range(ROWS_PER_BAND)
-        ]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *parts)).alias("key"))
-        )
-    return sigd.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    slots, identical to the SQL oracle's CASE expression. Delegates
+    to ``_band_keys_cfg`` (the r10 curve-tuner generalization) at the
+    production (BANDS, ROWS_PER_BAND) split, so a key-scheme change
+    has exactly one home (code-review r10 #5)."""
+    return _band_keys_cfg(sigd, BANDS, ROWS_PER_BAND)
+
+
+def _lsh_candidates(sigd: DataFrame) -> DataFrame:
+    """Distinct unverified candidate pairs from the production
+    banding — the block minhash_lsh_dedup and dedup_weighted_jaccard
+    share (each applies its own verify measure)."""
+    bands = _band_keys(sigd)
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
     )
 
 
@@ -244,14 +250,7 @@ def minhash_lsh_dedup(
     # parquet. localCheckpoint (not persist) so the blocks are GC-
     # cleaned with the frame instead of pinning the session cache
     # (VERDICT r4 wrong#4).
-    bands = _band_keys(sigd)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    cand = _lsh_candidates(sigd)
     sh_only = sigd.select("doc_id", "sh")
     return _jaccard_verified(cand, sh_only, "id_a", "id_b", threshold).select(
         "id_a", "id_b", "jaccard"
@@ -2508,15 +2507,7 @@ def dedup_weighted_jaccard(
     sigd = shd.select(
         "doc_id", _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig")
     ).localCheckpoint()
-    bands = _band_keys(sigd)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    cand = _lsh_candidates(sigd).localCheckpoint()
     cdocs = (
         cand.select(F.col("id_a").alias("doc_id"))
         .unionAll(cand.select(F.col("id_b").alias("doc_id")))
@@ -2560,21 +2551,25 @@ def dedup_weighted_jaccard(
 
 
 def _weighted_jaccard_sql(threshold: float = WJ_THRESHOLD, shingle: int = 3) -> str:
-    """Twin of ``dedup_weighted_jaccard``: the shared candidate head,
-    then tf frames and the min-sum equi-join (MATERIALIZED — cand and
-    tf are each referenced more than once)."""
+    """Twin of ``dedup_weighted_jaccard``: the shared candidate head
+    re-selected into a MATERIALIZED alias (cand is referenced four
+    times; DuckDB would otherwise re-execute the whole
+    tokenize→signature→band chain per reference — the unigram-prune
+    lesson), then tf frames and the min-sum equi-join."""
     return (
         _minhash_cand_sql(shingle)
-        + rf""", tfr AS MATERIALIZED (
+        + rf""", candm AS MATERIALIZED (
+  SELECT id_a, id_b FROM cand
+), tfr AS MATERIALIZED (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(toks) AS tok FROM rawtok
-        WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand))
+        WHERE doc_id IN (SELECT id_a FROM candm UNION SELECT id_b FROM candm))
   GROUP BY doc_id, tok
 ), tot AS MATERIALIZED (
   SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot FROM tfr GROUP BY doc_id
 ), msum AS (
   SELECT c.id_a, c.id_b, CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS msum
-  FROM cand c
+  FROM candm c
   JOIN tfr a ON a.doc_id = c.id_a
   JOIN tfr b ON b.doc_id = c.id_b AND b.tok = a.tok
   GROUP BY c.id_a, c.id_b
@@ -2582,9 +2577,9 @@ def _weighted_jaccard_sql(threshold: float = WJ_THRESHOLD, shingle: int = 3) -> 
 SELECT id_a, id_b,
        ROUND(CAST(coalesce(msum, 0) AS DOUBLE)
              / CAST(ta.tot + tb.tot - coalesce(msum, 0) AS DOUBLE), 6) AS weighted_jaccard
-FROM cand LEFT JOIN msum USING (id_a, id_b)
-JOIN tot ta ON ta.doc_id = cand.id_a
-JOIN tot tb ON tb.doc_id = cand.id_b
+FROM candm LEFT JOIN msum USING (id_a, id_b)
+JOIN tot ta ON ta.doc_id = candm.id_a
+JOIN tot tb ON tb.doc_id = candm.id_b
 WHERE ROUND(CAST(coalesce(msum, 0) AS DOUBLE)
             / CAST(ta.tot + tb.tot - coalesce(msum, 0) AS DOUBLE), 6) >= {threshold}
 ORDER BY id_a, id_b

@@ -140,15 +140,24 @@ def ingest_dedup_stream(
     reaches when want_more goes false), then returns the flag log
     read back from ``out_dir``.
 
-    Page commit protocol (replay-idempotent, ADVICE r9): per page,
-    (1) flags + accepted are computed against the canon EXCLUDING the
-    page's own doc_ids, then MATERIALIZED (localCheckpoint) so no
-    Spark job both reads and writes ``canon_dir``; (2) accepted is
-    anti-joined against the current canon doc_ids and appended; (3)
-    the flag append — the page's commit marker — lands last. On
-    micro-batch replay, pages already in ``out_dir`` are skipped
-    outright, and a page that crashed between (2) and (3) recomputes
-    identical flags because (1) masked its own half-committed rows."""
+    Page commit protocol (replay-idempotent, ADVICE r9): accepted
+    canon rows are written WITH their page number (seed rows read as
+    NULL via mergeSchema), so a canon row is half-committed RESIDUE
+    exactly when its page has no flag rows yet. Per page, (1) flags +
+    accepted are computed against the canon EXCLUDING residue rows —
+    seed docs and committed pages' rows keep matching, so an
+    id-reusing re-crawl still flags dup exactly like the continuation
+    loop — then MATERIALIZED (localCheckpoint) so no Spark job both
+    reads and writes ``canon_dir``; (2) accepted is anti-joined
+    against the current canon doc_ids and appended; (3) the flag
+    append — the page's commit marker — lands last, legitimizing any
+    residue of the same page. On micro-batch replay, pages already in
+    ``out_dir`` are skipped outright; a page that crashed between (2)
+    and (3) recomputes identical flags because (1) masked exactly its
+    residue, and the doc_id anti-join makes the second canon append a
+    no-op. An unreadable flag log fails loudly (only a MISSING
+    ``out_dir`` means 'nothing committed' — swallowing a torn read
+    would re-append committed pages' flags)."""
     import time
 
     register(spark)
@@ -161,36 +170,65 @@ def ingest_dedup_stream(
     )
     pages_done: set[int] = set()
 
-    def _committed_pages(s: SparkSession) -> set[int]:
+    def _flag_log(s: SparkSession) -> DataFrame | None:
+        """The committed flag log, or None ONLY when out_dir does not
+        exist yet; any other read failure (torn part-file from a crash
+        mid-append) propagates — treating it as 'nothing committed'
+        would double-append committed pages' flags."""
+        from pyspark.errors import AnalysisException
+
         try:
-            return {
-                int(r["page"])
-                for r in s.read.parquet(out_dir).select("page").distinct().collect()
-            }
-        except Exception:  # out_dir not created yet — first page
-            return set()
+            return s.read.parquet(out_dir).localCheckpoint()
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         s = batch_df.sparkSession
         docs = parse_json_pages(batch_df, DOC_SCHEMA).localCheckpoint()
-        committed = _committed_pages(s)
+        log = _flag_log(s)
+        committed = (
+            {int(r["page"]) for r in log.select("page").distinct().collect()}
+            if log is not None
+            else set()
+        )
         for row in sorted(docs.select("page").distinct().collect()):
             page = int(row["page"])
             if page in committed:  # replayed page, already committed
                 pages_done.add(page)
                 continue
             page_docs = docs.where(F.col("page") == page).select("doc_id", "text")
-            canon_all = s.read.parquet(canon_dir)
-            # mask the page's own doc_ids: a crashed attempt may have
-            # appended this page's accepted docs without its flags
-            canon = canon_all.join(page_docs.select("doc_id"), "doc_id", "left_anti")
+            # mergeSchema: seed files predate the page column (NULL)
+            canon_all = s.read.option("mergeSchema", "true").parquet(canon_dir)
+            if "page" not in canon_all.columns:  # pure-seed directory
+                canon_all = canon_all.withColumn("page", F.lit(None).cast("int"))
+            # committed pages are re-derived PER PAGE: a page accepted
+            # earlier in THIS batch must match, not mask
+            log = _flag_log(s)
+            done_pages = (
+                sorted(
+                    int(r["page"])
+                    for r in log.select("page").distinct().collect()
+                )
+                if log is not None
+                else []
+            )
+            legit = F.col("page").isNull()
+            if done_pages:
+                legit = legit | F.col("page").isin(done_pages)
+            # residue mask: rows whose page never committed can only
+            # be a crashed attempt's half-committed append
+            canon = canon_all.where(legit).select("doc_id", "text")
             flags, accepted = _flag_page(page_docs, canon, page, threshold, shingle)
             # materialize BEFORE the canon append: no job may read
             # canon_dir while writing it (self-read-write hazard)
             flags = flags.localCheckpoint()
-            accepted = accepted.join(
-                canon_all.select("doc_id"), "doc_id", "left_anti"
-            ).localCheckpoint()
+            accepted = (
+                accepted.join(canon_all.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("page", F.lit(page))
+                .localCheckpoint()
+            )
             accepted.write.mode("append").parquet(canon_dir)
             flags.write.mode("append").parquet(out_dir)  # commit marker
             pages_done.add(page)

@@ -173,10 +173,13 @@ def test_ingest_dedup_stream_replay_half_committed_page(
     spark, doc_server, tmp_path
 ):
     """Crash between the canon append and the flag append (ADVICE r9):
-    page 0's ACCEPTED docs are already in the canon but its flags
-    never landed. Replay must recompute IDENTICAL flags (the canon
-    view masks the page's own doc_ids) and never double-append the
+    page 0's ACCEPTED docs are already in the canon — page-tagged, as
+    the protocol writes them — but its flags never landed. Replay must
+    recompute IDENTICAL flags (the canon view masks exactly the
+    uncommitted page's residue rows) and never double-append the
     canon (doc_id anti-join before the append)."""
+    import pyspark.sql.functions as F
+
     from mito_spark.streaming.ingest_dedup import (
         ingest_dedup_continuation,
         ingest_dedup_stream,
@@ -191,7 +194,9 @@ def test_ingest_dedup_stream_replay_half_committed_page(
     base = tmp_path / "half"
     canon_dir = str(base / "canon")
     _canon_df(spark).write.parquet(canon_dir)
-    _accepted_page0(spark).write.mode("append").parquet(canon_dir)
+    _accepted_page0(spark).withColumn("page", F.lit(0)).write.mode("append").parquet(
+        canon_dir
+    )
     got = sorted(
         tuple(r)
         for r in ingest_dedup_stream(
@@ -241,3 +246,77 @@ def test_ingest_dedup_stream_replay_committed_page_skipped(
         ).collect()
     )
     assert got == want  # exactly one flag row per doc — page 0 not re-flagged
+
+
+def test_ingest_dedup_stream_id_reuse_matches_continuation(spark, tmp_path):
+    """A page re-delivering a SEED doc_id (re-crawl / id reuse) must
+    flag dup against its canon twin exactly like the continuation
+    loop — the orphan mask may hide only half-committed residue,
+    never legitimate canon rows that share the page's doc_ids
+    (code-review r10 finding #2)."""
+    import http.server
+    import json as _json
+    import threading
+
+    from mito_spark.streaming.ingest_dedup import (
+        ingest_dedup_continuation,
+        ingest_dedup_stream,
+    )
+
+    pages = [
+        [(2, _CANON[2]), (201, _doc_text("u201"))],  # doc_id 2 = seed id AND text
+        [(2, _doc_text("u202"))],  # same seed id, NEW text: unique despite id clash
+    ]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            page = int(parse_qs(urlparse(self.path).query).get("page", ["0"])[0])
+            docs = pages[page] if page < len(pages) else []
+            body = _json.dumps([{"doc_id": i, "text": t} for i, t in docs]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/docs?page={{page}}"
+    try:
+        key = lambda t: (t[0], t[3])  # two rows share doc_id 2 — sort by (id, page)
+        want = sorted(
+            (
+                tuple(r)
+                for r in ingest_dedup_continuation(
+                    spark, url, len(pages), _canon_df(spark)
+                ).collect()
+            ),
+            key=key,
+        )
+        # the reused id must be flagged dup of its canon twin
+        assert any(r[0] == 2 and r[1] == 2 for r in want)
+        base = tmp_path / "idreuse"
+        canon_dir = str(base / "canon")
+        _canon_df(spark).write.parquet(canon_dir)
+        got = sorted(
+            (
+                tuple(r)
+                for r in ingest_dedup_stream(
+                    spark,
+                    url,
+                    len(pages),
+                    canon_dir,
+                    str(base / "out"),
+                    str(base / "ckpt"),
+                    max_pages_per_batch=1,
+                ).collect()
+            ),
+            key=key,
+        )
+        assert got == want
+    finally:
+        srv.shutdown()
