@@ -118,6 +118,25 @@ DOC_OPS = [
     # r9 session 3: threshold sweep (degenerate corpora keep all five
     # rungs with n_pairs=0 / NULL mean via the left joins)
     "dedup_threshold_sweep",
+    # r10: the prune trainer on a corpus whose vocab is already below
+    # the target (keep_n >= n -> zero cuts, never a negative rank);
+    # the curve tuner / weighted verify / modality agreement on a
+    # corpus too small for candidates (zero masses, NULL recalls via
+    # try_divide); the ladders and the epoch plan on empty/whitespace
+    # docs (zero-token sources get NULL shares via try_divide);
+    # packing on zero-token docs (no split, no division); the
+    # normalization ladder on empty strings (md5('' ) is a valid
+    # group); the cluster split on a corpus with no near-dup pairs
+    # (every doc is its own group)
+    "unigram_lm_prune",
+    "lsh_curve_report",
+    "dedup_weighted_jaccard",
+    "dedup_modality_agreement",
+    "decontam_ngram_ladder",
+    "domain_epoch_plan",
+    "packing_efficiency_report",
+    "dedup_normalization_report",
+    "dataset_split_by_cluster",
 ]
 EMB_OPS = [
     "quantize_embeddings",
@@ -150,6 +169,10 @@ EMB_OPS = [
     # r9: outlier report on zero/identical vectors (std 0 -> no
     # member can exceed mean + z*0 ... except float dust; bounded)
     "embedding_outlier_report",
+    # r10: truncated-dim recall on 8-dim degen vectors (slice beyond
+    # length yields the full short array; zero-norm prefixes NULL out
+    # via try_divide and are excluded on both engines)
+    "embedding_dim_ablation",
 ]
 
 
