@@ -251,6 +251,7 @@ HEADLINE = [
     "decontam_ngram_ladder",  # 3 shingle-width legs off one staged scan
     "packing_efficiency_report",  # shard-local running-sum window
     "dedup_normalization_report",  # 4 normalization hash-groupBys
+    "source_token_drift",  # per-source KL drift: its own tokenize scan
     # lsh_curve_report excluded: an OFFLINE tuner whose cost is the
     # benched banding x5 configs + the benched prefix-join truth leg
     # (measured 20.4 s at sf0.1 — BENCH_NOTES r10); its candidate-mass

@@ -638,3 +638,147 @@ ORDER BY c4_keep, rep_keep, ppl_keep
 
 
 FILTER_ATTRIBUTION_SQL = _filter_attribution_sql()
+
+
+# --- per-source token-distribution drift --------------------------------
+
+DRIFT_TOP_V = 256  # corpus top-V vocabulary the KL is measured over
+
+
+def source_token_drift(
+    spark: SparkSession, sf_dir: str, top_v: int = DRIFT_TOP_V
+) -> DataFrame:
+    """Per-source token-distribution DRIFT from the corpus: KL(source
+    ‖ corpus) over the corpus top-V vocabulary (add-1 smoothing on the
+    source side — a source missing a common token must cost, not
+    crash the log), plus each source's token entropy and effective
+    vocabulary exp(H). The ingest monitor FineWeb-style pipelines run
+    per dump/source: a crawler change, an encoding bug, or a
+    spam-flooded source shows up as a KL spike against the corpus
+    profile long before any downstream quality filter moves.
+
+    Scale shape: ONE tokenize scan to (source, token) counts
+    (map-side combined; |sources|·V working set after the top-V cut),
+    the corpus top-V as a broadcast V-row frame, per-source rollups
+    on V-bounded rows. Parity: every KL/entropy term is
+    9dp-rounded-ln × exact count ratios, summed as decimal(20,9)
+    (order-free) and finished at 6dp — the house transcendental
+    discipline.
+
+    KL here is over the TRUNCATED top-V event space renormalized
+    implicitly by the smoothing denominator (n_s + V); the number is
+    a monitoring statistic comparable across sources and rounds, not
+    a full-vocabulary divergence — the docstring states it so the
+    oracle and the reader agree on the same quantity.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = (
+        docs.select("source", F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # one scan feeds corpus top-V, totals, KL
+    )
+    corpus = tok.groupBy("w").agg(F.sum("c").alias("cc"))
+    topv = (
+        corpus.orderBy(F.desc("cc"), F.asc("w")).limit(top_v).localCheckpoint()
+    )
+    n_corpus = topv.agg(F.sum("cc").alias("nc"))  # totals over the SAME event space
+    src_tot = tok.groupBy("source").agg(
+        F.sum("c").alias("ns"), F.count(F.lit(1)).alias("n_types")
+    )
+    # per-(source, top-V token) smoothed source prob vs corpus prob
+    grid = (
+        src_tot.crossJoin(F.broadcast(topv))
+        .join(
+            tok.select("source", "w", "c"),
+            ["source", "w"],
+            "left",
+        )
+        .crossJoin(F.broadcast(n_corpus))
+    )
+    v_lit = F.lit(float(top_v))
+    ps = (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (
+        F.col("ns") + v_lit
+    )
+    pc = F.col("cc").cast("double") / F.col("nc").cast("double")
+    term = F.round(ps * F.round(F.log(ps / pc), 9), 9).cast("decimal(20,9)")
+    kl = (
+        grid.groupBy("source")
+        .agg(F.sum(term).alias("klsum"))
+        .select("source", F.round(F.col("klsum").cast("double"), 6).alias("kl_vs_corpus"))
+    )
+    # source entropy over its OWN full distribution (no smoothing:
+    # only observed tokens, p > 0)
+    hterm = F.round(
+        (F.col("c").cast("double") / F.col("ns"))
+        * -F.round(F.log(F.col("c").cast("double") / F.col("ns")), 9),
+        9,
+    ).cast("decimal(20,9)")
+    ent = (
+        tok.join(src_tot.select("source", "ns"), "source")
+        .groupBy("source")
+        .agg(F.sum(hterm).alias("hsum"))
+        .select(
+            "source",
+            F.round(F.col("hsum").cast("double"), 6).alias("token_entropy"),
+            F.round(F.exp(F.round(F.col("hsum").cast("double"), 6)), 6).alias(
+                "eff_vocab"
+            ),
+        )
+    )
+    return (
+        src_tot.join(kl, "source")
+        .join(ent, "source")
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            "n_types",
+            "kl_vs_corpus",
+            "token_entropy",
+            "eff_vocab",
+        )
+        .orderBy("source")
+    )
+
+
+def _source_drift_sql(top_v: int = DRIFT_TOP_V) -> str:
+    return rf"""
+WITH tok AS MATERIALIZED (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY source, w
+), topv AS MATERIALIZED (
+  SELECT w, cc FROM (
+    SELECT w, CAST(SUM(c) AS BIGINT) AS cc FROM tok GROUP BY w)
+  ORDER BY cc DESC, w LIMIT {top_v}
+), nc AS (
+  SELECT CAST(SUM(cc) AS BIGINT) AS nc FROM topv
+), src_tot AS MATERIALIZED (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS ns, CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM tok GROUP BY source
+), kl AS (
+  SELECT source,
+         ROUND(CAST(SUM(CAST(ROUND(ps * ROUND(ln(ps / pc), 9), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS kl_vs_corpus
+  FROM (
+    SELECT s.source,
+           CAST(coalesce(t.c, 0) + 1 AS DOUBLE) / (s.ns + CAST({top_v} AS DOUBLE)) AS ps,
+           CAST(v.cc AS DOUBLE) / CAST(nc.nc AS DOUBLE) AS pc
+    FROM src_tot s CROSS JOIN topv v CROSS JOIN nc
+    LEFT JOIN tok t ON t.source = s.source AND t.w = v.w
+  ) GROUP BY source
+), ent AS (
+  SELECT tok.source,
+         ROUND(CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) / ns) * -ROUND(ln(CAST(c AS DOUBLE) / ns), 9), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS token_entropy
+  FROM tok JOIN src_tot USING (source)
+  GROUP BY tok.source
+)
+SELECT s.source, s.ns AS n_tokens, s.n_types, kl.kl_vs_corpus,
+       ent.token_entropy,
+       ROUND(EXP(ent.token_entropy), 6) AS eff_vocab
+FROM src_tot s JOIN kl USING (source) JOIN ent USING (source)
+ORDER BY s.source
+"""
+
+
+SOURCE_DRIFT_SQL = _source_drift_sql()

@@ -137,6 +137,9 @@ DOC_OPS = [
     "packing_efficiency_report",
     "dedup_normalization_report",
     "dataset_split_by_cluster",
+    # r10: drift on sources whose docs are all empty/whitespace (no
+    # token rows -> the source is absent from every leg identically)
+    "source_token_drift",
 ]
 EMB_OPS = [
     "quantize_embeddings",
