@@ -1716,3 +1716,180 @@ WITH e AS MATERIALIZED (
 
 
 DIM_ABLATION_SQL = _dim_ablation_sql()
+
+
+# --- IVF nprobe-recall curve (the ANN serving-knob ladder) -------------
+
+NPROBE_LADDER = (1, 2, 4, 8, 16)
+
+
+def ann_nprobe_curve_report(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobes: tuple[int, ...] = NPROBE_LADDER,
+    n_queries: int = 10,
+    k: int = 10,
+    n_cells: int | None = None,
+) -> DataFrame:
+    """Measured recall-vs-cost ladder for the IVF probe knob — the ANN
+    sibling of ``lsh_curve_report`` (the two knob tables a serving
+    rollout reads): per nprobe rung, the fraction of the corpus each
+    query scores (nprobe / n_cells — THE cost number at any scale:
+    expected scanned rows = N·nprobe/n_cells) and the measured
+    recall@k against the exact brute-force truth. This is the curve
+    ``auto_nprobe``'s derived value (8 at the 16-cell gate floor) was
+    justified from in r9 — now a standing, oracled report instead of
+    a one-off bring-up measurement.
+
+    Scale shape: ONE k-means train and ONE cell-tag pass (both
+    checkpointed) feed every rung; the truth leg is the audited
+    brute-force tier over the bounded standing query set; each rung
+    adds only its probe join (output ∝ nprobe/n_cells of the corpus
+    per query) and a k·n_queries-row intersection. Counts
+    integer-exact; recall and probe_frac are 6dp.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if n_cells is None:
+        n_cells = auto_n_cells(emb.count())
+    truth = (
+        cosine_topk_bruteforce(spark, sf_dir, n_queries=n_queries, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    n_truth = truth.count()
+    centroids = _kmeans_centroids(_ivf_train_sample(emb), n_cells)
+    tagged = emb.withColumn("cell", _nearest_cell_expr(centroids)).localCheckpoint()
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("q"), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    cell_pairs = F.array(
+        *[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)]
+    )
+    outs = []
+    for nprobe in nprobes:
+        probe_cells = F.transform(
+            F.slice(F.array_sort(cell_pairs), 1, min(nprobe, n_cells)),
+            lambda p: p.getField("i"),
+        )
+        queries = (
+            tagged.where(F.col("vec_id") < n_queries)
+            .select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+            .withColumn("cell", F.explode(probe_cells))
+        )
+        joined = (
+            tagged.join(F.broadcast(queries), "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                _cosine(F.col("q"), F.col("v")).alias("cos"),
+            )
+            .where(F.col("cos").isNotNull())
+        )
+        tk = per_key_topk(
+            joined, "query_id", [F.desc("cos"), F.asc("neighbor_id")], k
+        ).select("query_id", "neighbor_id")
+        caught = tk.join(truth, ["query_id", "neighbor_id"]).agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias("n_caught")
+        )
+        outs.append(
+            caught.select(
+                F.lit(nprobe).cast("bigint").alias("nprobe"),
+                F.round(
+                    F.lit(float(min(nprobe, n_cells))) / F.lit(float(n_cells)), 6
+                ).alias("probe_frac"),
+                F.lit(n_truth).cast("bigint").alias("n_truth"),
+                F.col("n_caught"),
+                F.round(
+                    F.try_divide(
+                        F.col("n_caught").cast("double"), F.lit(float(n_truth))
+                    ),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("nprobe")
+
+
+def _nprobe_curve_sql(
+    nprobes: tuple[int, ...] = NPROBE_LADDER,
+    n_queries: int = 10,
+    k: int = 10,
+    n_cells: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+) -> str:
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+        )
+
+    prev = f"cent{iters}"
+    cos = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> p.q[i] * g.v[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> p.q[i]*p.q[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> g.v[i]*g.v[i]))))"
+    )
+    bcos = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> q.q[i] * g.v[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> q.q[i]*q.q[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> g.v[i]*g.v[i]))))"
+    )
+    parts = [_kmeans_tagged_sql(n_cells, iters, dim)]
+    # materialize the shared legs: tagged and the probe ranking are
+    # referenced by every rung (the DuckDB CTE-inlining lesson)
+    parts.append(
+        f""", taggedm AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM tagged
+), pranked AS MATERIALIZED (
+  SELECT t.vec_id AS query_id, t.v AS q, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                            ORDER BY {dist('t.v', 'c.c')} ASC, c.cell ASC) AS rn
+  FROM e t CROSS JOIN {prev} c
+  WHERE t.vec_id < {n_queries}
+), truthk AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, g.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {bcos.replace('q.q', 'q.v')} DESC, g.vec_id) AS rank
+    FROM e q CROSS JOIN e g
+    WHERE q.vec_id < {n_queries} AND g.vec_id <> q.vec_id
+      AND {bcos.replace('q.q', 'q.v')} IS NOT NULL)
+  WHERE rank <= {k}
+)"""
+    )
+    rows = []
+    for nprobe in nprobes:
+        npx = min(nprobe, n_cells)
+        parts.append(f""", top{nprobe} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, g.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY {cos} DESC, g.vec_id) AS rank
+    FROM taggedm g
+    JOIN (SELECT query_id, q, cell FROM pranked WHERE rn <= {npx}) p
+      ON g.cell = p.cell AND g.vec_id <> p.query_id
+    WHERE {cos} IS NOT NULL)
+  WHERE rank <= {k}
+)""")
+        rows.append(f"""SELECT CAST({nprobe} AS BIGINT) AS nprobe,
+       ROUND(CAST({float(npx)!r} AS DOUBLE) / CAST({float(n_cells)!r} AS DOUBLE), 6) AS probe_frac,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truthk) AS n_truth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM top{nprobe} t1 JOIN truthk t2 USING (query_id, neighbor_id)) AS n_caught,
+       ROUND(CAST((SELECT COUNT(*) FROM top{nprobe} t1 JOIN truthk t2 USING (query_id, neighbor_id)) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM truthk) AS DOUBLE), 6) AS recall""")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows) + "\nORDER BY nprobe\n"
+
+
+NPROBE_CURVE_SQL = _nprobe_curve_sql()

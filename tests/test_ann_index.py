@@ -397,3 +397,21 @@ def test_dim_ablation_anchor_and_monotone(spark, sf_dir):
     recalls = [r["recall"] for r in rows]
     assert recalls == sorted(recalls)
     assert len({r["n_truth"] for r in rows}) == 1
+
+
+def test_nprobe_curve_anchor_monotone_and_auto_choice(spark, sf_dir):
+    """nprobe = n_cells must read recall exactly 1.0 (every cell
+    probed = brute force over the same candidates); recall is
+    non-decreasing in nprobe (a larger probe set's candidates are a
+    superset); and the ladder contains auto_nprobe's derived rung —
+    the row that justifies the serving default."""
+    from mito_spark.operators.similarity import (
+        ann_nprobe_curve_report,
+        auto_nprobe,
+    )
+
+    rows = ann_nprobe_curve_report(spark, sf_dir).collect()
+    assert rows[-1]["probe_frac"] == 1.0 and rows[-1]["recall"] == 1.0
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert any(r["nprobe"] == auto_nprobe(16) for r in rows)

@@ -176,6 +176,9 @@ EMB_OPS = [
     # length yields the full short array; zero-norm prefixes NULL out
     # via try_divide and are excluded on both engines)
     "embedding_dim_ablation",
+    # r10: the nprobe ladder on 8-dim degen vectors (rungs above the
+    # derived cell count clamp; zero-norm queries drop via try_divide)
+    "ann_nprobe_curve",
 ]
 
 

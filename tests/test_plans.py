@@ -647,6 +647,7 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         ("dedup", "lsh_curve_report", ()),
         ("graph", "dataset_split_by_cluster", ()),
         ("quality", "source_token_drift", ()),
+        ("similarity", "ann_nprobe_curve_report", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
