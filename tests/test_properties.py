@@ -6,6 +6,7 @@ semantics of the reference functions."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from mito_spark.functions import collections as C
@@ -1063,3 +1064,33 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
     ]
     got = [tuple(r) for r in unigram_encode(spark, d).collect()]
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "modname,fnname",
+    [
+        ("text", "unigram_lm_prune"),  # loss-rank cut tie-breaks
+        ("dedup", "dedup_weighted_jaccard"),  # min-sum join rollup
+        ("quality", "source_token_drift"),  # decimal KL/entropy sums
+        ("sampling", "packing_efficiency_report"),  # per-lang window
+        ("graph", "dataset_split_by_cluster"),  # CC + group-key split
+        ("similarity", "ann_nprobe_curve_report"),  # kmeans + topk ties
+    ],
+)
+def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):
+    """Shuffle-partition count must never change a result — the
+    decimal-sum / deterministic-tie-break discipline, asserted for the
+    r10 operators whose rollups could plausibly be order-sensitive."""
+    import importlib
+
+    mod = importlib.import_module(f"mito_spark.operators.{modname}")
+    fn = getattr(mod, fnname)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(str, fn(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(str, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
