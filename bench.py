@@ -262,6 +262,11 @@ HEADLINE = [
     # round + a vocab-bounded cut). domain_epoch_plan excluded by the
     # composition rule (domain_mix_temperature's benched scan +
     # |sources|-row math).
+    # r10 session 3 — additive. Each owns corpus-sized work of its own:
+    "wordpiece_learn",  # 3 rounds x (pair-count + unigram-count) shuffles
+    "nb_langid_report",  # trigram explode both splits + model join
+    "quality_classifier_report",  # hashed-unigram explode + score join
+    "corpus_snapshot_diff",  # two scans + full-outer hash join
 ]
 
 

@@ -1,0 +1,503 @@
+"""Distributed Naive-Bayes text classifiers — the TRAINING step the
+pipeline family previously lacked (every other quality/lang surface
+applies a fixed heuristic; these FIT a model from the corpus, then
+evaluate it on a held-out split, all inside the engine).
+
+Two operators share the recipe:
+
+- ``nb_langid_report`` — char-trigram NB language ID trained on the
+  ``lang`` labels; model size is bounded by charset³ regardless of
+  corpus size (the classic langid.py / CLD feature space).
+- ``quality_classifier_report`` — hashed-unigram NB quality filter
+  (the fastText / GPT-3 quality-classifier shape): words hash into a
+  FIXED 4096-bucket feature space, so the model is constant-size at
+  any corpus scale — the trick that makes "train a quality classifier
+  on the whole crawl" a bounded-state job.
+
+Why Naive Bayes and not logistic regression: NB training IS counting
+— one groupBy over (label, feature) — so the trainer is exactly
+expressible in both engines and the whole train+score+evaluate loop
+sits under the hash gate (a gradient trainer would be oracle-blind).
+At 100 TB the NB counting pass is the same shape as a token-count
+rollup: map-side combine into a model frame bounded by
+|labels| × |feature space|.
+
+Determinism recipe (shared with the surprisal/KN/unigram-LM family):
+log-probabilities round at 9dp into DECIMAL(13,9); per-gram
+contributions multiply by exact integer counts and SUM as decimals
+(exact, order-free); the argmax over per-class decimal scores breaks
+ties by label asc. No float ever reaches the hash gate — outputs are
+label/count frames only.
+
+Oracle caveat, stated honestly: the synthetic corpus draws the same
+vocabulary for every ``lang`` value and carries no real quality
+signal, so the measured confusions hover near the class priors (the
+quality label is a length proxy the classifier does learn). The
+operators' object is the distributed train/score/evaluate machinery,
+which is corpus-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mito_spark.engine import load_table, spread
+from mito_spark.operators.text import _tokens
+
+# Language-ID features: char trigrams over the first NB_PREFIX chars —
+# the prefix cap bounds per-doc feature work (and the score join) the
+# way production langid does; 512 chars carries the full signal.
+NB_PREFIX = 512
+# Deterministic 80/20 split on md5(doc_id) — the split_leakage_check
+# convention (dedup.py split:v1), portable to the oracle.
+NB_TRAIN_BUCKETS = 8
+# Hashed feature space for the quality classifier: fixed size ⇒ the
+# model frame is 2 × QC_BUCKETS rows at ANY corpus size.
+QC_BUCKETS = 4096
+# Weak quality label: word-count threshold (the synthetic corpus has
+# no richer signal; swap for a C4-keep or model-judge label column in
+# production — the trainer is label-agnostic).
+QC_MIN_WORDS = 40
+
+
+def _split_bucket(doc_id: Column, salt: str) -> Column:
+    """Portable 0..9 bucket from md5 — train iff bucket < NB_TRAIN_BUCKETS."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), doc_id.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+
+
+def _chars(p: Column) -> Column:
+    """Code-point character array of ``p`` — ``(?s)(.)`` matches every
+    code point including newlines (regexp, not split(''): Java split
+    cuts UTF-16 surrogate pairs apart, which would diverge from the
+    oracle's code-point substr on non-BMP text)."""
+    return F.regexp_extract_all(p, F.lit(r"(?s)(.)"), 1)
+
+
+def _char_trigrams(chars: Column) -> Column:
+    """All char trigrams from a STAGED char-array column (positions,
+    not distinct — NB wants occurrence counts). Array slices are O(3)
+    per gram; the rejected ``p.substr(i, 3)`` form pays a code-point
+    scan from the string start per position — O(prefix²) per doc,
+    measured 2.1× slower at sf0.1. Guarded so len<3 yields an empty
+    array (a bare sequence(1, len-2) would generate a DESCENDING
+    range). The caller must stage ``chars`` as a real column; the
+    double reference here (size + slice) keeps CollapseProject from
+    inlining the extraction into the lambda."""
+    idx = F.when(
+        F.size(chars) >= 3, F.sequence(F.lit(1), F.size(chars) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws("", F.slice(chars, i, 3)))
+
+
+def nb_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train char-trigram Naive Bayes language ID on the 80% split,
+    score the held-out 20%, return the confusion matrix
+    (true_lang, predicted_lang, n_docs).
+
+    Model: add-1 (Laplace) smoothing over the train-vocab event space
+    V: logp(g|c) = ln((n_gc+1)/(tot_c+V)); any (gram, class) pair
+    without a train count — including grams unseen in train entirely —
+    scores the class fallback ln(1/(tot_c+V)). Docs with no trigrams
+    predict 'und'.
+
+    Scale shape: ONE corpus shuffle to gram counts on each side of the
+    split (map-side combine; train side collapses into the bounded
+    model frame ≤ charset³ × |langs|). Scoring joins test (doc, gram,
+    cnt) against the model on (lang, gram) — model side bounded, AQE
+    picks broadcast when it fits (not hinted, per ADVICE r9 on
+    "vocab-sized" claims); the |langs|-row prior frame IS hinted (its
+    bound is structural, not statistical). The per-doc argmax is a
+    window over |langs| rows per doc — never a corpus-global window.
+    All 1-row totals (vocab size, train doc count) broadcast.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    staged = (
+        docs.select(
+            "doc_id",
+            "lang",
+            (
+                _split_bucket(F.col("doc_id"), "nbsplit:v1:") < NB_TRAIN_BUCKETS
+            ).alias("is_train"),
+            F.substring(F.lower(F.col("text")), 1, NB_PREFIX).alias("p"),
+        )
+        .select(
+            "doc_id", "lang", "is_train", _chars(F.col("p")).alias("chars")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "is_train",
+            _char_trigrams(F.col("chars")).alias("grams"),
+        )
+    )
+
+    # explode_outer, not explode: InferFiltersFromGenerate would push
+    # size()/isnotnull filters below the projection with the FULL
+    # trigram transform inlined — re-evaluating the 512-char substring
+    # chain per element per filter, measured 11.2 s -> ~2 s for the
+    # model build at sf0.1 (the decontam.py Generate lesson); the null
+    # row an empty-gram doc emits is dropped on the cheap generated
+    # attribute instead
+    tg = (
+        staged.where("is_train")
+        .select("lang", F.explode_outer("grams").alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    # Checkpoint the MODEL frame: it is bounded (≤ charset³ × |langs|)
+    # and has three consumers (tot, vocab, logp) — without the
+    # materialization each consumer re-runs the corpus-sized trigram
+    # explode (identical-subplan exchange reuse does NOT survive the
+    # differing downstream projections; measured 15.6 s → 44 s when a
+    # third consumer appeared at sf0.1, back to ~6 s checkpointed)
+    model = (
+        tg.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    )
+    tot = model.groupBy("lang").agg(F.sum("n").alias("tot"))
+    vocab = model.agg(F.countDistinct("g").alias("v"))
+
+    trdocs = (
+        staged.where("is_train").groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    )
+    ntr = staged.where("is_train").agg(F.count(F.lit(1)).alias("ntr"))
+    langs = (
+        trdocs.crossJoin(F.broadcast(ntr))
+        .join(tot, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("ntr")), 9
+            )
+            .cast("decimal(13,9)")
+            .alias("prior"),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")), 9
+            )
+            .cast("decimal(13,9)")
+            .alias("fb"),
+        )
+    )
+    logp = (
+        model.join(tot, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "g",
+            F.round(
+                F.log(
+                    (F.col("n") + 1).cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(13,9)")
+            .alias("logp"),
+        )
+    )
+
+    te = staged.where(~F.col("is_train"))
+    tgc = (
+        te.select("doc_id", F.explode_outer("grams").alias("g"))
+        .where(F.col("g").isNotNull())
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    contrib = tgc.crossJoin(F.broadcast(langs)).join(
+        logp, ["lang", "g"], "left"
+    )
+    scores = (
+        contrib.select(
+            "doc_id",
+            "lang",
+            "prior",
+            (
+                F.col("cnt").cast("decimal(19,0)")
+                * F.coalesce(F.col("logp"), F.col("fb"))
+            ).alias("c"),
+        )
+        .groupBy("doc_id", "lang", "prior")
+        .agg(F.sum("c").alias("s"))
+        .select("doc_id", "lang", (F.col("prior") + F.col("s")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", F.col("lang").alias("predicted_lang"))
+    )
+    return (
+        te.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id", "left")
+        .groupBy(
+            "true_lang",
+            F.coalesce(F.col("predicted_lang"), F.lit("und")).alias(
+                "predicted_lang"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "predicted_lang")
+    )
+
+
+NB_LANGID_SQL = rf"""
+WITH staged AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('nbsplit:v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < {NB_TRAIN_BUCKETS} AS is_train,
+         CASE WHEN length(substr(lower(text), 1, {NB_PREFIX})) >= 3
+              THEN list_transform(range(1, length(substr(lower(text), 1, {NB_PREFIX})) - 1),
+                                  i -> substr(substr(lower(text), 1, {NB_PREFIX}), CAST(i AS INTEGER), 3))
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM documents
+), tg AS (
+  SELECT lang, unnest(grams) AS g FROM staged WHERE is_train
+), model AS (
+  SELECT lang, g, COUNT(*) AS n FROM tg GROUP BY 1, 2
+), tot AS (
+  SELECT lang, SUM(n) AS tot FROM model GROUP BY 1
+), vocab AS (
+  SELECT COUNT(DISTINCT g) AS v FROM tg
+), langs AS (
+  SELECT d.lang,
+         CAST(ROUND(ln(CAST(d.nd AS DOUBLE) / n.ntr), 9) AS DECIMAL(13,9)) AS prior,
+         CAST(ROUND(ln(1.0 / CAST(t.tot + vocab.v AS DOUBLE)), 9) AS DECIMAL(13,9)) AS fb
+  FROM (SELECT lang, COUNT(*) AS nd FROM staged WHERE is_train GROUP BY 1) d
+  CROSS JOIN (SELECT COUNT(*) AS ntr FROM staged WHERE is_train) n
+  JOIN tot t ON t.lang = d.lang
+  CROSS JOIN vocab
+), logp AS (
+  SELECT m.lang, m.g,
+         CAST(ROUND(ln(CAST(m.n + 1 AS DOUBLE) / CAST(t.tot + vocab.v AS DOUBLE)), 9) AS DECIMAL(13,9)) AS logp
+  FROM model m JOIN tot t ON t.lang = m.lang CROSS JOIN vocab
+), tgc AS (
+  SELECT doc_id, unnest(grams) AS g FROM staged WHERE NOT is_train
+), tcnt AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM tgc GROUP BY 1, 2
+), scores AS (
+  SELECT t.doc_id, l.lang,
+         l.prior + SUM(CAST(t.cnt AS DECIMAL(19,0)) * coalesce(p.logp, l.fb)) AS score
+  FROM tcnt t CROSS JOIN langs l
+  LEFT JOIN logp p ON p.lang = l.lang AND p.g = t.g
+  GROUP BY 1, 2, l.prior
+), pred AS (
+  SELECT doc_id, lang AS predicted_lang
+  FROM (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        FROM scores)
+  WHERE rn = 1
+)
+SELECT s.lang AS true_lang,
+       coalesce(p.predicted_lang, 'und') AS predicted_lang,
+       COUNT(*) AS n_docs
+FROM staged s LEFT JOIN pred p ON p.doc_id = s.doc_id
+WHERE NOT s.is_train
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a hashed-unigram NB quality classifier (fastText shape)
+    on the 80% split against the weak label ``n_words >= QC_MIN_WORDS``,
+    score the held-out 20%, and report per-source calibration:
+    (source, weak_label, predicted_label, n_docs).
+
+    The fixed-size trick: every word hashes into one of ``QC_BUCKETS``
+    feature buckets via the portable md5 hash, so the model frame is
+    exactly 2 × QC_BUCKETS rows no matter how many distinct words the
+    crawl holds — feature hashing is what keeps "train on the whole
+    corpus" bounded-state where a raw-vocab model would grow with
+    Heaps' law. Laplace V is the bucket count (a constant, not a
+    distinct-count job).
+
+    Same determinism recipe as ``nb_langid_report`` (9dp decimal
+    log-probs, exact count×decimal contributions, label-asc
+    tiebreak); the two-class argmax is the same window, |labels| = 2
+    rows per doc. One corpus shuffle per split side; everything
+    downstream of the gram counts is bounded by the hashed space.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(F.lower(F.col("text")))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        (_split_bucket(F.col("doc_id"), "qcsplit:v1:") < NB_TRAIN_BUCKETS).alias(
+            "is_train"
+        ),
+        F.when(F.size(toks) >= QC_MIN_WORDS, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("weak_label"),
+        toks.alias("toks"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qcls:v1:"), F.col("w"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % QC_BUCKETS
+    )
+
+    # explode_outer + generated-attribute filter: the Generate lesson
+    # (see nb_langid_report) — keeps the tokenize chain out of pushed
+    # filters
+    tg = (
+        staged.where("is_train")
+        .select(F.col("weak_label").alias("lbl"), F.explode_outer("toks").alias("w"))
+        .where(F.col("w").isNotNull())
+        .select("lbl", bucket.alias("b"))
+    )
+    # ≤ 2 × QC_BUCKETS rows; checkpointed for its two consumers (see
+    # the nb_langid_report model note)
+    model = (
+        tg.groupBy("lbl", "b").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    )
+    tot = model.groupBy("lbl").agg(F.sum("n").alias("tot"))
+
+    trdocs = (
+        staged.where("is_train")
+        .groupBy(F.col("weak_label").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    ntr = staged.where("is_train").agg(F.count(F.lit(1)).alias("ntr"))
+    labels = (
+        trdocs.crossJoin(F.broadcast(ntr))
+        .join(tot, "lbl")
+        .select(
+            "lbl",
+            F.round(F.log(F.col("nd").cast("double") / F.col("ntr")), 9)
+            .cast("decimal(13,9)")
+            .alias("prior"),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("tot") + QC_BUCKETS).cast("double")),
+                9,
+            )
+            .cast("decimal(13,9)")
+            .alias("fb"),
+        )
+    )
+    logp = model.join(tot, "lbl").select(
+        "lbl",
+        "b",
+        F.round(
+            F.log(
+                (F.col("n") + 1).cast("double")
+                / (F.col("tot") + QC_BUCKETS).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(13,9)")
+        .alias("logp"),
+    )
+
+    te = staged.where(~F.col("is_train"))
+    tbc = (
+        te.select("doc_id", F.explode_outer("toks").alias("w"))
+        .where(F.col("w").isNotNull())
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    contrib = tbc.crossJoin(F.broadcast(labels)).join(
+        logp, ["lbl", "b"], "left"
+    )
+    scores = (
+        contrib.select(
+            "doc_id",
+            "lbl",
+            "prior",
+            (
+                F.col("cnt").cast("decimal(19,0)")
+                * F.coalesce(F.col("logp"), F.col("fb"))
+            ).alias("c"),
+        )
+        .groupBy("doc_id", "lbl", "prior")
+        .agg(F.sum("c").alias("s"))
+        .select("doc_id", "lbl", (F.col("prior") + F.col("s")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lbl"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", F.col("lbl").alias("predicted_label"))
+    )
+    return (
+        te.select("doc_id", "source", "weak_label")
+        .join(pred, "doc_id", "left")
+        .groupBy(
+            "source",
+            "weak_label",
+            F.coalesce(F.col("predicted_label"), F.lit("fail")).alias(
+                "predicted_label"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "weak_label", "predicted_label")
+    )
+
+
+QUALITY_CLASSIFIER_SQL = rf"""
+WITH staged AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5('qcsplit:v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < {NB_TRAIN_BUCKETS} AS is_train,
+         CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) >= {QC_MIN_WORDS}
+              THEN 'pass' ELSE 'fail' END AS weak_label,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), tg AS (
+  SELECT weak_label AS lbl,
+         CAST('0x' || substr(md5('qcls:v1:' || w), 1, 15) AS BIGINT) % {QC_BUCKETS} AS b
+  FROM (SELECT weak_label, unnest(toks) AS w FROM staged WHERE is_train)
+), model AS (
+  SELECT lbl, b, COUNT(*) AS n FROM tg GROUP BY 1, 2
+), tot AS (
+  SELECT lbl, SUM(n) AS tot FROM model GROUP BY 1
+), labels AS (
+  SELECT d.lbl,
+         CAST(ROUND(ln(CAST(d.nd AS DOUBLE) / n.ntr), 9) AS DECIMAL(13,9)) AS prior,
+         CAST(ROUND(ln(1.0 / CAST(t.tot + {QC_BUCKETS} AS DOUBLE)), 9) AS DECIMAL(13,9)) AS fb
+  FROM (SELECT weak_label AS lbl, COUNT(*) AS nd FROM staged WHERE is_train GROUP BY 1) d
+  CROSS JOIN (SELECT COUNT(*) AS ntr FROM staged WHERE is_train) n
+  JOIN tot t ON t.lbl = d.lbl
+), logp AS (
+  SELECT m.lbl, m.b,
+         CAST(ROUND(ln(CAST(m.n + 1 AS DOUBLE) / CAST(t.tot + {QC_BUCKETS} AS DOUBLE)), 9) AS DECIMAL(13,9)) AS logp
+  FROM model m JOIN tot t ON t.lbl = m.lbl
+), tbc AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('qcls:v1:' || w), 1, 15) AS BIGINT) % {QC_BUCKETS} AS b,
+         COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS w FROM staged WHERE NOT is_train)
+  GROUP BY 1, 2
+), scores AS (
+  SELECT t.doc_id, l.lbl,
+         l.prior + SUM(CAST(t.cnt AS DECIMAL(19,0)) * coalesce(p.logp, l.fb)) AS score
+  FROM tbc t CROSS JOIN labels l
+  LEFT JOIN logp p ON p.lbl = l.lbl AND p.b = t.b
+  GROUP BY 1, 2, l.prior
+), pred AS (
+  SELECT doc_id, lbl AS predicted_label
+  FROM (SELECT doc_id, lbl,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lbl) AS rn
+        FROM scores)
+  WHERE rn = 1
+)
+SELECT s.source, s.weak_label,
+       coalesce(p.predicted_label, 'fail') AS predicted_label,
+       COUNT(*) AS n_docs
+FROM staged s LEFT JOIN pred p ON p.doc_id = s.doc_id
+WHERE NOT s.is_train
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

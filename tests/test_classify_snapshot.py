@@ -1,0 +1,180 @@
+"""Unit tests for the r10 session-3 operators: the WordPiece trainer,
+the Naive-Bayes classifiers, and the snapshot diff."""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def _write_docs(spark, tmp_path, rows, langs=None, sources=None):
+    """rows: [(doc_id, text)]; optional parallel lang/source lists."""
+    data = [
+        (
+            i,
+            t,
+            (langs[k] if langs else "en"),
+            (sources[k] if sources else "src0"),
+            len(t),
+        )
+        for k, (i, t) in enumerate(rows)
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _bucket(salt: str, doc_id: int) -> int:
+    return int(hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:15], 16) % 10
+
+
+# ---------------------------------------------------------------------------
+# wordpiece_learn
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_prefers_likelihood_over_frequency(spark, tmp_path):
+    """The defining WordPiece property: the most FREQUENT pair loses to
+    the pair with the higher likelihood gain. ('the','cat') appears 10
+    times but both words are common (score 10/(10·10)=0.1);
+    ('zig','zag') appears 3 times with unigrams only inside the pair
+    (score 3/(3·3)=0.333). BPE would merge the first; WordPiece must
+    merge the second."""
+    from mito_spark.operators.text import wordpiece_learn
+
+    rows = [(i, "the cat") for i in range(10)] + [
+        (100 + i, "zig zag") for i in range(3)
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = wordpiece_learn(spark, d, rounds=1).collect()
+    assert (out[0]["a"], out[0]["b"]) == ("zig", "zag")
+    assert (out[0]["n_pair"], out[0]["n_a"], out[0]["n_b"]) == (3, 3, 3)
+
+
+def test_wordpiece_min_pair_floor_stops_on_hapax(spark, tmp_path):
+    """All pairs are hapax -> no candidate survives WP_MIN_PAIR -> the
+    loop stops with zero merges (not a crash, not a junk merge)."""
+    from mito_spark.operators.text import wordpiece_learn
+
+    d = _write_docs(spark, tmp_path, [(0, "a b"), (1, "c d"), (2, "e f")])
+    assert wordpiece_learn(spark, d, rounds=3).count() == 0
+
+
+def test_wordpiece_applies_merge_before_next_round(spark, tmp_path):
+    """Round 2 must count pairs over round 1's MERGED arrays: three
+    'u v w' docs merge (u,v) first (tie with (v,w) broken a-asc), so
+    round 2's only candidate is ('u v', 'w')."""
+    from mito_spark.operators.text import wordpiece_learn
+
+    d = _write_docs(spark, tmp_path, [(i, "u v w") for i in range(3)])
+    rows = {r["round"]: r for r in wordpiece_learn(spark, d, rounds=2).collect()}
+    assert (rows[1]["a"], rows[1]["b"]) == ("u", "v")
+    assert (rows[2]["a"], rows[2]["b"]) == ("u v", "w")
+    assert (rows[2]["n_pair"], rows[2]["n_a"], rows[2]["n_b"]) == (3, 3, 3)
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes classifiers
+# ---------------------------------------------------------------------------
+
+
+def test_nb_langid_separates_disjoint_alphabets(spark, tmp_path):
+    """Two languages with disjoint character distributions: the
+    trained model must classify every held-out doc correctly (the
+    confusion matrix is purely diagonal). Doc ids are chosen so the
+    deterministic md5 split puts both classes in both splits."""
+    from mito_spark.operators.classify import nb_langid_report
+
+    rows, langs = [], []
+    for i in range(24):
+        rows.append((i, "alpha apple amble aargh alarm area"))
+        langs.append("aa")
+    for i in range(24, 48):
+        rows.append((i, "zzyzx buzz fuzzy jazzy pizza zest"))
+        langs.append("zz")
+    te = [i for i in range(48) if _bucket("nbsplit:v1:", i) >= 8]
+    tr = [i for i in range(48) if _bucket("nbsplit:v1:", i) < 8]
+    assert any(i < 24 for i in te) and any(i >= 24 for i in te)
+    assert any(i < 24 for i in tr) and any(i >= 24 for i in tr)
+
+    d = _write_docs(spark, tmp_path, rows, langs=langs)
+    out = nb_langid_report(spark, d).collect()
+    assert all(r["true_lang"] == r["predicted_lang"] for r in out)
+    assert sum(r["n_docs"] for r in out) == len(te)
+
+
+def test_nb_langid_gramless_docs_predict_und(spark, tmp_path):
+    """Docs shorter than one trigram have no features; they must
+    surface as 'und', never vanish from the confusion matrix."""
+    from mito_spark.operators.classify import nb_langid_report
+
+    # find a doc id landing in the test split for the short doc
+    short_id = next(i for i in range(100) if _bucket("nbsplit:v1:", i) >= 8)
+    rows = [(i + 1000, "alpha apple amble") for i in range(10)]
+    rows.append((short_id, "xy"))
+    langs = ["aa"] * 10 + ["short"]
+    d = _write_docs(spark, tmp_path, rows, langs=langs)
+    out = {(r["true_lang"], r["predicted_lang"]): r["n_docs"] for r in
+           nb_langid_report(spark, d).collect()}
+    assert out.get(("short", "und")) == 1
+
+
+def test_quality_classifier_learns_length_label(spark, tmp_path):
+    """The weak label is a word-count threshold; with clearly separated
+    short/long docs the hashed-NB scores must recover it on the
+    held-out split (every report row has weak_label ==
+    predicted_label)."""
+    from mito_spark.operators.classify import quality_classifier_report
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "tiny doc few words"))
+    for i in range(30, 60):
+        rows.append((i, " ".join(f"w{j % 17}" for j in range(60))))
+    d = _write_docs(spark, tmp_path, rows)
+    out = quality_classifier_report(spark, d).collect()
+    assert len(out) > 0
+    assert all(r["weak_label"] == r["predicted_label"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    """Planted two-snapshot diff: one of each status, exact rollup."""
+    from mito_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "s", "gone"), (2, "s", "same"), (3, "s", "before")],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "s", "same"), (3, "s", "after!"), (4, "s", "fresh")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["status"]: (r["n_docs"], r["sum_chars_new"])
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        "added": (1, 5),
+        "changed": (1, 6),
+        "removed": (1, 0),
+        "unchanged": (1, 4),
+    }
+
+
+def test_corpus_snapshot_diff_produces_all_statuses(spark, sf_dir):
+    """The simulated snapshots must exercise every status at gate SF
+    (the md5 buckets guarantee population at 100+ docs)."""
+    from mito_spark.operators.snapshot import corpus_snapshot_diff
+
+    rows = corpus_snapshot_diff(spark, sf_dir).collect()
+    statuses = {r["status"] for r in rows}
+    assert statuses == {"added", "removed", "changed", "unchanged"}
+    # changed rows really changed: the edit truncates, so sum_chars_new
+    # per changed row is below the unchanged mean -- structural sanity
+    assert all(r["n_docs"] > 0 for r in rows)

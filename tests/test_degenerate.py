@@ -140,6 +140,19 @@ DOC_OPS = [
     # r10: drift on sources whose docs are all empty/whitespace (no
     # token rows -> the source is absent from every leg identically)
     "source_token_drift",
+    # r10 session 3: wordpiece on a corpus where no pair reaches the
+    # WP_MIN_PAIR floor (loop stops round 1, 0 rows both engines);
+    # the NB classifiers on a corpus whose train or test split may be
+    # empty (empty model -> every held-out doc predicts the fallback
+    # class via the left-join coalesce) and on zero-gram docs
+    # (len<3 -> empty trigram array -> 'und'); the snapshot diff on
+    # 1-char docs (the truncation edit clamps at greatest(len-7,1)
+    # so the 'changed' bucket degenerates to 'unchanged' identically
+    # on both engines)
+    "wordpiece_learn",
+    "nb_langid_report",
+    "quality_classifier_report",
+    "corpus_snapshot_diff",
 ]
 EMB_OPS = [
     "quantize_embeddings",

@@ -648,6 +648,12 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         ("graph", "dataset_split_by_cluster", ()),
         ("quality", "source_token_drift", ()),
         ("similarity", "ann_nprobe_curve_report", ()),
+        ("classify", "nb_langid_report", ()),
+        ("classify", "quality_classifier_report", ()),
+        # snapshot diff is scan + one full-outer hash join + rollup:
+        # no windows, no nested-loop joins of any kind
+        ("snapshot", "corpus_snapshot_diff",
+         ("BroadcastNestedLoopJoin", "Window")),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

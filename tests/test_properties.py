@@ -1075,6 +1075,10 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("sampling", "packing_efficiency_report"),  # per-lang window
         ("graph", "dataset_split_by_cluster"),  # CC + group-key split
         ("similarity", "ann_nprobe_curve_report"),  # kmeans + topk ties
+        ("text", "wordpiece_learn"),  # double-score argmax + tiebreak
+        ("classify", "nb_langid_report"),  # decimal score sums + rn ties
+        ("classify", "quality_classifier_report"),  # hashed-bucket sums
+        ("snapshot", "corpus_snapshot_diff"),  # full-outer join rollup
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):
