@@ -267,6 +267,10 @@ HEADLINE = [
     "nb_langid_report",  # trigram explode both splits + model join
     "quality_classifier_report",  # hashed-unigram explode + score join
     "corpus_snapshot_diff",  # two scans + full-outer hash join
+    # wordpiece_encode excluded by the two-surface rule (the benched
+    # wordpiece_learn loop + one size projection);
+    # nb_langid_top_features excluded by the composition rule (the
+    # benched nb_langid_report model build + vocab-bounded rank math).
 ]
 
 

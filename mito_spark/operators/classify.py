@@ -99,27 +99,11 @@ def _char_trigrams(chars: Column) -> Column:
     return F.transform(idx, lambda i: F.concat_ws("", F.slice(chars, i, 3)))
 
 
-def nb_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train char-trigram Naive Bayes language ID on the 80% split,
-    score the held-out 20%, return the confusion matrix
-    (true_lang, predicted_lang, n_docs).
-
-    Model: add-1 (Laplace) smoothing over the train-vocab event space
-    V: logp(g|c) = ln((n_gc+1)/(tot_c+V)); any (gram, class) pair
-    without a train count — including grams unseen in train entirely —
-    scores the class fallback ln(1/(tot_c+V)). Docs with no trigrams
-    predict 'und'.
-
-    Scale shape: ONE corpus shuffle to gram counts on each side of the
-    split (map-side combine; train side collapses into the bounded
-    model frame ≤ charset³ × |langs|). Scoring joins test (doc, gram,
-    cnt) against the model on (lang, gram) — model side bounded, AQE
-    picks broadcast when it fits (not hinted, per ADVICE r9 on
-    "vocab-sized" claims); the |langs|-row prior frame IS hinted (its
-    bound is structural, not statistical). The per-doc argmax is a
-    window over |langs| rows per doc — never a corpus-global window.
-    All 1-row totals (vocab size, train doc count) broadcast.
-    """
+def _langid_model(spark: SparkSession, sf_dir: str):
+    """Shared trainer frames: (staged, model, tot, vocab) — the
+    80%-split char-trigram count model consumed by the evaluation
+    report and the feature-importance surface. model is checkpointed
+    (bounded, multi-consumer — see the note inside)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     staged = (
         docs.select(
@@ -143,10 +127,10 @@ def nb_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # explode_outer, not explode: InferFiltersFromGenerate would push
     # size()/isnotnull filters below the projection with the FULL
-    # trigram transform inlined — re-evaluating the 512-char substring
-    # chain per element per filter, measured 11.2 s -> ~2 s for the
-    # model build at sf0.1 (the decontam.py Generate lesson); the null
-    # row an empty-gram doc emits is dropped on the cheap generated
+    # trigram transform inlined — re-evaluating the substring chain
+    # per element per filter, measured 11.2 s -> ~2 s for the model
+    # build at sf0.1 (the decontam.py Generate lesson); the null row
+    # an empty-gram doc emits is dropped on the cheap generated
     # attribute instead
     tg = (
         staged.where("is_train")
@@ -154,16 +138,42 @@ def nb_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("g").isNotNull())
     )
     # Checkpoint the MODEL frame: it is bounded (≤ charset³ × |langs|)
-    # and has three consumers (tot, vocab, logp) — without the
-    # materialization each consumer re-runs the corpus-sized trigram
-    # explode (identical-subplan exchange reuse does NOT survive the
-    # differing downstream projections; measured 15.6 s → 44 s when a
-    # third consumer appeared at sf0.1, back to ~6 s checkpointed)
+    # and has multiple consumers (tot, vocab, logp, feature ranks) —
+    # without the materialization each consumer re-runs the
+    # corpus-sized trigram explode (identical-subplan exchange reuse
+    # does NOT survive the differing downstream projections; measured
+    # 15.6 s → 44 s when a third consumer appeared at sf0.1, back to
+    # ~6 s checkpointed)
     model = (
         tg.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
     )
     tot = model.groupBy("lang").agg(F.sum("n").alias("tot"))
     vocab = model.agg(F.countDistinct("g").alias("v"))
+    return staged, model, tot, vocab
+
+
+def nb_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train char-trigram Naive Bayes language ID on the 80% split,
+    score the held-out 20%, return the confusion matrix
+    (true_lang, predicted_lang, n_docs).
+
+    Model: add-1 (Laplace) smoothing over the train-vocab event space
+    V: logp(g|c) = ln((n_gc+1)/(tot_c+V)); any (gram, class) pair
+    without a train count — including grams unseen in train entirely —
+    scores the class fallback ln(1/(tot_c+V)). Docs with no trigrams
+    predict 'und'.
+
+    Scale shape: ONE corpus shuffle to gram counts on each side of the
+    split (map-side combine; train side collapses into the bounded
+    model frame ≤ charset³ × |langs|). Scoring joins test (doc, gram,
+    cnt) against the model on (lang, gram) — model side bounded, AQE
+    picks broadcast when it fits (not hinted, per ADVICE r9 on
+    "vocab-sized" claims); the |langs|-row prior frame IS hinted (its
+    bound is structural, not statistical). The per-doc argmax is a
+    window over |langs| rows per doc — never a corpus-global window.
+    All 1-row totals (vocab size, train doc count) broadcast.
+    """
+    staged, model, tot, vocab = _langid_model(spark, sf_dir)
 
     trdocs = (
         staged.where("is_train").groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
@@ -249,7 +259,10 @@ def nb_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NB_LANGID_SQL = rf"""
+# Shared model-CTE prefix (staged split + trigram extraction + count
+# model) — composed into both the evaluation oracle and the
+# feature-importance oracle so the twins cannot drift.
+_NB_MODEL_CTES = rf"""
 WITH staged AS (
   SELECT doc_id, lang,
          CAST('0x' || substr(md5('nbsplit:v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < {NB_TRAIN_BUCKETS} AS is_train,
@@ -266,7 +279,9 @@ WITH staged AS (
   SELECT lang, SUM(n) AS tot FROM model GROUP BY 1
 ), vocab AS (
   SELECT COUNT(DISTINCT g) AS v FROM tg
-), langs AS (
+)"""
+
+NB_LANGID_SQL = _NB_MODEL_CTES + rf""", langs AS (
   SELECT d.lang,
          CAST(ROUND(ln(CAST(d.nd AS DOUBLE) / n.ntr), 9) AS DECIMAL(13,9)) AS prior,
          CAST(ROUND(ln(1.0 / CAST(t.tot + vocab.v AS DOUBLE)), 9) AS DECIMAL(13,9)) AS fb
@@ -302,6 +317,101 @@ FROM staged s LEFT JOIN pred p ON p.doc_id = s.doc_id
 WHERE NOT s.is_train
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+NB_TOP_FEATURES_K = 15
+
+
+def nb_langid_top_features(
+    spark: SparkSession, sf_dir: str, k: int = NB_TOP_FEATURES_K
+) -> DataFrame:
+    """Per-class top-k discriminative trigrams from the trained NB
+    model — the "explain the classifier" surface: log-odds
+    lor(g, c) = ln((n_gc+1)/(tot_c+V)) − ln((n_g·−n_gc+1)/(TOT−tot_c+V)),
+    the one-vs-rest Laplace-smoothed weight of evidence. A data
+    engineer reads this table to sanity-check a trained filter before
+    trusting it (top features should look like language, not like a
+    leaked artifact — the standard debugging step for fastText-style
+    corpus classifiers).
+
+    Everything downstream of the shared checkpointed model frame is
+    vocab-bounded: the gram-total rollup, the one-row corpus total,
+    the per-class rank window (|langs| × |vocab| rows, partitioned by
+    class — never corpus-global). Candidates are the model's own
+    (class, gram) rows: a gram absent from a class can never rank in
+    that class's top-k (its lor is negative), so no cross fill-in is
+    needed. Ordering compares the EXACT decimal lor; the output column
+    rounds to 6dp double for display only, after ranking.
+    """
+    _staged, model, tot, vocab = _langid_model(spark, sf_dir)
+    gtot = model.groupBy("g").agg(F.sum("n").alias("gn"))
+    corpus = tot.agg(F.sum("tot").alias("gtot_all"))
+    lp_c = F.round(
+        F.log(
+            (F.col("n") + 1).cast("double")
+            / (F.col("tot") + F.col("v")).cast("double")
+        ),
+        9,
+    ).cast("decimal(13,9)")
+    lp_r = F.round(
+        F.log(
+            (F.col("gn") - F.col("n") + 1).cast("double")
+            / (F.col("gtot_all") - F.col("tot") + F.col("v")).cast("double")
+        ),
+        9,
+    ).cast("decimal(13,9)")
+    cand = (
+        model.join(gtot, "g")
+        .join(tot, "lang")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "g",
+            "n",
+            (F.col("gn") - F.col("n")).alias("n_rest"),
+            (lp_c - lp_r).alias("lor"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("lor"), F.asc("g"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "lang",
+            F.col("g").alias("gram"),
+            F.col("n").alias("n_class"),
+            "n_rest",
+            F.round(F.col("lor").cast("double"), 6).alias("log_odds"),
+            "rank",
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+NB_TOP_FEATURES_SQL = _NB_MODEL_CTES + rf""", gtot AS (
+  SELECT g, SUM(n) AS gn FROM model GROUP BY 1
+), corpus AS (
+  SELECT SUM(tot) AS gtot_all FROM tot
+), cand AS (
+  SELECT m.lang, m.g, m.n, gtot.gn - m.n AS n_rest,
+         CAST(ROUND(ln(CAST(m.n + 1 AS DOUBLE) / CAST(t.tot + vocab.v AS DOUBLE)), 9) AS DECIMAL(13,9))
+         - CAST(ROUND(ln(CAST(gtot.gn - m.n + 1 AS DOUBLE) / CAST(corpus.gtot_all - t.tot + vocab.v AS DOUBLE)), 9) AS DECIMAL(13,9)) AS lor
+  FROM model m
+  JOIN gtot ON gtot.g = m.g
+  JOIN tot t ON t.lang = m.lang
+  CROSS JOIN corpus CROSS JOIN vocab
+), ranked AS (
+  SELECT lang, g, n, n_rest, lor,
+         row_number() OVER (PARTITION BY lang ORDER BY lor DESC, g) AS rank
+  FROM cand
+)
+SELECT lang, g AS gram, CAST(n AS BIGINT) AS n_class,
+       CAST(n_rest AS BIGINT) AS n_rest,
+       ROUND(CAST(lor AS DOUBLE), 6) AS log_odds, rank
+FROM ranked WHERE rank <= {NB_TOP_FEATURES_K}
+ORDER BY lang, rank
 """
 
 

@@ -2719,6 +2719,20 @@ def wordpiece_learn(
     encoding); the faithful sub-word form would run on the word-TYPE
     table as ``bpe_learn_merges_bytes`` does.
     """
+    out, _cur = _wp_learn(spark, sf_dir, rounds)
+    return spark.createDataFrame(
+        out,
+        "round int, a string, b string, n_pair long, n_a long, n_b long",
+    )
+
+
+def _wp_learn(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[list[tuple[int, str, str, int, int, int]], DataFrame]:
+    """Shared WordPiece learn loop (the ``_bpe_learn`` convention):
+    returns (merge table, final encoded frame) so ``wordpiece_learn``
+    ships the merges and ``wordpiece_encode`` the per-doc encoding —
+    one implementation, two surfaces."""
     from mito_spark.engine import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -2797,16 +2811,70 @@ def wordpiece_learn(
         cur = _apply_merge_linear(
             cur, a, b, a + " " + b, maybe_long=has_long
         ).localCheckpoint()
-    return spark.createDataFrame(
-        out,
-        "round int, a string, b string, n_pair long, n_a long, n_b long",
+    return out, cur
+
+
+def wordpiece_encode(
+    spark: SparkSession, sf_dir: str, rounds: int = WP_ROUNDS
+) -> DataFrame:
+    """WordPiece APPLICATION — the encode surface of the likelihood
+    trainer (the ``bpe_encode`` convention): run the shared
+    ``_wp_learn`` loop and report per-document raw token count,
+    encoded token count, and the compression ratio the merge table
+    bought. Because WordPiece optimizes likelihood rather than raw
+    frequency, its ratio profile differs from BPE's on the same
+    corpus: merges concentrate where pairs beat their independence
+    expectation, not where they are merely common.
+
+    Scale shape: everything the learn loop costs plus one final
+    per-doc projection — sizes computed where the encoded arrays
+    already live, no extra shuffle. Ratio is NULL for empty docs and
+    rounds at 6dp from an exact integer quotient.
+
+    Oracle: the SAME unrolled chain as ``WP_LEARN_SQL``, finishing
+    with the t0-vs-tN length compare; the chain carries an
+    empty-argmax fallback branch (t{r} falls back to t{r-1} when no
+    candidate survives the WP_MIN_PAIR floor) so an early trainer
+    stop leaves the twin holding the last encoded state exactly as
+    the Spark loop's ``break`` does.
+    """
+    from mito_spark.engine import spread
+
+    _merges, cur = _wp_learn(spark, sf_dir, rounds)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t0 = docs.select(
+        "doc_id", F.size(_tokens(F.lower(F.col("text")))).alias("n_tokens_raw")
+    )
+    enc = cur.select("doc_id", F.size("toks").alias("n_tokens_wp"))
+    return (
+        t0.join(enc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens_raw",
+            "n_tokens_wp",
+            F.when(
+                F.col("n_tokens_wp") > 0,
+                F.round(
+                    F.col("n_tokens_raw").cast("double") / F.col("n_tokens_wp"),
+                    6,
+                ),
+            ).alias("compression_ratio"),
+        )
+        .orderBy("doc_id")
     )
 
 
-def _wp_learn_sql(rounds: int = WP_ROUNDS) -> str:
-    """Unrolled DuckDB twin of ``wordpiece_learn``: per round a pair-
-    count CTE, a unigram-count CTE, a likelihood-argmax CTE (the same
-    IEEE-double ordering), and the shared list_reduce merge fold."""
+def _wp_chain(rounds: int = WP_ROUNDS) -> str:
+    """The unrolled WITH chain shared by the WordPiece learn and
+    encode oracles: per round a pair-count CTE (WP_MIN_PAIR floor), a
+    unigram-count CTE, a likelihood-argmax CTE (the same IEEE-double
+    ordering as the Spark loop), and the shared list_reduce merge
+    fold. Unlike the BPE chain, t{r} carries an EMPTY-ARGMAX FALLBACK
+    branch (rows pass through unmerged when no candidate survives the
+    floor), so an early trainer stop leaves the chain holding the last
+    encoded state exactly like the Spark loop's ``break`` — the learn
+    union is unaffected (an empty m{r} emits nothing either way), and
+    the encode finish stays correct on corpora where rounds die."""
     parts = [
         r"""
 WITH t0 AS (
@@ -2828,9 +2896,12 @@ WITH t0 AS (
   FROM (SELECT unnest(toks) AS t FROM {prev})
   GROUP BY 1
 ), m{r} AS (
-  SELECT {r} AS round, c.a, c.b, c.n_pair, ua.n_uni AS n_a, ub.n_uni AS n_b
-  FROM c{r} c JOIN u{r} ua ON ua.t = c.a JOIN u{r} ub ON ub.t = c.b
-  ORDER BY CAST(c.n_pair AS DOUBLE) / (CAST(ua.n_uni AS DOUBLE) * CAST(ub.n_uni AS DOUBLE)) DESC, c.a, c.b
+  SELECT {r} AS round, a, b, n_pair, n_a, n_b
+  FROM (
+    SELECT c.a, c.b, c.n_pair, ua.n_uni AS n_a, ub.n_uni AS n_b
+    FROM c{r} c JOIN u{r} ua ON ua.t = c.a JOIN u{r} ub ON ub.t = c.b
+  )
+  ORDER BY CAST(n_pair AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) DESC, a, b
   LIMIT 1
 ), t{r} AS (
   SELECT doc_id,
@@ -2842,13 +2913,37 @@ WITH t0 AS (
                                  ELSE acc || t END)
          END AS toks
   FROM {prev} CROSS JOIN m{r}
+  UNION ALL
+  SELECT doc_id, toks FROM {prev}
+  WHERE NOT EXISTS (SELECT 1 FROM m{r})
 )""")
+    return "".join(parts)
+
+
+def _wp_learn_sql(rounds: int = WP_ROUNDS) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT round, a, b, CAST(n_pair AS BIGINT) AS n_pair,"
         f" CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b FROM m{r}"
         for r in range(1, rounds + 1)
     )
-    return "".join(parts) + f"\n{union}\nORDER BY round"
+    return _wp_chain(rounds) + f"\n{union}\nORDER BY round"
+
+
+def _wp_encode_sql(rounds: int = WP_ROUNDS) -> str:
+    return (
+        _wp_chain(rounds)
+        + f"""
+SELECT t0.doc_id,
+       CAST(len(t0.toks) AS BIGINT) AS n_tokens_raw,
+       CAST(len(tn.toks) AS BIGINT) AS n_tokens_wp,
+       CASE WHEN len(tn.toks) > 0
+            THEN ROUND(CAST(len(t0.toks) AS DOUBLE) / len(tn.toks), 6)
+       END AS compression_ratio
+FROM t0 JOIN t{rounds} tn ON t0.doc_id = tn.doc_id
+ORDER BY t0.doc_id
+"""
+    )
 
 
 WP_LEARN_SQL = _wp_learn_sql()
+WP_ENCODE_SQL = _wp_encode_sql()

@@ -178,3 +178,42 @@ def test_corpus_snapshot_diff_produces_all_statuses(spark, sf_dir):
     # changed rows really changed: the edit truncates, so sum_chars_new
     # per changed row is below the unchanged mean -- structural sanity
     assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_wordpiece_encode_compression(spark, tmp_path):
+    """Three 'zig zag' docs: round 1 merges the pair, so every doc
+    encodes 2 -> 1 tokens, ratio exactly 2.0; the filler docs keep
+    their raw counts when no merge touches them."""
+    from mito_spark.operators.text import wordpiece_encode
+
+    rows = [(i, "zig zag") for i in range(3)] + [(10, "lone")]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in wordpiece_encode(spark, d).collect()}
+    assert (got[0]["n_tokens_raw"], got[0]["n_tokens_wp"]) == (2, 1)
+    assert got[0]["compression_ratio"] == 2.0
+    assert (got[10]["n_tokens_raw"], got[10]["n_tokens_wp"]) == (1, 1)
+
+
+def test_nb_top_features_surface_exclusive_gram(spark, tmp_path):
+    """A trigram that appears ONLY in one language must rank at the
+    top of that language's feature list (maximal one-vs-rest
+    log-odds)."""
+    from mito_spark.operators.classify import nb_langid_top_features
+
+    rows, langs = [], []
+    for i in range(24):
+        rows.append((i, "alpha apple amble arena"))
+        langs.append("aa")
+    for i in range(24, 48):
+        rows.append((i, "zzz qqq zzz qqq zzz"))
+        langs.append("zz")
+    d = _write_docs(spark, tmp_path, rows, langs=langs)
+    out = nb_langid_top_features(spark, d).collect()
+    top_zz = [r for r in out if r["lang"] == "zz" and r["rank"] == 1][0]
+    # the winning zz gram never appears in aa text
+    assert top_zz["n_rest"] == 0
+    assert top_zz["log_odds"] > 0
+    # ranks are dense and bounded per class
+    for lang in ("aa", "zz"):
+        ranks = sorted(r["rank"] for r in out if r["lang"] == lang)
+        assert ranks == list(range(1, len(ranks) + 1))

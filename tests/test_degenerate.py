@@ -153,6 +153,12 @@ DOC_OPS = [
     "nb_langid_report",
     "quality_classifier_report",
     "corpus_snapshot_diff",
+    # r10 session 3 batch 2: the encode surface when every round dies
+    # at the floor (ratio = raw/raw = 1.0 on both engines via the
+    # fallback chain); the feature ranking on a possibly-empty model
+    # (zero candidate rows -> zero output rows, not a crash)
+    "wordpiece_encode",
+    "nb_langid_top_features",
 ]
 EMB_OPS = [
     "quantize_embeddings",

@@ -650,6 +650,7 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         ("similarity", "ann_nprobe_curve_report", ()),
         ("classify", "nb_langid_report", ()),
         ("classify", "quality_classifier_report", ()),
+        ("classify", "nb_langid_top_features", ()),
         # snapshot diff is scan + one full-outer hash join + rollup:
         # no windows, no nested-loop joins of any kind
         ("snapshot", "corpus_snapshot_diff",

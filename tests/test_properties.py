@@ -1078,6 +1078,7 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("text", "wordpiece_learn"),  # double-score argmax + tiebreak
         ("classify", "nb_langid_report"),  # decimal score sums + rn ties
         ("classify", "quality_classifier_report"),  # hashed-bucket sums
+        ("classify", "nb_langid_top_features"),  # decimal lor rank ties
         ("snapshot", "corpus_snapshot_diff"),  # full-outer join rollup
     ],
 )
