@@ -270,7 +270,10 @@ HEADLINE = [
     # wordpiece_encode excluded by the two-surface rule (the benched
     # wordpiece_learn loop + one size projection);
     # nb_langid_top_features excluded by the composition rule (the
-    # benched nb_langid_report model build + vocab-bounded rank math).
+    # benched nb_langid_report model build + vocab-bounded rank math);
+    # ingest_delta_pipeline excluded by the composition rule (the
+    # benched incremental_dedup chain on a 20% batch + a scan-level
+    # word count + a |sources|-row rollup).
 ]
 
 

@@ -613,7 +613,16 @@ def incremental_dedup_frames(
     )
 
 
-def _incremental_sql(split_at: int = 400, threshold: float = 0.5, shingle: int = 3) -> str:
+def _incremental_chain_preds(
+    new_pred: str, old_pred: str, threshold: float = 0.5, shingle: int = 3
+) -> str:
+    """Generalized new-vs-canon splice of the shared MinHash chain:
+    ``new_pred`` / ``old_pred`` are SQL booleans over the aliased
+    doc_id (``n.doc_id`` / ``o.doc_id``) deciding batch vs canon
+    membership — the gated ``incremental_dedup`` passes the doc_id
+    split, the snapshot-delta ingest pipeline passes md5-bucket
+    predicates. Returns the WITH chain ending at ``best`` (per-new-doc
+    lowest-id verified match); callers add their own finish."""
     base = _minhash_sql(threshold, shingle)
     # reuse the shared pipeline up to band keys: regenerate with the
     # new-vs-old candidate join in place of the self-join
@@ -622,7 +631,7 @@ def _incremental_sql(split_at: int = 400, threshold: float = 0.5, shingle: int =
     return rf"""{head}), cand AS (
   SELECT n.doc_id AS new_id, o.doc_id AS old_id
   FROM keyed n JOIN keyed o ON n.band = o.band AND n.key = o.key
-  WHERE n.doc_id >= {split_at} AND o.doc_id < {split_at}
+  WHERE ({new_pred}) AND ({old_pred})
   GROUP BY 1, 2
 ), verified AS (
   SELECT new_id, old_id,
@@ -636,7 +645,14 @@ def _incremental_sql(split_at: int = 400, threshold: float = 0.5, shingle: int =
   SELECT new_id, old_id AS dup_of, ROUND(jaccard, 6) AS jaccard,
          ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY old_id ASC) AS rk
   FROM verified
-)
+)"""
+
+
+def _incremental_sql(split_at: int = 400, threshold: float = 0.5, shingle: int = 3) -> str:
+    chain = _incremental_chain_preds(
+        f"n.doc_id >= {split_at}", f"o.doc_id < {split_at}", threshold, shingle
+    )
+    return rf"""{chain}
 SELECT d.doc_id, b.dup_of, b.jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id >= {split_at}) d
 LEFT JOIN (SELECT new_id, dup_of, jaccard FROM best WHERE rk = 1) b

@@ -217,3 +217,34 @@ def test_nb_top_features_surface_exclusive_gram(spark, tmp_path):
     for lang in ("aa", "zz"):
         ranks = sorted(r["rank"] for r in out if r["lang"] == lang)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_ingest_delta_pipeline_dup_precedence(spark, tmp_path):
+    """A batch doc identical to a canon doc must bill as 'dup' even
+    though it would pass the quality floor — dup > low_quality >
+    accepted. Doc ids are solved against the md5 snapshot buckets so
+    one long doc lands in the canon range [5,80) and its copy in the
+    batch range [80,100)."""
+    from mito_spark.operators.snapshot import ingest_delta_pipeline
+
+    def bkt(i):
+        return int(
+            hashlib.md5(f"snap:v1:{i}".encode()).hexdigest()[:15], 16
+        ) % 100
+
+    canon_id = next(i for i in range(1000) if 5 <= bkt(i) < 80)
+    dup_id = next(i for i in range(1000) if bkt(i) >= 80)
+    short_id = next(i for i in range(1000) if bkt(i) >= 80 and i != dup_id)
+    long_text = " ".join(f"tok{j % 13}" for j in range(60))
+    rows = [
+        (canon_id, long_text),
+        (dup_id, long_text),
+        (short_id, "short batch doc"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r for r in ingest_delta_pipeline(spark, d).collect()}
+    r = out["src0"]
+    assert r["n_batch"] == 2
+    assert r["n_dup"] == 1  # the identical copy, NOT accepted
+    assert r["n_low_quality"] == 1  # the short batch doc
+    assert r["n_accepted"] == 0

@@ -159,6 +159,11 @@ DOC_OPS = [
     # (zero candidate rows -> zero output rows, not a crash)
     "wordpiece_encode",
     "nb_langid_top_features",
+    # r10 session 3 batch 3: the composed ingest on a corpus whose
+    # batch/canon buckets may be empty (empty band join -> every batch
+    # doc routes through the quality floor; zero batch docs -> zero
+    # manifest rows, not a crash)
+    "ingest_delta_pipeline",
 ]
 EMB_OPS = [
     "quantize_embeddings",

@@ -655,6 +655,7 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # no windows, no nested-loop joins of any kind
         ("snapshot", "corpus_snapshot_diff",
          ("BroadcastNestedLoopJoin", "Window")),
+        ("snapshot", "ingest_delta_pipeline", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
