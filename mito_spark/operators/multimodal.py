@@ -251,3 +251,95 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("start_byte", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_chunk_features(
+    df: DataFrame,
+    chunk_bytes: int = 128,
+    hop_bytes: int = 96,
+    fake: bool = False,
+    batch_size: int = 256,
+) -> DataFrame:
+    """Audio segmentation + per-segment features via mapInPandas — the
+    OVERLAPPING-window decode shape (frame/hop, the STFT convention:
+    chunk_bytes plays frame length, hop_bytes < chunk_bytes gives
+    overlap), completing the media trio next to ``resize_images``
+    (1:1) and ``sample_frames`` (1:many, disjoint).
+
+    The decode is STUBBED like every codec in this container
+    (``fake=True`` required; the real implementation swaps the byte
+    windows for PCM decode + energy/MFCC per frame) — the Spark-side
+    plumbing is the real object: Arrow batch sizing, one-to-many
+    fan-out INSIDE the batch (a long recording never materializes all
+    chunks driver-side), deterministic per-chunk 'energy' = byte sum
+    (so tests pin exact values), and a bounded per-payload chunk count
+    ((len − overlap) // hop, ≥ 1). Overlap means consecutive chunks
+    share chunk_bytes − hop_bytes trailing bytes — asserted by test.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs are not available in this container; pass fake=True "
+            "to exercise the chunking plumbing with byte-window features"
+        )
+    if hop_bytes <= 0 or chunk_bytes <= 0 or hop_bytes > chunk_bytes:
+        raise ValueError("need 0 < hop_bytes <= chunk_bytes")
+
+    def _chunks(batches):
+        for pdf in batches:
+            ids, idxs, starts, sizes, energies = [], [], [], [], []
+            for mid, data in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(data)
+                n = max((max(len(data) - (chunk_bytes - hop_bytes), 0)) // hop_bytes, 1)
+                for i in range(n):
+                    s = i * hop_bytes
+                    w = data[s : s + chunk_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    starts.append(s)
+                    sizes.append(len(w))
+                    energies.append(sum(w))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_idx": idxs,
+                    "start_byte": starts,
+                    "n_bytes": sizes,
+                    "energy": energies,
+                }
+            )
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return df.mapInPandas(_chunks, AUDIO_CHUNK_SCHEMA)
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface: synth audio payloads from the documents table
+    (the ``media_from_documents`` convention — text bytes stand in for
+    an opaque audio column), chunk with the default frame/hop, roll up
+    per media: chunk count and total energy. Driver gets the weaker
+    rows-only check — the mapInPandas byte path is outside the SQL
+    oracle's reach, like every codec surface; the VALUES are pinned by
+    the unit tests instead."""
+    media = media_from_documents(spark, sf_dir)
+    chunks = audio_chunk_features(media, fake=True)
+    return (
+        chunks.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("energy").alias("total_energy"),
+            F.max("n_bytes").alias("max_chunk_bytes"),
+        )
+        .orderBy("media_id")
+    )

@@ -249,3 +249,156 @@ FROM flagged GROUP BY 1 ORDER BY 1
 
 
 INGEST_DELTA_SQL = _ingest_delta_sql()
+
+
+def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift between two corpus
+    snapshots — the vector-modality sibling of ``corpus_snapshot_diff``
+    and the monitor a retrieval/clustering deployment watches after
+    every ingest: if a label's centroid moved, its ANN cells, cluster
+    assignments, and nearest-neighbor structure aged. Output one row
+    per label: (label, n_old, n_new, l2_shift).
+
+    Old snapshot = vectors in md5 buckets [0, SNAP_ADDED_FROM); new =
+    buckets [SNAP_REMOVED_LT, 100) — the same membership simulation as
+    the document diff, on the embeddings table. The drift signal at
+    gate SF is pure membership churn (5% leave, 10% arrive); in
+    production the frames would be yesterday's and today's embedding
+    tables.
+
+    Float discipline (the embedding_outlier_report recipe): per-vector
+    per-dimension components round to 9dp and sum as DECIMAL(28,9)
+    through ONE posexplode rollup keyed (snapshot, label, dim) — order
+    free, partition-count invariant; the per-dim mean delta squares in
+    DOUBLE with identical expression trees on both engines; the final
+    l2 = sqrt(Σ_dim Δ²) sums the 9dp-rounded squared deltas as
+    decimals before one sqrt. Everything past the explode is bounded
+    by |labels| × dim.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("snapemb:v1:"), F.col("vec_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        ).alias("bkt"),
+    )
+    tagged = emb.select(
+        "label",
+        "v",
+        (F.col("bkt") < SNAP_ADDED_FROM).alias("in_old"),
+        (F.col("bkt") >= SNAP_REMOVED_LT).alias("in_new"),
+    ).where(F.col("in_old") | F.col("in_new"))
+    comp = tagged.select(
+        "label",
+        "in_old",
+        "in_new",
+        F.posexplode("v").alias("dim", "x"),
+    ).select(
+        "label",
+        "in_old",
+        "in_new",
+        "dim",
+        F.round(F.col("x"), 9).cast("decimal(28,9)").alias("x9"),
+    )
+
+    def _side(flag: str, tag: str):
+        return (
+            comp.where(F.col(flag))
+            .groupBy("label", "dim")
+            .agg(
+                F.sum("x9").alias(f"s_{tag}"),
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+            )
+        )
+
+    old = _side("in_old", "o")
+    new = _side("in_new", "n")
+    per_dim = old.join(new, ["label", "dim"], "full_outer").select(
+        "label",
+        "dim",
+        F.coalesce(F.col("n_o"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("n_n"), F.lit(0)).alias("n_n"),
+        F.round(
+            (
+                F.coalesce(F.col("s_n").cast("double"), F.lit(0.0))
+                / F.greatest(F.coalesce(F.col("n_n"), F.lit(0)), F.lit(1)).cast("double")
+                - F.coalesce(F.col("s_o").cast("double"), F.lit(0.0))
+                / F.greatest(F.coalesce(F.col("n_o"), F.lit(0)), F.lit(1)).cast("double")
+            )
+            * (
+                F.coalesce(F.col("s_n").cast("double"), F.lit(0.0))
+                / F.greatest(F.coalesce(F.col("n_n"), F.lit(0)), F.lit(1)).cast("double")
+                - F.coalesce(F.col("s_o").cast("double"), F.lit(0.0))
+                / F.greatest(F.coalesce(F.col("n_o"), F.lit(0)), F.lit(1)).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("d2"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            (F.max("n_o")).alias("n_old"),
+            (F.max("n_n")).alias("n_new"),
+            F.sum("d2").alias("sd2"),
+        )
+        .select(
+            "label",
+            F.col("n_old").cast("bigint").alias("n_old"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.round(F.sqrt(F.col("sd2").cast("double")), 6).alias("l2_shift"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_SNAPSHOT_DRIFT_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, label, embedding AS v,
+         CAST('0x' || substr(md5('snapemb:v1:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
+  FROM embeddings
+), tagged AS (
+  SELECT label, v,
+         bkt < {SNAP_ADDED_FROM} AS in_old,
+         bkt >= {SNAP_REMOVED_LT} AS in_new
+  FROM emb
+  WHERE bkt < {SNAP_ADDED_FROM} OR bkt >= {SNAP_REMOVED_LT}
+), comp AS (
+  SELECT label, in_old, in_new,
+         generate_subscripts(v, 1) - 1 AS dim,
+         CAST(ROUND(CAST(unnest(v) AS DOUBLE), 9) AS DECIMAL(28,9)) AS x9
+  FROM tagged
+), old AS (
+  SELECT label, dim, SUM(x9) AS s_o, COUNT(*) AS n_o
+  FROM comp WHERE in_old GROUP BY 1, 2
+), new AS (
+  SELECT label, dim, SUM(x9) AS s_n, COUNT(*) AS n_n
+  FROM comp WHERE in_new GROUP BY 1, 2
+), per_dim AS (
+  SELECT coalesce(o.label, n.label) AS label,
+         coalesce(o.n_o, 0) AS n_o, coalesce(n.n_n, 0) AS n_n,
+         CAST(ROUND(
+           (coalesce(CAST(n.s_n AS DOUBLE), 0.0) / greatest(coalesce(n.n_n, 0), 1)
+            - coalesce(CAST(o.s_o AS DOUBLE), 0.0) / greatest(coalesce(o.n_o, 0), 1))
+           * (coalesce(CAST(n.s_n AS DOUBLE), 0.0) / greatest(coalesce(n.n_n, 0), 1)
+              - coalesce(CAST(o.s_o AS DOUBLE), 0.0) / greatest(coalesce(o.n_o, 0), 1)),
+         9) AS DECIMAL(28,9)) AS d2
+  FROM old o FULL OUTER JOIN new n ON o.label = n.label AND o.dim = n.dim
+)
+SELECT label,
+       CAST(MAX(n_o) AS BIGINT) AS n_old,
+       CAST(MAX(n_n) AS BIGINT) AS n_new,
+       ROUND(sqrt(CAST(SUM(d2) AS DOUBLE)), 6) AS l2_shift
+FROM per_dim GROUP BY 1 ORDER BY 1
+"""

@@ -248,3 +248,74 @@ def test_ingest_delta_pipeline_dup_precedence(spark, tmp_path):
     assert r["n_dup"] == 1  # the identical copy, NOT accepted
     assert r["n_low_quality"] == 1  # the short batch doc
     assert r["n_accepted"] == 0
+
+
+# ---------------------------------------------------------------------------
+# audio chunking + embedding drift
+# ---------------------------------------------------------------------------
+
+
+def test_audio_chunk_features_overlap_and_energy(spark):
+    """Frame/hop chunking with exact pinned values: 300 bytes at
+    chunk=128/hop=96 gives floor((300-32)/96)=2 chunks starting at 0
+    and 96; energies are plain byte sums; consecutive chunks share
+    chunk-hop=32 trailing/leading bytes."""
+    from mito_spark.operators.multimodal import audio_chunk_features
+
+    payload = bytes(range(256)) + bytes(44)
+    df = spark.createDataFrame(
+        [(7, payload)], "media_id long, content binary"
+    )
+    rows = sorted(
+        audio_chunk_features(df, fake=True).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [(r["chunk_idx"], r["start_byte"], r["n_bytes"]) for r in rows] == [
+        (0, 0, 128),
+        (1, 96, 128),
+    ]
+    assert rows[0]["energy"] == sum(payload[0:128])
+    assert rows[1]["energy"] == sum(payload[96:224])
+    # overlap: bytes [96,128) counted in both chunks
+    assert rows[0]["energy"] + rows[1]["energy"] == sum(payload[:224]) + sum(
+        payload[96:128]
+    )
+
+
+def test_audio_chunk_features_requires_fake_gate(spark):
+    import pytest as _pytest
+
+    from mito_spark.operators.multimodal import audio_chunk_features
+
+    df = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
+    with _pytest.raises(NotImplementedError):
+        audio_chunk_features(df)
+
+
+def test_audio_chunk_short_payload_single_chunk(spark):
+    """A payload shorter than one frame still yields exactly one
+    (truncated) chunk — never zero rows for non-empty media."""
+    from mito_spark.operators.multimodal import audio_chunk_features
+
+    df = spark.createDataFrame([(1, b"abc")], "media_id long, content binary")
+    rows = audio_chunk_features(df, fake=True).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_bytes"] == 3 and rows[0]["energy"] == sum(b"abc")
+
+
+def test_embedding_snapshot_drift_zero_for_identical_members(spark, tmp_path):
+    """If every vector of a label is identical, membership churn moves
+    nothing: the centroid is the same point in both snapshots and
+    l2_shift must be exactly 0."""
+    from mito_spark.operators.snapshot import embedding_snapshot_drift
+
+    d = str(tmp_path / "emb")
+    rows = [(i, [1.5, -2.25, 0.5, 3.0], 0) for i in range(40)]
+    rows += [(100 + i, [float(i), 1.0, 0.0, 0.0], 1) for i in range(40)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {r["label"]: r for r in embedding_snapshot_drift(spark, d).collect()}
+    assert out[0]["l2_shift"] == 0.0
+    # label 1's members differ, so churn must move its centroid
+    assert out[1]["l2_shift"] > 0.0

@@ -203,6 +203,10 @@ EMB_OPS = [
     # r10: the nprobe ladder on 8-dim degen vectors (rungs above the
     # derived cell count clamp; zero-norm queries drop via try_divide)
     "ann_nprobe_curve",
+    # r10 session 3: centroid drift on 4 degen vectors whose old/new
+    # buckets may leave a side empty (full-outer per-dim join +
+    # greatest(n,1) guards -> a missing side reads as centroid 0)
+    "embedding_snapshot_drift",
 ]
 
 

@@ -656,6 +656,7 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         ("snapshot", "corpus_snapshot_diff",
          ("BroadcastNestedLoopJoin", "Window")),
         ("snapshot", "ingest_delta_pipeline", ()),
+        ("snapshot", "embedding_snapshot_drift", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

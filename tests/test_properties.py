@@ -1081,6 +1081,7 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("classify", "nb_langid_top_features"),  # decimal lor rank ties
         ("snapshot", "corpus_snapshot_diff"),  # full-outer join rollup
         ("snapshot", "ingest_delta_pipeline"),  # band join + cond rollup
+        ("snapshot", "embedding_snapshot_drift"),  # decimal dim sums
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):
