@@ -54,7 +54,9 @@ from mito_spark.sources.http_source import parse_json_pages, register
 from mito_spark.streaming.continuation import ContinuationDriver
 
 DOC_SCHEMA = "doc_id bigint, text string"
-FLAG_SCHEMA = "doc_id bigint, dup_of bigint, jaccard double, page int"
+FLAG_SCHEMA = (
+    "doc_id bigint, dup_of bigint, jaccard double, page int, category string"
+)
 
 
 def _flag_page(
@@ -63,15 +65,44 @@ def _flag_page(
     page: int,
     threshold: float,
     shingle: int,
+    min_words: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """One ingest unit: flags for this page's docs vs the canon, and
-    the accepted docs to fold in. Flags carry the page number so the
-    output is a per-page audit log."""
+    the accepted docs to fold in. Flags carry the page number (the
+    per-page audit log) and a billing ``category`` with the
+    ingest_delta_pipeline precedence — dup > low_quality > accepted;
+    ``min_words=0`` (the default) disables the quality floor, so every
+    non-dup bills 'accepted' exactly as before. Quality rejects, like
+    dups, NEVER enter the canon: a later page duplicating a rejected
+    doc is judged against what the corpus actually kept."""
+    from mito_spark.operators.text import _tokens
+
     flags = incremental_dedup_frames(
         page_docs, canon, threshold=threshold, shingle=shingle
     ).withColumn("page", F.lit(page))
+    if min_words > 0:
+        nw = page_docs.select(
+            "doc_id", F.size(_tokens(F.lower(F.col("text")))).alias("_nw")
+        )
+        flags = (
+            flags.join(nw, "doc_id")
+            .withColumn(
+                "category",
+                F.when(F.col("dup_of").isNotNull(), F.lit("dup"))
+                .when(F.col("_nw") < min_words, F.lit("low_quality"))
+                .otherwise(F.lit("accepted")),
+            )
+            .drop("_nw")
+        )
+    else:
+        flags = flags.withColumn(
+            "category",
+            F.when(F.col("dup_of").isNotNull(), F.lit("dup")).otherwise(
+                F.lit("accepted")
+            ),
+        )
     accepted = page_docs.join(
-        flags.where(F.col("dup_of").isNull()).select("doc_id"), "doc_id"
+        flags.where(F.col("category") == "accepted").select("doc_id"), "doc_id"
     ).select("doc_id", "text")
     return flags, accepted
 
@@ -83,6 +114,7 @@ def ingest_dedup_continuation(
     canon: DataFrame,
     threshold: float = 0.5,
     shingle: int = 3,
+    min_words: int = 0,
 ) -> DataFrame:
     """The want_more/cursor loop: fetch page i → flag vs canon → fold
     accepted docs into canon → advance the cursor. Returns the full
@@ -104,7 +136,9 @@ def ingest_dedup_continuation(
             .load(),
             DOC_SCHEMA,
         ).select("doc_id", "text")
-        flags, accepted = _flag_page(page_docs, canon, page, threshold, shingle)
+        flags, accepted = _flag_page(
+            page_docs, canon, page, threshold, shingle, min_words
+        )
         outs.append(flags.localCheckpoint())
         canon = canon.unionByName(accepted).localCheckpoint()
         return {"page": page + 1, "want_more": page + 1 < n_pages}
@@ -129,6 +163,7 @@ def ingest_dedup_stream(
     max_pages_per_batch: int = 4,
     threshold: float = 0.5,
     shingle: int = 3,
+    min_words: int = 0,
     timeout: float = 120.0,
 ) -> DataFrame:
     """The Structured Streaming twin: readStream(http_paginated) →
@@ -220,7 +255,9 @@ def ingest_dedup_stream(
             # residue mask: rows whose page never committed can only
             # be a crashed attempt's half-committed append
             canon = canon_all.where(legit).select("doc_id", "text")
-            flags, accepted = _flag_page(page_docs, canon, page, threshold, shingle)
+            flags, accepted = _flag_page(
+                page_docs, canon, page, threshold, shingle, min_words
+            )
             # materialize BEFORE the canon append: no job may read
             # canon_dir while writing it (self-read-write hazard)
             flags = flags.localCheckpoint()

@@ -320,3 +320,85 @@ def test_ingest_dedup_stream_id_reuse_matches_continuation(spark, tmp_path):
         assert got == want
     finally:
         srv.shutdown()
+
+
+_QF_A = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+_QF_D = "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+_QF_PAGES = [
+    [(300, _QF_A), (301, _QF_D)],
+    [(310, _QF_A + " iota kappa lambda"), (311, _QF_D)],
+]
+
+
+@pytest.fixture()
+def qf_server():
+    import http.server
+    import json
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            page = int(parse_qs(urlparse(self.path).query).get("page", ["0"])[0])
+            docs = _QF_PAGES[page] if page < len(_QF_PAGES) else []
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(
+                json.dumps([{"doc_id": i, "text": t} for i, t in docs]).encode()
+            )
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/docs?page={{page}}"
+    srv.shutdown()
+
+
+def test_ingest_quality_floor_rejects_stay_out_of_canon(
+    spark, qf_server, tmp_path
+):
+    """The composed ingest with the quality floor (min_words=10):
+    doc 300 (8 words) bills low_quality and must NOT enter the canon —
+    so doc 310, a near-dup of 300 that passes the floor (11 words,
+    J=8/11 vs 300), bills ACCEPTED: the corpus kept nothing it would
+    duplicate. Doc 311 duplicates accepted 301 and bills dup. The
+    streaming twin must agree byte-for-byte."""
+    from mito_spark.streaming.ingest_dedup import (
+        ingest_dedup_continuation,
+        ingest_dedup_stream,
+    )
+
+    empty_canon = spark.createDataFrame([], "doc_id long, text string")
+    flags = ingest_dedup_continuation(
+        spark, qf_server, len(_QF_PAGES), empty_canon, min_words=10
+    ).collect()
+    cats = {r.doc_id: r.category for r in flags}
+    assert cats == {
+        300: "low_quality",
+        301: "accepted",
+        310: "accepted",  # its only near-dup was REJECTED, not kept
+        311: "dup",
+    }
+    assert {r.doc_id: r.dup_of for r in flags}[311] == 301
+
+    base = tmp_path / "qf"
+    canon_dir = str(base / "canon")
+    empty_canon.write.parquet(canon_dir)
+    got = sorted(
+        tuple(r)
+        for r in ingest_dedup_stream(
+            spark,
+            qf_server,
+            len(_QF_PAGES),
+            canon_dir,
+            str(base / "out"),
+            str(base / "ckpt"),
+            max_pages_per_batch=2,
+            min_words=10,
+        ).collect()
+    )
+    assert got == sorted(tuple(r) for r in flags)
