@@ -273,7 +273,12 @@ HEADLINE = [
     # benched nb_langid_report model build + vocab-bounded rank math);
     # ingest_delta_pipeline excluded by the composition rule (the
     # benched incremental_dedup chain on a 20% batch + a scan-level
-    # word count + a |sources|-row rollup).
+    # word count + a |sources|-row rollup);
+    # embedding_snapshot_drift owns one posexplode rollup of its own:
+    "embedding_snapshot_drift",
+    # charset_profile owns one regexp-arithmetic scan of its own:
+    "charset_profile",
+    # corpus_snapshot_diff already listed above (full-outer hash join).
 ]
 
 

@@ -782,3 +782,85 @@ ORDER BY s.source
 
 
 SOURCE_DRIFT_SQL = _source_drift_sql()
+
+
+def charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class profile — the cheapest ingest-drift
+    monitor there is (a crawl dump whose alpha/digit/punct mix moved is
+    a different kind of content long before any model-based signal
+    fires, and a jump in non-ASCII mass flags an encoding regression
+    at the fetcher): (source, n_docs, n_chars, alpha_share,
+    digit_share, space_share, punct_share, n_non_ascii).
+
+    Shape: pure scan-level regexp_replace length arithmetic (the C4
+    recipe — no explode, no Python), integer class counts summed per
+    source with map-side combine, shares derived ONCE from the summed
+    integers (exact-rational, 6dp) — so the result is partition-count
+    invariant and identical on both engines. Output is |sources| rows;
+    at 100 TB this is a parquet-scan-bandwidth pass ending in a
+    ~KB-sized frame.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    n_chars = F.length(t).cast("bigint")
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("bigint")
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("bigint")
+    n_space = (n_chars - F.length(F.regexp_replace(t, r"\s", ""))).cast("bigint")
+    n_ascii = F.length(F.regexp_replace(t, r"[^\x00-\x7F]", "")).cast("bigint")
+    per_doc = docs.select(
+        "source",
+        n_chars.alias("nc"),
+        n_alpha.alias("na"),
+        n_digit.alias("nd"),
+        n_space.alias("ns"),
+        (n_chars - n_ascii).alias("nna"),
+    )
+    tot = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").alias("nc"),
+        F.sum("na").alias("na"),
+        F.sum("nd").alias("nd"),
+        F.sum("ns").alias("ns"),
+        F.sum("nna").alias("n_non_ascii"),
+    )
+    share = lambda c: F.round(  # noqa: E731
+        F.try_divide(c.cast("double"), F.col("nc").cast("double")), 6
+    )
+    return tot.select(
+        "source",
+        "n_docs",
+        F.col("nc").alias("n_chars"),
+        share(F.col("na")).alias("alpha_share"),
+        share(F.col("nd")).alias("digit_share"),
+        share(F.col("ns")).alias("space_share"),
+        share(F.col("nc") - F.col("na") - F.col("nd") - F.col("ns")).alias(
+            "punct_share"
+        ),
+        F.col("n_non_ascii"),
+    ).orderBy("source")
+
+
+CHARSET_PROFILE_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+         length(text) - length(regexp_replace(text, '\s', '', 'g')) AS ns,
+         length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS nna
+  FROM documents
+), tot AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(nc) AS BIGINT) AS nc, CAST(SUM(na) AS BIGINT) AS na,
+         CAST(SUM(nd) AS BIGINT) AS nd, CAST(SUM(ns) AS BIGINT) AS ns,
+         CAST(SUM(nna) AS BIGINT) AS n_non_ascii
+  FROM per_doc GROUP BY 1
+)
+SELECT source, n_docs, nc AS n_chars,
+       ROUND(CAST(na AS DOUBLE) / nullif(nc, 0), 6) AS alpha_share,
+       ROUND(CAST(nd AS DOUBLE) / nullif(nc, 0), 6) AS digit_share,
+       ROUND(CAST(ns AS DOUBLE) / nullif(nc, 0), 6) AS space_share,
+       ROUND(CAST(nc - na - nd - ns AS DOUBLE) / nullif(nc, 0), 6) AS punct_share,
+       n_non_ascii
+FROM tot ORDER BY source
+"""

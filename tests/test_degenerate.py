@@ -159,6 +159,9 @@ DOC_OPS = [
     # (zero candidate rows -> zero output rows, not a crash)
     "wordpiece_encode",
     "nb_langid_top_features",
+    # r10 session 3: charset shares on empty docs (0/0 -> NULL via
+    # try_divide on both engines)
+    "charset_profile",
     # r10 session 3 batch 3: the composed ingest on a corpus whose
     # batch/canon buckets may be empty (empty band join -> every batch
     # doc routes through the quality floor; zero batch docs -> zero

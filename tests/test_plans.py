@@ -657,6 +657,10 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
          ("BroadcastNestedLoopJoin", "Window")),
         ("snapshot", "ingest_delta_pipeline", ()),
         ("snapshot", "embedding_snapshot_drift", ()),
+        # charset profile is scan + one rollup: no joins, no windows
+        ("quality", "charset_profile",
+         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin", "Window")),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

@@ -1082,6 +1082,7 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("snapshot", "corpus_snapshot_diff"),  # full-outer join rollup
         ("snapshot", "ingest_delta_pipeline"),  # band join + cond rollup
         ("snapshot", "embedding_snapshot_drift"),  # decimal dim sums
+        ("quality", "charset_profile"),  # integer class-count sums
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):
