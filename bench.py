@@ -278,6 +278,9 @@ HEADLINE = [
     "embedding_snapshot_drift",
     # charset_profile owns one regexp-arithmetic scan of its own:
     "charset_profile",
+    # events_percentile_drift owns per-(type,week) exact-percentile
+    # sorts — finer grouping than the benched events_value_percentiles:
+    "events_percentile_drift",
     # corpus_snapshot_diff already listed above (full-outer hash join).
 ]
 

@@ -749,3 +749,58 @@ ORDER BY user_id, day
 
 EWMA_SQL = _ewma_sql()
 EWMA_CALENDAR_SQL = _ewma_calendar_sql()
+
+
+def events_percentile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week value-percentile drift per event type — the
+    events-side member of the drift-monitor family (text:
+    source_token_drift, vectors: embedding_snapshot_drift, encoding:
+    charset_profile): per (event_type, week) the exact p50/p95 plus
+    their deltas vs the previous observed week. A tail percentile that
+    walks week over week is the classic silent-regression signature
+    (pricing change, client bug, unit drift) that a global percentile
+    hides.
+
+    Exact percentiles sort per (type, week) group — bounded group
+    count; the 100 TB swap-in is approx_percentile (t-digest, one
+    pass, mergeable), which the oracle can't hash-match and so isn't
+    the checked form (the events_value_percentiles convention). The
+    lag window runs over the types × weeks aggregate — never event
+    rows. Deltas subtract the ALREADY-6dp-ROUNDED doubles (identical
+    on both engines) and round again; first observed week reads NULL.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return agg.select(
+        "event_type",
+        "week",
+        "p50",
+        "p95",
+        "n",
+        F.round(F.col("p50") - F.lag("p50").over(w), 6).alias("d_p50"),
+        F.round(F.col("p95") - F.lag("p95").over(w), 6).alias("d_p95"),
+    ).orderBy("event_type", "week")
+
+
+PERCENTILE_DRIFT_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('week', ts) AS week,
+         ROUND(quantile_cont(value, 0.5), 6) AS p50,
+         ROUND(quantile_cont(value, 0.95), 6) AS p95,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, p50, p95, n,
+       ROUND(p50 - lag(p50) OVER (PARTITION BY event_type ORDER BY week), 6) AS d_p50,
+       ROUND(p95 - lag(p95) OVER (PARTITION BY event_type ORDER BY week), 6) AS d_p95
+FROM agg ORDER BY 1, 2
+"""

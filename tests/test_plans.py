@@ -661,6 +661,11 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         ("quality", "charset_profile",
          ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
           "BroadcastNestedLoopJoin", "Window")),
+        # the drift lag window runs over the types x weeks aggregate,
+        # never event rows; no joins of any kind
+        ("events", "events_percentile_drift",
+         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin")),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

@@ -1083,6 +1083,7 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("snapshot", "ingest_delta_pipeline"),  # band join + cond rollup
         ("snapshot", "embedding_snapshot_drift"),  # decimal dim sums
         ("quality", "charset_profile"),  # integer class-count sums
+        ("events", "events_percentile_drift"),  # exact pctl + lag ties
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):
