@@ -338,11 +338,15 @@ def nb_langid_top_features(
     Everything downstream of the shared checkpointed model frame is
     vocab-bounded: the gram-total rollup, the one-row corpus total,
     the per-class rank window (|langs| × |vocab| rows, partitioned by
-    class — never corpus-global). Candidates are the model's own
-    (class, gram) rows: a gram absent from a class can never rank in
-    that class's top-k (its lor is negative), so no cross fill-in is
-    needed. Ordering compares the EXACT decimal lor; the output column
-    rounds to 6dp double for display only, after ranking.
+    class — never corpus-global). Candidates are BY DESIGN the model's
+    own (class, gram) rows — the table ranks features the class
+    actually exhibits. (This is a design restriction, not a theorem:
+    in a tiny-class / huge-rest regime an absent gram's smoothed lor
+    can turn slightly positive, ln((TOT−tot_c+V)/((gn+1)(tot_c+V)));
+    on anything near balanced priors that value is bounded by ~ln 2
+    and never reaches a top-k cutoff.) Ordering compares the EXACT
+    decimal lor; the output column rounds to 6dp double for display
+    only, after ranking.
     """
     _staged, model, tot, vocab = _langid_model(spark, sf_dir)
     gtot = model.groupBy("g").agg(F.sum("n").alias("gn"))

@@ -792,6 +792,11 @@ def charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the fetcher): (source, n_docs, n_chars, alpha_share,
     digit_share, space_share, punct_share, n_non_ascii).
 
+    Naming caveat: ``punct_share`` counts every code point outside
+    alpha/digit/whitespace — on non-Latin text that includes the
+    CJK/Cyrillic letters themselves; read it beside ``n_non_ascii``,
+    which separates the two causes.
+
     Shape: pure scan-level regexp_replace length arithmetic (the C4
     recipe — no explode, no Python), integer class counts summed per
     source with map-side combine, shares derived ONCE from the summed
