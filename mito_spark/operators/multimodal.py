@@ -286,6 +286,9 @@ def audio_chunk_features(
     (so tests pin exact values), and a bounded per-payload chunk count
     ((len − overlap) // hop, ≥ 1). Overlap means consecutive chunks
     share chunk_bytes − hop_bytes trailing bytes — asserted by test.
+    Tail bytes shorter than a full frame are dropped (the STFT
+    full-frames convention), except that every non-empty payload
+    yields at least one — possibly truncated — chunk.
     """
     if not fake:
         raise NotImplementedError(
