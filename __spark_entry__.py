@@ -57,8 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver gates the FIRST 50 entries.
     # ROTATION (r10, per VERDICT r9 next#1): precedence inside the
     # window is NEW code > TOUCHED code > OLDEST evidence. The window
-    # holds (a) the 22 r10-NEW operators — the 10 newest first
-    # (events_percentile_drift — week-over-week p50/p95 drift per
+    # holds (a) the 24 r10-NEW operators — the 12 newest first
+    # (bootstrap_ci_report — per-source Poisson-bootstrap 95% CI, the
+    # deterministic hash-weight massive-data bootstrap;
+    # quality_classifier_pr_curve — the NB filter's operating-curve
+    # ladder off the shared scoring frames;
+    # events_percentile_drift — week-over-week p50/p95 drift per
     # event type, the events-side drift monitor;
     # charset_profile — per-source character-class ingest monitor,
     # pure scan-level length arithmetic;
@@ -94,19 +98,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # broadcasts dropped per ADVICE), jl_projection_report (uniform
     # sample_hex width assert), dedup_paragraphs (chunker extracted as
     # _token_window_chunks for the streaming twin) — and (c) the
-    # 23 oldest-evidence entries — the r7-green cohort VERDICT r9
+    # 21 oldest-evidence entries — the r7-green cohort VERDICT r9
     # next#1 names (mmr_rerank .. ann_pq_recall_report, fourth
-    # evidence cycle) continued through weighted_sample_es.
-    # The cohort's last ten (doc_perplexity_filter, graph_kcore,
+    # evidence cycle) continued through events_user_ewma_calendar.
+    # The cohort's last twelve (kn_bigram_perplexity,
+    # weighted_sample_es, doc_perplexity_filter, graph_kcore,
     # tokenizer_fertility,
     # filter_attribution_report, cluster_silhouette, rake_keywords,
     # minhash_estimate_report, dedup_attribution_report,
     # source_overlap_matrix, ann_pq_topk) sit just past the window at
-    # positions 51-60, displaced by the ten newest operators; their
+    # positions 51-62, displaced by the twelve newest operators; their
     # fresh evidence is the committed full-registry sweep
     # (CORRECTNESS_LOCAL_r10.json — 180/180 PASS on this round's
     # source), plus the r9-session independent 32-query run. The tail
-    # keeps oldest-evidence-first order: those ten, then
+    # keeps oldest-evidence-first order: those twelve, then
     # events_user_ewma / graph_report / graph_clustering, then the
     # r8-window shapes
     # (ann_cosine_topk ..), then the r9 window's 45 remaining shapes
@@ -114,7 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green in this session's committed full-registry sweep,
     # CORRECTNESS_LOCAL_r10.json).
     return {
-        # ---- r10-new operators, newest first (10 + 12) ----
+        # ---- r10-new operators, newest first (12 + 12) ----
+        "bootstrap_ci_report": sampling.bootstrap_ci_report,
+        "quality_classifier_pr_curve": classify.quality_classifier_pr_curve,
         "events_percentile_drift": events.events_percentile_drift,
         "charset_profile": quality.charset_profile,
         # (audio_chunk_features / audio_features stay pytest-only like
@@ -146,7 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_pmi_report": text.collocation_pmi_report,
         "jl_projection_report": similarity.jl_projection_report,
         "dedup_paragraphs": dedup.dedup_paragraphs,
-        # ---- oldest evidence: the r7-green cohort, fourth cycle (23 in-window) ----
+        # ---- oldest evidence: the r7-green cohort, fourth cycle (21 in-window) ----
         "mmr_rerank": mmr.mmr_rerank,
         "exact_substring_spans": spans.exact_substring_spans,
         "span_rewrite": spans.span_rewrite,
@@ -168,10 +175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": relational2.q15_top_supplier,
         "ann_pq_recall_report": pq.ann_pq_recall_report,
         "events_user_ewma_calendar": events.events_user_ewma_calendar,
+        # ---- tail (position 51+), oldest evidence first: the cohort's
+        # displaced last twelve, then the rest ----
         "kn_bigram_perplexity": text.kn_bigram_perplexity,
         "weighted_sample_es": sampling.weighted_sample_es,
-        # ---- tail (position 51+), oldest evidence first: the cohort's
-        # displaced last ten, then the rest ----
         "doc_perplexity_filter": quality.doc_perplexity_filter,
         "graph_kcore": graph.graph_kcore,
         "tokenizer_fertility": text.tokenizer_fertility,
@@ -309,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bootstrap_ci_report": sampling.BOOTSTRAP_CI_SQL,
+        "quality_classifier_pr_curve": classify.QC_PR_CURVE_SQL,
         "events_percentile_drift": events.PERCENTILE_DRIFT_SQL,
         "charset_profile": quality.CHARSET_PROFILE_SQL,
         "embedding_snapshot_drift": snapshot.EMBEDDING_SNAPSHOT_DRIFT_SQL,

@@ -282,6 +282,11 @@ HEADLINE = [
     # sorts — finer grouping than the benched events_value_percentiles:
     "events_percentile_drift",
     # corpus_snapshot_diff already listed above (full-outer hash join).
+    # bootstrap_ci_report owns the B-fold in-task expansion:
+    "bootstrap_ci_report",
+    # quality_classifier_pr_curve excluded by the composition rule
+    # (the benched quality_classifier_report model/score build + a
+    # rung fan-out over the bounded margin frame).
 ]
 
 

@@ -419,11 +419,10 @@ ORDER BY lang, rank
 """
 
 
-def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a hashed-unigram NB quality classifier (fastText shape)
-    on the 80% split against the weak label ``n_words >= QC_MIN_WORDS``,
-    score the held-out 20%, and report per-source calibration:
-    (source, weak_label, predicted_label, n_docs).
+def _qc_scores(spark: SparkSession, sf_dir: str):
+    """Shared hashed-unigram NB trainer+scorer: returns (held-out
+    docs frame, per-(doc, label) decimal scores) — consumed by the
+    calibration report and the PR curve.
 
     The fixed-size trick: every word hashes into one of ``QC_BUCKETS``
     feature buckets via the portable md5 hash, so the model frame is
@@ -540,6 +539,17 @@ def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("s"))
         .select("doc_id", "lbl", (F.col("prior") + F.col("s")).alias("score"))
     )
+    return te, scores
+
+
+def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a hashed-unigram NB quality classifier (fastText shape)
+    on the 80% split against the weak label ``n_words >= QC_MIN_WORDS``,
+    score the held-out 20%, and report per-source calibration:
+    (source, weak_label, predicted_label, n_docs). See ``_qc_scores``
+    for the model; same determinism recipe as ``nb_langid_report``.
+    """
+    te, scores = _qc_scores(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lbl"))
     pred = (
         scores.withColumn("rn", F.row_number().over(w))
@@ -615,3 +625,127 @@ WHERE NOT s.is_train
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# Literal margin rungs for the PR curve: the NB margin scales with
+# document length (a per-token log-odds sum), so the ladder spans the
+# tens.
+QC_PR_THRESHOLDS = (-50, -20, -10, -5, -2, 0, 2, 5, 10, 20, 50)
+
+
+def quality_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall ladder for the hashed-NB quality classifier —
+    the operating-curve table a deployment reads to PICK its
+    threshold instead of accepting the argmax's implicit margin>0
+    (high-precision filtering for pretraining wants a stricter cut;
+    high-recall triage a looser one): per literal margin rung t,
+    predicted-pass iff score_pass − score_fail > t, with
+    tp/fp/fn/precision/recall against the held-out weak labels.
+
+    Exactness: the margin subtracts the two EXACT decimal class
+    scores (one row each per doc from the shared ``_qc_scores``
+    frames), so every rung comparison is decimal-vs-integer-literal —
+    no float enters before the final 6dp share round. Docs with no
+    scoreable tokens read margin −∞ (never predicted pass; they count
+    in fn when their weak label is pass) via a −1e9 literal on both
+    engines. The |rungs|-row literal frame fans out over the bounded
+    per-doc margin frame (the dedup_threshold_sweep shape) and
+    collapses map-side to |rungs| rows.
+    """
+    te, scores = _qc_scores(spark, sf_dir)
+    sp = scores.where(F.col("lbl") == "pass").select(
+        "doc_id", F.col("score").alias("s_pass")
+    )
+    sf_ = scores.where(F.col("lbl") == "fail").select(
+        "doc_id", F.col("score").alias("s_fail")
+    )
+    margins = (
+        te.select("doc_id", "weak_label")
+        .join(sp, "doc_id", "left")
+        .join(sf_, "doc_id", "left")
+        .select(
+            "weak_label",
+            F.coalesce(
+                (F.col("s_pass") - F.col("s_fail")).cast("double"),
+                F.lit(-1e9),
+            ).alias("m"),
+        )
+    )
+    rungs = spark.createDataFrame(
+        [(t,) for t in QC_PR_THRESHOLDS], "threshold int"
+    )
+    fan = margins.crossJoin(F.broadcast(rungs))
+    agg = fan.groupBy("threshold").agg(
+        F.sum(
+            F.when(
+                (F.col("weak_label") == "pass") & (F.col("m") > F.col("threshold")),
+                1,
+            ).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(
+                (F.col("weak_label") == "fail") & (F.col("m") > F.col("threshold")),
+                1,
+            ).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(
+                (F.col("weak_label") == "pass") & (F.col("m") <= F.col("threshold")),
+                1,
+            ).otherwise(0)
+        ).alias("fn"),
+    )
+    return agg.select(
+        "threshold",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round(
+            F.try_divide(
+                F.col("tp").cast("double"), (F.col("tp") + F.col("fp")).cast("double")
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.try_divide(
+                F.col("tp").cast("double"), (F.col("tp") + F.col("fn")).cast("double")
+            ),
+            6,
+        ).alias("recall"),
+    ).orderBy("threshold")
+
+
+def _qc_pr_sql() -> str:
+    rungs = ", ".join(f"({t})" for t in QC_PR_THRESHOLDS)
+    # reuse the full model/score CTE chain from the calibration oracle
+    # up to `scores`, then pivot margins and fan out the rung ladder
+    head, _, _ = QUALITY_CLASSIFIER_SQL.partition("), pred AS (")
+    return (
+        head
+        + rf""") , sp AS (
+  SELECT doc_id, score AS s_pass FROM scores WHERE lbl = 'pass'
+), sfa AS (
+  SELECT doc_id, score AS s_fail FROM scores WHERE lbl = 'fail'
+), margins AS (
+  SELECT s.weak_label,
+         coalesce(CAST(sp.s_pass - sfa.s_fail AS DOUBLE), -1e9) AS m
+  FROM staged s
+  LEFT JOIN sp ON sp.doc_id = s.doc_id
+  LEFT JOIN sfa ON sfa.doc_id = s.doc_id
+  WHERE NOT s.is_train
+), rungs(threshold) AS (VALUES {rungs}), agg AS (
+  SELECT threshold,
+         CAST(SUM(CASE WHEN weak_label = 'pass' AND m > threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN weak_label = 'fail' AND m > threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN weak_label = 'pass' AND m <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM margins CROSS JOIN rungs GROUP BY 1
+)
+SELECT threshold, tp, fp, fn,
+       ROUND(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall
+FROM agg ORDER BY threshold
+"""
+    )
+
+
+QC_PR_CURVE_SQL = _qc_pr_sql()

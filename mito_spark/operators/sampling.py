@@ -417,3 +417,166 @@ WITH base AS MATERIALIZED (
 
 
 PACKING_EFFICIENCY_SQL = _packing_efficiency_sql()
+
+
+# Poisson(1) CDF cuts for the hash-derived bootstrap weights — full
+# double literals so both engines branch identically.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+BOOT_REPLICATES = 64
+_TWO60 = float(1 << 60)
+
+
+def bootstrap_ci_report(
+    spark: SparkSession, sf_dir: str, b: int = BOOT_REPLICATES
+) -> DataFrame:
+    """Per-source mean document length with a 95% POISSON-BOOTSTRAP
+    confidence interval — the error bar every per-source statistic in
+    this repo's report family deserves, computed the way massive-data
+    systems actually bootstrap: classic resample-with-replacement
+    needs the whole dataset per replicate, but for large n the
+    multinomial resample counts converge to independent Poisson(1)
+    weights per (doc, replicate), so ONE pass scores all B replicates
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012; the streaming cousin of Kleiner's Bag of
+    Little Bootstraps).
+
+    Determinism: the Poisson weights are not random — each (replicate,
+    doc) draws u = md5-derived-60-bit / 2^60 and inverts the Poisson(1)
+    CDF through full-double literal cuts, so both engines materialize
+    the identical weight matrix (the corpus_shuffle/weighted_sample_es
+    hash-randomness discipline). Replicate means divide exact integer
+    sums; the CI takes exact interpolated percentiles over the B-row
+    per-source mean set.
+
+    Scale shape: the B-fold row expansion happens IN-TASK (a transform
+    + posexplode over a literal sequence) and collapses map-side — the
+    partial aggregate reduces every task's rows to |sources| × B
+    before the shuffle, so the exchange carries S×B tiny rows no
+    matter the corpus size; the percentile sort runs on B rows per
+    source. A degenerate (source, replicate) whose weights all drew 0
+    yields a NULL mean via try_divide and drops out of the percentile
+    on both engines identically.
+    """
+    from mito_spark.operators.text import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.col("doc_id").cast("string").alias("did"),
+        F.size(_tokens(F.lower(F.col("text")))).cast("bigint").alias("x"),
+    )
+    cuts = _POIS1_CDF
+
+    def _w(u: Column) -> Column:
+        expr = F.lit(len(cuts))
+        for k in range(len(cuts) - 1, -1, -1):
+            expr = F.when(u < F.lit(cuts[k]), F.lit(k)).otherwise(expr)
+        return expr
+
+    reps = F.transform(
+        F.sequence(F.lit(0), F.lit(b - 1)),
+        lambda i: F.struct(
+            i.alias("b"),
+            _w(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("boot:v1:"),
+                                i.cast("string"),
+                                F.lit(":"),
+                                F.col("did"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                / F.lit(_TWO60)
+            ).alias("w"),
+        ),
+    )
+    expanded = base.select(
+        "source", "x", F.explode_outer(reps).alias("r")
+    ).select("source", "x", F.col("r.b").alias("b"), F.col("r.w").alias("w"))
+    means = (
+        expanded.groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "source",
+            F.try_divide(
+                F.col("swx").cast("double"), F.col("sw").cast("double")
+            ).alias("m"),
+        )
+    )
+    ci = means.groupBy("source").agg(
+        F.round(F.percentile("m", 0.025), 6).alias("ci_lo"),
+        F.round(F.percentile("m", 0.975), 6).alias("ci_hi"),
+    )
+    stats = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_tokens"),
+    )
+    return (
+        stats.join(ci, "source")
+        .select("source", "n_docs", "mean_tokens", "ci_lo", "ci_hi")
+        .orderBy("source")
+    )
+
+
+def _bootstrap_sql(b: int = BOOT_REPLICATES) -> str:
+    cuts = _POIS1_CDF
+    w_case = "CASE " + " ".join(
+        f"WHEN u < {cuts[k]!r} THEN {k}" for k in range(len(cuts))
+    ) + f" ELSE {len(cuts)} END"
+    return rf"""
+WITH base AS (
+  SELECT source, CAST(doc_id AS VARCHAR) AS did,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS x
+  FROM documents
+), expanded AS (
+  SELECT source, x,
+         unnest(range(0, {b})) AS b,
+         unnest(list_transform(range(0, {b}),
+           i -> CAST(CAST('0x' || substr(md5('boot:v1:' || CAST(i AS VARCHAR) || ':' || did), 1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0)) AS u
+  FROM base
+), weighted AS (
+  SELECT source, x, b, {w_case} AS w FROM expanded
+), means AS (
+  SELECT source, b,
+         CAST(SUM(w * x) AS DOUBLE) / nullif(CAST(SUM(w) AS DOUBLE), 0.0) AS m
+  FROM weighted GROUP BY 1, 2
+), ci AS (
+  SELECT source,
+         ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+         ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+  FROM means GROUP BY 1
+), stats AS (
+  SELECT source, COUNT(*) AS n_docs,
+         ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_tokens
+  FROM base GROUP BY 1
+)
+SELECT s.source, s.n_docs, s.mean_tokens, c.ci_lo, c.ci_hi
+FROM stats s JOIN ci c ON c.source = s.source
+ORDER BY s.source
+"""
+
+
+BOOTSTRAP_CI_SQL = _bootstrap_sql()

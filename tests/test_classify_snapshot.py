@@ -319,3 +319,32 @@ def test_embedding_snapshot_drift_zero_for_identical_members(spark, tmp_path):
     assert out[0]["l2_shift"] == 0.0
     # label 1's members differ, so churn must move its centroid
     assert out[1]["l2_shift"] > 0.0
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """Percentile-bootstrap CI must bracket the sample mean on every
+    gate-corpus source (n>=20 docs each), and re-evaluation is
+    bit-identical (hash-derived weights, not random)."""
+    from mito_spark.operators.sampling import bootstrap_ci_report
+
+    a = bootstrap_ci_report(spark, sf_dir).collect()
+    for r in a:
+        assert r["ci_lo"] <= r["mean_tokens"] <= r["ci_hi"], r
+        assert r["ci_lo"] < r["ci_hi"]
+    b = bootstrap_ci_report(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pr_curve_monotone_tradeoff(spark, sf_dir):
+    """Raising the threshold can only shrink the predicted-pass set:
+    tp and fp non-increasing, fn non-decreasing; counts conserve
+    (tp+fn = total weak-pass docs at every rung)."""
+    from mito_spark.operators.classify import quality_classifier_pr_curve
+
+    rows = quality_classifier_pr_curve(spark, sf_dir).collect()
+    pos = rows[0]["tp"] + rows[0]["fn"]
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt["tp"] <= prev["tp"]
+        assert nxt["fp"] <= prev["fp"]
+        assert nxt["fn"] >= prev["fn"]
+        assert nxt["tp"] + nxt["fn"] == pos

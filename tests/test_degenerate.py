@@ -162,6 +162,12 @@ DOC_OPS = [
     # r10 session 3: charset shares on empty docs (0/0 -> NULL via
     # try_divide on both engines)
     "charset_profile",
+    # r10 session 3: the bootstrap on 1-2-doc sources (a replicate
+    # whose weights all draw 0 yields NULL mean and drops out of the
+    # percentile identically on both engines); the PR curve on a
+    # single-class train split (missing class score -> margin -inf)
+    "bootstrap_ci_report",
+    "quality_classifier_pr_curve",
     # r10 session 3 batch 3: the composed ingest on a corpus whose
     # batch/canon buckets may be empty (empty band join -> every batch
     # doc routes through the quality floor; zero batch docs -> zero

@@ -666,6 +666,8 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         ("events", "events_percentile_drift",
          ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
           "BroadcastNestedLoopJoin")),
+        ("sampling", "bootstrap_ci_report", ()),
+        ("classify", "quality_classifier_pr_curve", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

@@ -1084,6 +1084,8 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("snapshot", "embedding_snapshot_drift"),  # decimal dim sums
         ("quality", "charset_profile"),  # integer class-count sums
         ("events", "events_percentile_drift"),  # exact pctl + lag ties
+        ("sampling", "bootstrap_ci_report"),  # replicate means + pctl
+        ("classify", "quality_classifier_pr_curve"),  # margin rungs
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):
