@@ -13,6 +13,16 @@ round-robin passes (default 3) — r2's n<=2 runs made 0.2-0.8s of
 JVM/IO noise look like per-query regressions. "value" is the sum of
 medians; "spread" records per-query max-min across passes so genuine
 regressions are distinguishable from noise in round-over-round diffs.
+
+r11: the contract line carries a NOISE CANARY (VERDICT r10 next#1) —
+"canary" is the median wall time of a FIXED constant workload (24M
+md5+conv hashes over spark.range, CPU-bound, zero IO, zero data
+dependence, one partial-agg shuffle round) run once per pass. The
+canary's round-over-round ratio calibrates host speed: a uniform
+drift in query times that the canary mirrors is the host, not the
+engine (r10's committed artifact showed a 1.43x uniform drift nothing
+in the repo could attribute without re-deriving per-query ratios).
+Per-pass canary samples land in the diagnostics line.
 """
 
 from __future__ import annotations
@@ -290,6 +300,28 @@ HEADLINE = [
 ]
 
 
+def _canary(spark) -> None:
+    """Fixed constant workload — the host-speed yardstick. 24M rows of
+    md5 + base-16 conv + bigint sum: the md5 kernel that dominates the
+    dedup/sketch tiers, entirely whole-stage-codegen, no IO, no data
+    dependence, so its time moves ONLY with host conditions (CPU
+    contention, thermal state, JVM health)."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, 24_000_000, 1, 32)
+        .select(
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h")
+        )
+        .agg(F.sum(F.col("h") % 1_000_000_007))  # bounded: no ANSI overflow
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -311,9 +343,15 @@ def main() -> None:
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    canary_samples: list[float] = []
     import gc
 
+    _canary(spark)  # untimed: JIT-compile the canary's codegen once
     for _ in range(iters):
+        gc.collect()
+        t0 = time.time()
+        _canary(spark)
+        canary_samples.append(time.time() - t0)
         for name in HEADLINE:
             fn = qs[name]
             # collect BEFORE the timer: localCheckpoint blocks from
@@ -342,6 +380,7 @@ def main() -> None:
     # spread/aux — BENCH_r0{1,2,3}.json all recorded "parsed": null.
     diag = {
         "iters": iters,
+        "canary_samples": [round(x, 3) for x in canary_samples],
         "medians": times,  # full 3dp even if the contract line degrades
         "spread": {name: round(max(xs) - min(xs), 3) for name, xs in samples.items()},
     }
@@ -355,6 +394,7 @@ def main() -> None:
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "canary": round(median(canary_samples), 3),
         "queries": times,
         "sf": float(sf),
     }
