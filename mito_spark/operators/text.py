@@ -2672,7 +2672,35 @@ WP_ROUNDS = 3
 # Likelihood argmax without a support floor is dominated by hapax
 # pairs of rare unigrams (n_pair=1, n_a=n_b=1 scores 1.0 — the known
 # WordPiece pathology); real trainers impose a minimum pair frequency.
+# WP_MIN_PAIR is the HARD floor; the effective per-round floor is
+# corpus-derived (VERDICT r10 next#4, the auto_* knob discipline):
+# max(WP_MIN_PAIR, ⌊log10(total pair mass)⌋), computed as exact
+# digit-count arithmetic — LENGTH(CAST(SUM(n_pair) AS VARCHAR)) - 1 —
+# in the same aggregate that builds the pair counts, identically on
+# both engines. Rationale: the pathology is LOW ABSOLUTE SUPPORT (a
+# count-2 pair among trillions is as untrustworthy as a hapax among
+# thousands), so the floor scales with the order of magnitude of the
+# corpus pair mass: 2 below 1k pairs, 6 at 1M, 12 at the 100 TB
+# trillion-pair scale — while a mean- or quantile-based floor would
+# filter legitimate high-likelihood candidates on dense pair
+# distributions (the likelihood-vs-frequency property test corpus is
+# the counterexample: mean pair frequency 6 would kill the count-3
+# winner).
 WP_MIN_PAIR = 2
+
+
+def _wp_floor(pc_full: DataFrame, count_col: str = "n_pair") -> DataFrame:
+    """One-row (fl) frame: the corpus-derived support floor,
+    max(WP_MIN_PAIR, digits(Σ counts) - 1) = max(2, ⌊log10 N⌋).
+    Exact integer arithmetic (digit count of the exact BIGINT sum) —
+    engine-portable by construction. Empty pair frame → NULL sum →
+    greatest() skips the NULL on both engines → WP_MIN_PAIR."""
+    return pc_full.agg(
+        F.greatest(
+            F.lit(WP_MIN_PAIR).cast("long"),
+            (F.length(F.sum(count_col).cast("string")) - 1).cast("long"),
+        ).alias("fl")
+    )
 
 
 def wordpiece_learn(
@@ -2688,10 +2716,13 @@ def wordpiece_learn(
     instead of BPE's raw pair frequency. Output: the ordered merge
     table (round, a, b, n_pair, n_a, n_b); the score is derivable
     from the counts and deliberately NOT a column (no rounded float
-    ever enters the hash gate). Candidates carry a minimum pair
-    frequency (``WP_MIN_PAIR``) — without it the likelihood argmax is
-    dominated by hapax pairs of rare unigrams, the standard WordPiece
-    pathology. If no candidate survives the floor the loop stops; the
+    ever enters the hash gate). Candidates carry a CORPUS-DERIVED
+    minimum pair frequency, max(WP_MIN_PAIR, ⌊log10 N⌋) where N is
+    the round's total pair mass (see the WP_MIN_PAIR note) — without
+    a floor the likelihood argmax is dominated by hapax pairs of rare
+    unigrams, the standard WordPiece pathology, and the floor scales
+    with corpus magnitude like every other auto_* knob. If no
+    candidate survives the floor the loop stops; the
     unrolled oracle agrees by construction (an empty argmax CTE
     empties every later round's chain, so neither engine emits rows
     past the stop).
@@ -2763,7 +2794,15 @@ def _wp_learn(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.count(F.lit(1)).alias("n_pair"))
         )
-        pc = pc_full.where(F.col("n_pair") >= WP_MIN_PAIR)
+        # corpus-derived support floor (see WP_MIN_PAIR note): one extra
+        # aggregate over the pair-vocab-sized frame; ReusedExchange
+        # shares the pair-count shuffle with pc/heads inside the one
+        # collected argmax plan
+        pc = (
+            pc_full.crossJoin(F.broadcast(_wp_floor(pc_full)))
+            .where(F.col("n_pair") >= F.col("fl"))
+            .drop("fl")
+        )
         # Unigram counts WITHOUT a second corpus explode: every token
         # occurrence except each doc's final token appears exactly once
         # as a pair HEAD, so n(t) = Σ_b n_pair(t, b) + #docs whose last
@@ -2834,9 +2873,9 @@ def wordpiece_encode(
     Oracle: the SAME unrolled chain as ``WP_LEARN_SQL``, finishing
     with the t0-vs-tN length compare; the chain carries an
     empty-argmax fallback branch (t{r} falls back to t{r-1} when no
-    candidate survives the WP_MIN_PAIR floor) so an early trainer
-    stop leaves the twin holding the last encoded state exactly as
-    the Spark loop's ``break`` does.
+    candidate survives the corpus-derived support floor) so an early
+    trainer stop leaves the twin holding the last encoded state
+    exactly as the Spark loop's ``break`` does.
     """
     from mito_spark.engine import spread
 
@@ -2866,7 +2905,9 @@ def wordpiece_encode(
 
 def _wp_chain(rounds: int = WP_ROUNDS) -> str:
     """The unrolled WITH chain shared by the WordPiece learn and
-    encode oracles: per round a pair-count CTE (WP_MIN_PAIR floor), a
+    encode oracles: per round a raw pair-count CTE, a one-row
+    corpus-derived support-floor CTE (digit-count arithmetic — the
+    exact twin of ``_wp_floor``), the floored candidate CTE, a
     unigram-count CTE, a likelihood-argmax CTE (the same IEEE-double
     ordering as the Spark loop), and the shared list_reduce merge
     fold. Unlike the BPE chain, t{r} carries an EMPTY-ARGMAX FALLBACK
@@ -2885,12 +2926,15 @@ WITH t0 AS (
     ]
     for r in range(1, rounds + 1):
         prev = f"t{r - 1}"
-        parts.append(f""", c{r} AS (
+        parts.append(f""", cr{r} AS (
   SELECT p[1] AS a, p[2] AS b, COUNT(*) AS n_pair
   FROM (SELECT unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS p
         FROM {prev} WHERE len(toks) >= 2)
   GROUP BY 1, 2
-  HAVING COUNT(*) >= {WP_MIN_PAIR}
+), f{r} AS (
+  SELECT GREATEST({WP_MIN_PAIR}, LENGTH(CAST(SUM(n_pair) AS VARCHAR)) - 1) AS fl FROM cr{r}
+), c{r} AS (
+  SELECT a, b, n_pair FROM cr{r}, f{r} WHERE n_pair >= fl
 ), u{r} AS (
   SELECT t, COUNT(*) AS n_uni
   FROM (SELECT unnest(toks) AS t FROM {prev})

@@ -61,6 +61,34 @@ def test_wordpiece_min_pair_floor_stops_on_hapax(spark, tmp_path):
     assert wordpiece_learn(spark, d, rounds=3).count() == 0
 
 
+def test_wordpiece_floor_scales_with_pair_mass(spark, tmp_path):
+    """The support floor derives from the corpus — max(2, floor(log10 N))
+    with N the round's total pair mass. At N=1000 the floor is 3, so a
+    count-2 pair can no longer win however perfect its likelihood
+    score; at N=988 the floor is back to 2 and the same pair wins."""
+    from mito_spark.operators.text import wordpiece_learn
+
+    # N = 998 + 2 = 1000 -> floor 3: ('zig','zag') n=2 filtered,
+    # ('p','q') wins despite its far lower likelihood score (1/998)
+    rows = [(i, "p q") for i in range(998)] + [
+        (2000, "zig zag"),
+        (2001, "zig zag"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = wordpiece_learn(spark, d, rounds=1).collect()
+    assert (out[0]["a"], out[0]["b"]) == ("p", "q")
+
+    # N = 986 + 2 = 988 -> floor 2: the count-2 likelihood winner
+    # (score 2/4 = 0.5) beats ('p','q') again
+    rows = [(i, "p q") for i in range(986)] + [
+        (2000, "zig zag"),
+        (2001, "zig zag"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = wordpiece_learn(spark, d, rounds=1).collect()
+    assert (out[0]["a"], out[0]["b"]) == ("zig", "zag")
+
+
 def test_wordpiece_applies_merge_before_next_round(spark, tmp_path):
     """Round 2 must count pairs over round 1's MERGED arrays: three
     'u v w' docs merge (u,v) first (tie with (v,w) broken a-asc), so
