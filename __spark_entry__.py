@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green in this session's committed full-registry sweep,
     # CORRECTNESS_LOCAL_r10.json).
     return {
+        # ---- r11-new operators (window head; full rotation note below) ----
+        "wordpiece_learn_subword": text.wordpiece_learn_subword,
+        "wordpiece_encode_subword": text.wordpiece_encode_subword,
         # ---- r10-new operators, newest first (12 + 12) ----
         "bootstrap_ci_report": sampling.bootstrap_ci_report,
         "quality_classifier_pr_curve": classify.quality_classifier_pr_curve,
@@ -316,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "wordpiece_learn_subword": text.WPS_LEARN_SQL,
+        "wordpiece_encode_subword": text.WPS_ENCODE_SQL,
         "bootstrap_ci_report": sampling.BOOTSTRAP_CI_SQL,
         "quality_classifier_pr_curve": classify.QC_PR_CURVE_SQL,
         "events_percentile_drift": events.PERCENTILE_DRIFT_SQL,

@@ -2991,3 +2991,432 @@ ORDER BY t0.doc_id
 
 WP_LEARN_SQL = _wp_learn_sql()
 WP_ENCODE_SQL = _wp_encode_sql()
+
+
+# ---------------------------------------------------------------------------
+# Subword WordPiece — the faithful ##-continuation form (VERDICT r10
+# next#3: the word-level wordpiece_learn is the demo form; this one
+# segments INSIDE words over the word-TYPE table the way
+# bpe_learn_merges_bytes does for BPE)
+# ---------------------------------------------------------------------------
+
+WPS_ROUNDS = 6  # merge rounds -> max piece surface length WPS_ROUNDS+1
+WPS_MAXW = 16  # word-length cap == the CONSTANT encode fold-step count
+WPS_MIN_WC = 2  # trainer min word frequency (the HF WordPieceTrainer
+# min_frequency knob): hapax word TYPES are excluded from training, so
+# the encode surface's greedy longest-match exercises a genuine
+# unseen-word path on the very corpus it trained on.
+
+
+def _wps_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-TYPE table (w, wc) capped at WPS_MAXW — the subword
+    trainer's working set (the ``_bpe_learn_bytes`` /
+    reference lib/strings.go tokenize-then-aggregate shape): one
+    corpus tokenize pass, then every loop below shuffles |word types|
+    rows, never the corpus."""
+    from mito_spark.engine import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .where(F.length("w") <= WPS_MAXW)
+        .localCheckpoint()
+    )
+
+
+def _wps_seed_toks() -> Column:
+    """WordPiece initial split of the word column ``w``: first char
+    plain, every later char as a ``##``-prefixed continuation piece
+    (Wu et al. 2016 §4.1's word-boundary markers, HF convention)."""
+    cont = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.length("w")),
+            lambda i: F.concat(F.lit("##"), F.col("w").substr(i, F.lit(1))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(F.array(F.col("w").substr(F.lit(1), F.lit(1))), cont)
+
+
+def _wps_learn(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[list[tuple[int, str, str, int, int, int]], DataFrame, DataFrame]:
+    """Shared subword-WordPiece learn loop. Returns (merge table,
+    final word-type frame (w, wc, toks), initial-alphabet frame
+    (piece)) — learn ships the merges, encode the greedy segmenter
+    over alphabet+merges.
+
+    Merge semantics: score(a,b) = n(ab)/(n(a)·n(b)) with counts
+    weighted by word frequency (wc); merged symbol = a concatenated
+    with b's surface (b's ``##`` prefix stripped), keeping a's
+    prefix status — '##l'+'##o' -> '##lo', 'h'+'##e' -> 'he'. The
+    support floor is the shared corpus-derived ``_wp_floor`` rule.
+
+    Scale shape: identical to ``_bpe_learn_bytes`` — ONE corpus
+    tokenize builds the type table; each round shuffles pair rows
+    bounded by |types|·maxlen, collects ONE argmax row, and maps the
+    merge over the type table with ``_apply_merge_linear``. The
+    unigram side is a type-table explode (bounded by the same
+    |types|·maxlen), NOT a corpus explode.
+
+    The '#' character is asserted absent from the training charset:
+    with it, a merged PLAIN piece could collide with the '##'
+    continuation namespace (the standard WordPiece prefix ambiguity —
+    HF solves it by choosing a prefix outside the alphabet; we keep
+    '##' and fail loudly on the corpus that breaks it).
+    """
+    words = _wps_words(spark, sf_dir)
+    train = words.where(F.col("wc") >= WPS_MIN_WC)
+    if bool(train.where(F.col("w").contains("#")).take(1)):
+        raise ValueError(
+            "subword WordPiece: training corpus contains '#' — the '##' "
+            "continuation prefix would be ambiguous; pre-escape the corpus"
+        )
+    cur = train.select("w", "wc", _wps_seed_toks().alias("toks")).localCheckpoint()
+    alpha = cur.select(F.explode("toks").alias("piece")).distinct().localCheckpoint()
+    out: list[tuple[int, str, str, int, int, int]] = []
+    for r in range(1, rounds + 1):
+        pairs_col = F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("a"),
+                    F.element_at(F.col("toks"), i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        staged = cur.select("wc", pairs_col.alias("pairs")).localCheckpoint()
+        pc_full = (
+            staged.select("wc", F.explode("pairs").alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("n_pair"))
+        )
+        pc = (
+            pc_full.crossJoin(F.broadcast(_wp_floor(pc_full)))
+            .where(F.col("n_pair") >= F.col("fl"))
+            .drop("fl")
+        )
+        uni = (
+            cur.select("wc", F.explode("toks").alias("t"))
+            .groupBy("t")
+            .agg(F.sum("wc").alias("n_uni"))
+        )
+        ua = uni.select(F.col("t").alias("a"), F.col("n_uni").alias("n_a"))
+        ub = uni.select(F.col("t").alias("b"), F.col("n_uni").alias("n_b"))
+        score = F.col("n_pair").cast("double") / (
+            F.col("n_a").cast("double") * F.col("n_b").cast("double")
+        )
+        top = (
+            pc.join(ua, "a")
+            .join(ub, "b")
+            .orderBy(F.desc(score), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        a, b = row["a"], row["b"]
+        merged = a + (b[2:] if b.startswith("##") else b)
+        out.append(
+            (r, a, b, int(row["n_pair"]), int(row["n_a"]), int(row["n_b"]))
+        )
+        # toks arrays are <= WPS_MAXW+0 symbols, far under the fold
+        # threshold -> the single-projection JVM fold path
+        cur = _apply_merge_linear(cur, a, b, merged, maybe_long=False).localCheckpoint()
+    return out, cur, alpha
+
+
+def wordpiece_learn_subword(
+    spark: SparkSession, sf_dir: str, rounds: int = WPS_ROUNDS
+) -> DataFrame:
+    """Faithful SUBWORD WordPiece vocabulary induction (Schuster &
+    Nakajima 2012; Wu et al. 2016 §4.1): words split into a plain
+    first character plus ``##``-prefixed continuation pieces, merges
+    picked by likelihood gain n(ab)/(n(a)·n(b)) over frequency-
+    weighted word TYPES — completing the subword-trainer family next
+    to ``bpe_learn_merges_bytes`` (frequency argmax, ``</w>`` marker)
+    and ``unigram_lm_train`` (EM): same type-table working set, same
+    per-round plan class, WordPiece's objective and boundary
+    convention. Output: the ordered merge table
+    (round, a, b, n_pair, n_a, n_b); score deliberately derivable,
+    never a float column.
+
+    Training applies the HF-style ``min_frequency`` knob
+    (WPS_MIN_WC): hapax word types don't train. The support floor is
+    the shared corpus-derived digit-count rule (``_wp_floor``) on the
+    weighted pair mass.
+
+    Determinism: IEEE-754 correctly-rounded double divide/multiply on
+    exact integer counts, ties (a asc, b asc) — bit-identical on both
+    engines, same contract as ``wordpiece_learn``.
+    """
+    out, _cur, _alpha = _wps_learn(spark, sf_dir, rounds)
+    return spark.createDataFrame(
+        out,
+        "round int, a string, b string, n_pair long, n_a long, n_b long",
+    )
+
+
+def _wps_vocab_map(
+    spark: SparkSession,
+    merges: list[tuple[int, str, str, int, int, int]],
+    alpha: DataFrame,
+) -> DataFrame:
+    """One-row (m) membership map over the learned vocabulary:
+    initial alphabet (the distinct t0 symbols — plain first chars +
+    ``##`` continuations as OBSERVED positionally in training) plus
+    the merged pieces. The ``_ulm_lp`` broadcast-model convention:
+    bounded by charset + rounds, a few KB here, a few MB for a
+    production 32k vocab — always a broadcast."""
+    vocab = alpha
+    merged = sorted(
+        {a + (b[2:] if b.startswith("##") else b) for _r, a, b, *_ in merges}
+    )
+    if merged:
+        vocab = vocab.unionByName(
+            spark.createDataFrame([(p,) for p in merged], "piece string")
+        ).distinct()
+    return vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.lit(1).alias("v")))
+        ).alias("m")
+    )
+
+
+def _wps_greedy_seg(words: DataFrame, vm: DataFrame, max_piece: int) -> DataFrame:
+    """Greedy longest-match-first segmentation — THE WordPiece
+    inference algorithm (Wu et al. §4.1; HF WordPiece tokenizer):
+    at each cursor try the longest vocab piece (``##``-prefixed past
+    position 1) that matches; any position with no match makes the
+    whole word ``[UNK]``. One JVM fold per word type, zero Python:
+    constant WPS_MAXW steps (the ``_ulm_seg`` portability contract —
+    both engines fold the same step count), ``max_piece`` descending
+    when-arms per step. acc[1] is the 1-based cursor ('-1' = UNK);
+    matched pieces append behind it."""
+
+    def step(acc: Column, _x: Column) -> Column:
+        w, m = F.col("w"), F.col("m")
+        pos = F.element_at(acc, 1).cast("int")
+        out = F.when((pos == -1) | (pos > F.length(w)), acc)
+        for k in range(max_piece, 0, -1):
+            raw = w.substr(pos, F.lit(k))
+            key = F.when(pos == 1, raw).otherwise(F.concat(F.lit("##"), raw))
+            cond = (pos + k - 1 <= F.length(w)) & F.try_element_at(
+                m, key
+            ).isNotNull()
+            out = out.when(
+                cond,
+                F.concat(
+                    F.array((pos + k).cast("string")),
+                    F.slice(acc, 2, F.size(acc) - 1),
+                    F.array(key),
+                ),
+            )
+        return out.otherwise(F.array(F.lit("-1")))
+
+    return words.crossJoin(F.broadcast(vm)).select(
+        "w",
+        "wc",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(WPS_MAXW)), F.array(F.lit("1")), step
+        ).alias("seg"),
+    )
+
+
+def wordpiece_encode_subword(
+    spark: SparkSession, sf_dir: str, rounds: int = WPS_ROUNDS
+) -> DataFrame:
+    """Subword WordPiece APPLICATION: train (shared ``_wps_learn``
+    loop), then segment EVERY word type — including the hapax types
+    the WPS_MIN_WC knob excluded from training, the genuine
+    unseen-word path — with greedy longest-match first-fit against
+    alphabet+merges, and roll up per document: word count, piece
+    count, ``[UNK]`` word count, and fertility (pieces per word — the
+    multilingual-tokenizer headline number, here > 1 as a real
+    subword tokenizer reads, unlike the word-level demo's ratio <= 1).
+
+    Scale shape: everything the learn loop costs, plus ONE greedy
+    fold over the type table (vocab map broadcast), one corpus
+    tokenize explode, one (word-key) join of corpus words onto the
+    |types|-row stats frame — broadcast-eligible at gate SF,
+    shuffle-join at web scale, AQE decides — and a doc-keyed rollup.
+    Words longer than WPS_MAXW (excluded from the type table) bill as
+    ``[UNK]`` via the left join's NULL branch on both engines.
+
+    Parity: piece memberships are exact string lookups; fertility is
+    a 6dp round of an exact-integer quotient.
+    """
+    from mito_spark.engine import spread
+
+    merges, _cur, alpha = _wps_learn(spark, sf_dir, rounds)
+    words = _wps_words(spark, sf_dir)
+    vm = _wps_vocab_map(spark, merges, alpha)
+    st = _wps_greedy_seg(words, vm, rounds + 1).select(
+        "w",
+        F.when(F.element_at("seg", 1) == "-1", F.lit(1))
+        .otherwise(F.size("seg") - 1)
+        .alias("n_pieces"),
+        (F.element_at("seg", 1) == "-1").alias("is_unk"),
+    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    return (
+        toks.join(st, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("n_pieces"), F.lit(1))).alias("n_pieces"),
+            F.sum(
+                F.when(F.coalesce(F.col("is_unk"), F.lit(True)), 1).otherwise(0)
+            ).alias("n_unk_words"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            "n_unk_words",
+            F.round(
+                F.col("n_pieces").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _wps_chain(rounds: int = WPS_ROUNDS) -> str:
+    """The unrolled WITH chain shared by the subword learn and encode
+    oracles: the word-type table, the ##-split t0, and per round a
+    weighted pair-count CTE, the digit-count floor CTE, the floored
+    candidate CTE, a weighted unigram CTE, the likelihood argmax, and
+    the list_reduce merge fold (merged symbol strips b's ``##``) with
+    the empty-argmax fallback branch."""
+    parts = [
+        rf"""
+WITH wordsall AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+    FROM documents) GROUP BY w
+  HAVING length(w) <= {WPS_MAXW}
+), trainw AS (
+  SELECT w, wc FROM wordsall WHERE wc >= {WPS_MIN_WC}
+), t0 AS MATERIALIZED (
+  SELECT w, wc,
+         list_prepend(substr(w, 1, 1),
+           CASE WHEN length(w) >= 2
+                THEN list_transform(range(2, length(w) + 1), i -> '##' || substr(w, CAST(i AS INT), 1))
+                ELSE CAST([] AS VARCHAR[]) END) AS toks
+  FROM trainw
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"t{r - 1}"
+        parts.append(f""", cr{r} AS MATERIALIZED (
+  SELECT p[1] AS a, p[2] AS b, CAST(SUM(wc) AS BIGINT) AS n_pair
+  FROM (SELECT wc, unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS p
+        FROM {prev} WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+), f{r} AS (
+  SELECT GREATEST({WP_MIN_PAIR}, LENGTH(CAST(SUM(n_pair) AS VARCHAR)) - 1) AS fl FROM cr{r}
+), c{r} AS (
+  SELECT a, b, n_pair FROM cr{r}, f{r} WHERE n_pair >= fl
+), u{r} AS (
+  SELECT t, CAST(SUM(wc) AS BIGINT) AS n_uni
+  FROM (SELECT wc, unnest(toks) AS t FROM {prev})
+  GROUP BY 1
+), m{r} AS MATERIALIZED (
+  SELECT {r} AS round, a, b, n_pair, n_a, n_b
+  FROM (
+    SELECT c.a, c.b, c.n_pair, ua.n_uni AS n_a, ub.n_uni AS n_b
+    FROM c{r} c JOIN u{r} ua ON ua.t = c.a JOIN u{r} ub ON ub.t = c.b
+  )
+  ORDER BY CAST(n_pair AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) DESC, a, b
+  LIMIT 1
+), t{r} AS MATERIALIZED (
+  SELECT w, wc,
+         list_reduce(
+           list_transform(toks, t -> [t]),
+           (acc, t) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{r}.a AND t[1] = m{r}.b
+                            THEN acc[1:-2] || [m{r}.a || regexp_replace(m{r}.b, '^##', '')]
+                            ELSE acc || t END) AS toks
+  FROM {prev} CROSS JOIN m{r}
+  UNION ALL
+  SELECT w, wc, toks FROM {prev}
+  WHERE NOT EXISTS (SELECT 1 FROM m{r})
+)""")
+    return "".join(parts)
+
+
+def _wps_learn_sql(rounds: int = WPS_ROUNDS) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT round, a, b, n_pair, n_a, n_b FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return _wps_chain(rounds) + f"\n{union}\nORDER BY round"
+
+
+def _wps_encode_sql(rounds: int = WPS_ROUNDS) -> str:
+    """Encode oracle: vocabulary = distinct t0 symbols + merged
+    pieces; greedy longest-match as a constant-step list_reduce with
+    the same descending-k CASE arms as the Spark fold; per-doc rollup
+    via a LEFT JOIN so over-length words bill as [UNK]."""
+    maxp = rounds + 1
+    merged_union = "".join(
+        f"\n    UNION ALL SELECT a || regexp_replace(b, '^##', '') AS piece FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    key = (
+        "CASE WHEN CAST(acc[1] AS INT) = 1 THEN substr(w, 1, {k}) "
+        "ELSE '##' || substr(w, CAST(acc[1] AS INT), {k}) END"
+    )
+    arms = " ".join(
+        f"WHEN CAST(acc[1] AS INT) + {k - 1} <= length(w) "
+        f"AND map_extract(m, {key.format(k=k)})[1] IS NOT NULL "
+        f"THEN list_prepend(CAST(CAST(acc[1] AS INT) + {k} AS VARCHAR), "
+        f"acc[2:] || [{key.format(k=k)}])"
+        for k in range(maxp, 0, -1)
+    )
+    fold = (
+        f"list_reduce(list_prepend(['1'], "
+        f"list_transform(range(1, {WPS_MAXW} + 1), i -> [''])), "
+        f"(acc, x) -> CASE WHEN acc[1] = '-1' OR CAST(acc[1] AS INT) > length(w) "
+        f"THEN acc {arms} ELSE ['-1'] END)"
+    )
+    return (
+        _wps_chain(rounds)
+        + f""", vocab AS (
+  SELECT DISTINCT piece FROM (
+    SELECT unnest(toks) AS piece FROM t0{merged_union}
+  )
+), vm AS (
+  SELECT MAP(list(piece ORDER BY piece), list(1 ORDER BY piece)) AS m FROM vocab
+), seg AS (
+  SELECT w, {fold} AS seg FROM wordsall, vm
+), st AS (
+  SELECT w,
+         CASE WHEN seg[1] = '-1' THEN 1 ELSE len(seg) - 1 END AS n_pieces,
+         seg[1] = '-1' AS is_unk
+  FROM seg
+), tokens AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN st.w IS NULL THEN 1 ELSE st.n_pieces END) AS BIGINT) AS n_pieces,
+       CAST(SUM(CASE WHEN st.w IS NULL OR st.is_unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+       ROUND(CAST(SUM(CASE WHEN st.w IS NULL THEN 1 ELSE st.n_pieces END) AS DOUBLE) / COUNT(*), 6) AS fertility
+FROM tokens LEFT JOIN st ON tokens.w = st.w
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    )
+
+
+WPS_LEARN_SQL = _wps_learn_sql()
+WPS_ENCODE_SQL = _wps_encode_sql()

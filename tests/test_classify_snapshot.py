@@ -103,6 +103,63 @@ def test_wordpiece_applies_merge_before_next_round(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# subword WordPiece (## continuation form)
+# ---------------------------------------------------------------------------
+
+
+def test_wps_learn_merges_continuation_pieces(spark, tmp_path):
+    """The ## convention end-to-end on 'hello' word types: round 1
+    merges (h,##e) -> 'he' (the only pair whose BOTH unigrams are
+    pair-exclusive: score 30/900 beats 30/1800 and 30/3600), and a
+    later round must treat merged symbols as units — '##l'+'##o' ->
+    '##lo' keeps the continuation prefix."""
+    from mito_spark.operators.text import wordpiece_learn_subword
+
+    rows = [(i, "hello hello hello") for i in range(10)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["round"]: r for r in wordpiece_learn_subword(spark, d).collect()}
+    assert (out[1]["a"], out[1]["b"]) == ("h", "##e")
+    assert (out[1]["n_pair"], out[1]["n_a"], out[1]["n_b"]) == (30, 30, 30)
+    # round 2: ('##l','##o') and ('he','##l') tie at 30/1800 (identical
+    # IEEE products); the (a asc, b asc) tiebreak picks '##l' < 'he'
+    assert (out[2]["a"], out[2]["b"]) == ("##l", "##o")
+    # round 3 counts over MERGED arrays [he,##l,##lo]: both remaining
+    # pairs score 30/900; a-asc again -> ('##l','##lo') -> '##llo'
+    assert (out[3]["a"], out[3]["b"]) == ("##l", "##lo")
+
+
+def test_wps_encode_greedy_longest_match_and_unk(spark, tmp_path):
+    """Greedy longest-match first-fit over alphabet+merges, with the
+    WPS_MIN_WC unseen path: 'hello' trains to a single piece; the
+    HAPAX word 'hell' (excluded from training) still segments as
+    [he,##l,##l] = 3 pieces; 'xyz' has chars outside the training
+    alphabet and bills as [UNK]."""
+    from mito_spark.operators.text import wordpiece_encode_subword
+
+    rows = [(i, "hello hello") for i in range(4)] + [(100, "hell"), (101, "xyz")]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in wordpiece_encode_subword(spark, d).collect()}
+    assert (got[0]["n_words"], got[0]["n_pieces"], got[0]["n_unk_words"]) == (2, 2, 0)
+    assert got[0]["fertility"] == 1.0
+    assert (got[100]["n_words"], got[100]["n_pieces"], got[100]["n_unk_words"]) == (1, 3, 0)
+    assert got[100]["fertility"] == 3.0
+    assert (got[101]["n_words"], got[101]["n_pieces"], got[101]["n_unk_words"]) == (1, 1, 1)
+
+
+def test_wps_rejects_hash_in_training_charset(spark, tmp_path):
+    """'#' in a training word would make the '##' continuation
+    namespace ambiguous — the trainer must fail loudly, not emit a
+    colliding vocabulary."""
+    import pytest
+
+    from mito_spark.operators.text import wordpiece_learn_subword
+
+    d = _write_docs(spark, tmp_path, [(0, "a#b a#b"), (1, "a#b cd")])
+    with pytest.raises(ValueError, match="'#'"):
+        wordpiece_learn_subword(spark, d)
+
+
+# ---------------------------------------------------------------------------
 # Naive-Bayes classifiers
 # ---------------------------------------------------------------------------
 

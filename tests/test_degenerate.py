@@ -173,6 +173,12 @@ DOC_OPS = [
     # doc routes through the quality floor; zero batch docs -> zero
     # manifest rows, not a crash)
     "ingest_delta_pipeline",
+    # r11: subword WordPiece on the all-hapax corpus — WPS_MIN_WC
+    # empties the training table, so the trainer emits 0 merges and
+    # the encode surface routes EVERY word through the empty-vocab
+    # [UNK] branch on both engines
+    "wordpiece_learn_subword",
+    "wordpiece_encode_subword",
 ]
 EMB_OPS = [
     "quantize_embeddings",

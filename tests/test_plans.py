@@ -668,6 +668,11 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
           "BroadcastNestedLoopJoin")),
         ("sampling", "bootstrap_ci_report", ()),
         ("classify", "quality_classifier_pr_curve", ()),
+        # r11: the subword trainer/encoder — type-table folds, the
+        # vocab map rides a 1-row broadcast (BroadcastNestedLoopJoin
+        # is the intended shape, never CartesianProduct)
+        ("text", "wordpiece_learn_subword", ()),
+        ("text", "wordpiece_encode_subword", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

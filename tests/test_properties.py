@@ -1086,6 +1086,8 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("events", "events_percentile_drift"),  # exact pctl + lag ties
         ("sampling", "bootstrap_ci_report"),  # replicate means + pctl
         ("classify", "quality_classifier_pr_curve"),  # margin rungs
+        ("text", "wordpiece_learn_subword"),  # r11: weighted argmax ties
+        ("text", "wordpiece_encode_subword"),  # r11: greedy fold + rollup
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):
