@@ -36,9 +36,46 @@ from mito_spark.engine import load_table, spread
 
 NUM_HASHES = 16
 # 8 bands × 2 rows: candidate probability 1-(1-j²)⁸ ≈ 0.90 at j=0.5,
-# 0.995 at j=0.7 — tuned for the 0.5 verification threshold below.
+# 0.995 at j=0.7 — the production split for the default 0.5
+# verification threshold. These constants are what auto_lsh_bands
+# derives AT that threshold (asserted by test); non-default thresholds
+# get their own (b, r) from the same rule (VERDICT r10 next#6 — the
+# lsh_curve_report tuner's S-curve midpoint, wired into the defaults).
 BANDS = 8
 ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def _lsh_configs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    """Every (bands, rows_per_band) factorization of the signature
+    budget, bands ascending — the ladder the curve report walks."""
+    return [
+        (b, num_hashes // b) for b in range(1, num_hashes + 1) if num_hashes % b == 0
+    ]
+
+
+def auto_lsh_bands(
+    threshold: float, num_hashes: int = NUM_HASHES
+) -> tuple[int, int]:
+    """Derive (bands, rows_per_band) from the verification threshold —
+    the auto_* knob discipline applied to the banding split: among the
+    factorizations of the signature budget (the ladder
+    ``lsh_curve_report`` measures), pick the one whose S-curve
+    midpoint (1/b)^(1/r) — the Jaccard at which the catch probability
+    1-(1-j^r)^b crosses ~0.5 (Leskovec/Rajaraman/Ullman MMDS §3.4.3)
+    — is nearest the threshold; ties break toward the LOWER midpoint
+    (recall-leaning: below-midpoint pairs are caught with p > 0.5).
+    Pure driver-side float math on constants — deterministic, no
+    corpus pass; the corpus-measured version of the same decision is
+    ``lsh_curve_report``, whose recall/candidate-mass columns audit
+    this rule's pick in production."""
+    best: tuple[tuple[float, float], tuple[int, int]] | None = None
+    for b, r in _lsh_configs(num_hashes):
+        mid = (1.0 / b) ** (1.0 / r)
+        key = (abs(mid - threshold), mid)
+        if best is None or key < best[0]:
+            best = (key, (b, r))
+    assert best is not None
+    return best[1]
 SIMHASH_BITS = 60
 SIMHASH_MAX_DIST = 3
 SIMHASH_CHUNKS = SIMHASH_MAX_DIST + 1  # pigeonhole guarantee
@@ -205,11 +242,14 @@ def _band_keys(sigd: DataFrame) -> DataFrame:
     return _band_keys_cfg(sigd, BANDS, ROWS_PER_BAND)
 
 
-def _lsh_candidates(sigd: DataFrame) -> DataFrame:
-    """Distinct unverified candidate pairs from the production
+def _lsh_candidates(
+    sigd: DataFrame, bands_n: int = BANDS, rows_n: int = ROWS_PER_BAND
+) -> DataFrame:
+    """Distinct unverified candidate pairs from a (bands, rows)
     banding — the block minhash_lsh_dedup and dedup_weighted_jaccard
-    share (each applies its own verify measure)."""
-    bands = _band_keys(sigd)
+    share (each applies its own verify measure). Defaults to the
+    production split; minhash_lsh_dedup passes the auto-derived one."""
+    bands = _band_keys_cfg(sigd, bands_n, rows_n)
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "key"])
@@ -235,6 +275,13 @@ def minhash_lsh_dedup(
     Jaccard is computed as |∩| / (|A|+|B|−|∩|) on integer set sizes —
     exact rationals, so the oracle matches bit-for-bit.
 
+    The banding split derives from the threshold (``auto_lsh_bands``:
+    the factorization whose S-curve midpoint brackets it) — at the
+    default 0.5 that is exactly the production (BANDS, ROWS_PER_BAND)
+    constants, so the static oracle stays valid; a caller asking for
+    t=0.8 automatically gets the sharper (4,4) banding instead of a
+    hand-retune, and the SQL twin co-derives via the same rule.
+
     ``shingles``: optional pre-staged (doc_id, sh) frame (ideally
     checkpointed) so a composed report tokenizes the corpus ONCE and
     feeds several tiers — at 100 TB the scan+tokenize pass dominates,
@@ -250,25 +297,28 @@ def minhash_lsh_dedup(
     # parquet. localCheckpoint (not persist) so the blocks are GC-
     # cleaned with the frame instead of pinning the session cache
     # (VERDICT r4 wrong#4).
-    cand = _lsh_candidates(sigd)
+    cand = _lsh_candidates(sigd, *auto_lsh_bands(threshold))
     sh_only = sigd.select("doc_id", "sh")
     return _jaccard_verified(cand, sh_only, "id_a", "id_b", threshold).select(
         "id_a", "id_b", "jaccard"
     )
 
 
-def _minhash_keyed_sql(shingle: int = 3) -> str:
+def _minhash_keyed_sql(
+    shingle: int = 3, bands_n: int = BANDS, rows_n: int = ROWS_PER_BAND
+) -> str:
     """Oracle head through the ``keyed`` CTE: tokenize → shingle →
     salted signatures (K independent salted md5s, matching the
     module-level scheme at line ~153) → (doc_id, band, key). Shared by
     the candidate head below and the bucket-skew report (which needs
-    band keys but no pair join)."""
+    band keys but no pair join). Takes the (bands, rows) split so a
+    non-default threshold's oracle co-derives with ``auto_lsh_bands``."""
     sep = " || ':' || "
     band_cases = " ".join(
         f"WHEN {b} THEN md5("
-        + sep.join(f"CAST(sig[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)" for r in range(ROWS_PER_BAND))
+        + sep.join(f"CAST(sig[{b * rows_n + r + 1}] AS VARCHAR)" for r in range(rows_n))
         + ")"
-        for b in range(BANDS)
+        for b in range(bands_n)
     )
     return rf"""
 WITH rawtok AS (
@@ -287,18 +337,20 @@ WITH rawtok AS (
   FROM tok
 ), keyed AS (
   SELECT doc_id, band, CASE band {band_cases} END AS key
-  FROM sig, range(0, {BANDS}) t(band)
+  FROM sig, range(0, {bands_n}) t(band)
 )"""
 
 
-def _minhash_cand_sql(shingle: int = 3) -> str:
+def _minhash_cand_sql(
+    shingle: int = 3, bands_n: int = BANDS, rows_n: int = ROWS_PER_BAND
+) -> str:
     """Shared oracle head: the ``keyed`` chain plus distinct candidate
     pairs, ending with the ``cand`` CTE open for a caller-appended
     continuation (the ``sig`` CTE still carries ``sh`` for
     exact-Jaccard verification). Used by the LSH-dedup oracle and the
     estimate-report oracle."""
     return (
-        _minhash_keyed_sql(shingle)
+        _minhash_keyed_sql(shingle, bands_n, rows_n)
         + """, cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -308,7 +360,7 @@ def _minhash_cand_sql(shingle: int = 3) -> str:
 
 def _minhash_sql(threshold: float = 0.5, shingle: int = 3) -> str:
     return (
-        _minhash_cand_sql(shingle)
+        _minhash_cand_sql(shingle, *auto_lsh_bands(threshold))
         + rf"""
 SELECT id_a, id_b,
        CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
@@ -2258,14 +2310,6 @@ ORDER BY th.threshold
 
 
 # --- LSH (bands x rows) configuration tuner ---------------------------
-
-
-def _lsh_configs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
-    """Every (bands, rows_per_band) factorization of the signature
-    budget, bands ascending — the ladder the curve report walks."""
-    return [
-        (b, num_hashes // b) for b in range(1, num_hashes + 1) if num_hashes % b == 0
-    ]
 
 
 LSH_CURVE_JS = (0.5, 0.7, 0.9)  # Jaccard points for the theory columns

@@ -31,6 +31,43 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert all(p.id_a < p.id_b for p in pairs)
 
 
+def test_auto_lsh_bands_midpoint_rule():
+    """The banding split derives from the threshold: the factorization
+    of NUM_HASHES whose S-curve midpoint (1/b)^(1/r) is nearest it.
+    At the default 0.5 the rule reproduces EXACTLY the production
+    constants (the static-oracle contract: MINHASH_LSH_SQL was
+    generated with them); sharper thresholds pick tighter bandings."""
+    from mito_spark.operators.dedup import BANDS, ROWS_PER_BAND, auto_lsh_bands
+
+    assert auto_lsh_bands(0.5) == (BANDS, ROWS_PER_BAND)
+    assert auto_lsh_bands(0.8) == (4, 4)
+    assert auto_lsh_bands(0.9) == (2, 8)
+    assert auto_lsh_bands(0.15) == (16, 1)
+
+
+def test_minhash_nondefault_threshold_matches_coderivied_oracle(spark, sf_dir):
+    """At t=0.8 the auto rule swaps in the (4,4) banding; the Spark
+    result must still match the SQL twin generated at the same
+    threshold (both sides co-derive the split — no silent divergence
+    between the engine default and the static oracle)."""
+    import duckdb
+
+    from mito_spark.operators.dedup import _minhash_sql, minhash_lsh_dedup
+
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_dedup(spark, sf_dir, threshold=0.8).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (a, b, round(j, 9)) for a, b, j in con.execute(_minhash_sql(0.8)).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_simhash_hamming_bound(spark, sf_dir):
     pairs = dedup.simhash_dedup(spark, sf_dir).collect()
     assert all(p.hamming <= dedup.SIMHASH_MAX_DIST for p in pairs)
