@@ -222,6 +222,14 @@ def ingest_dedup_stream(
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         s = batch_df.sparkSession
         docs = parse_json_pages(batch_df, DOC_SCHEMA).localCheckpoint()
+        # ONE flag-log read per micro-batch (VERDICT r10 wrong#2: the
+        # per-page re-read grew the listing cost quadratically in
+        # pages/batch). The committed-page set is maintained IN MEMORY
+        # across the page loop — sound because this process is the only
+        # flag appender (the page appended below is exactly the page
+        # added to the set), and crash replay re-enters process() with
+        # a fresh batch-start read that sees every durably committed
+        # page.
         log = _flag_log(s)
         committed = (
             {int(r["page"]) for r in log.select("page").distinct().collect()}
@@ -238,17 +246,10 @@ def ingest_dedup_stream(
             canon_all = s.read.option("mergeSchema", "true").parquet(canon_dir)
             if "page" not in canon_all.columns:  # pure-seed directory
                 canon_all = canon_all.withColumn("page", F.lit(None).cast("int"))
-            # committed pages are re-derived PER PAGE: a page accepted
-            # earlier in THIS batch must match, not mask
-            log = _flag_log(s)
-            done_pages = (
-                sorted(
-                    int(r["page"])
-                    for r in log.select("page").distinct().collect()
-                )
-                if log is not None
-                else []
-            )
+            # committed pages come from the cached set: a page accepted
+            # earlier in THIS batch was added on its flag append, so it
+            # matches (not masks) exactly as the per-page re-read did
+            done_pages = sorted(committed)
             legit = F.col("page").isNull()
             if done_pages:
                 legit = legit | F.col("page").isin(done_pages)
@@ -268,6 +269,7 @@ def ingest_dedup_stream(
             )
             accepted.write.mode("append").parquet(canon_dir)
             flags.write.mode("append").parquet(out_dir)  # commit marker
+            committed.add(page)
             pages_done.add(page)
 
     q = (
