@@ -122,14 +122,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- r11-new operators (window head; full rotation note below) ----
         "wordpiece_learn_subword": text.wordpiece_learn_subword,
         "wordpiece_encode_subword": text.wordpiece_encode_subword,
+        "audio_features": multimodal.audio_features,
         # ---- r10-new operators, newest first (12 + 12) ----
         "bootstrap_ci_report": sampling.bootstrap_ci_report,
         "quality_classifier_pr_curve": classify.quality_classifier_pr_curve,
         "events_percentile_drift": events.events_percentile_drift,
         "charset_profile": quality.charset_profile,
-        # (audio_chunk_features / audio_features stay pytest-only like
-        # resize_images and sample_frames — codec-boundary surfaces
-        # the SQL oracle cannot reach; tests pin exact chunk values)
+        # (audio_features graduated to an oracled entry in r11 — its
+        # stand-in byte-window energies ARE SQL-derivable on the ASCII
+        # corpus; resize_images / sample_frames / audio_chunk_features
+        # remain pytest-only codec surfaces with exact pinned values)
         "embedding_snapshot_drift": snapshot.embedding_snapshot_drift,
         "ingest_delta_pipeline": snapshot.ingest_delta_pipeline,
         "wordpiece_encode": text.wordpiece_encode,
@@ -321,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "wordpiece_learn_subword": text.WPS_LEARN_SQL,
         "wordpiece_encode_subword": text.WPS_ENCODE_SQL,
+        "audio_features": multimodal.AUDIO_FEATURES_SQL,
         "bootstrap_ci_report": sampling.BOOTSTRAP_CI_SQL,
         "quality_classifier_pr_curve": classify.QC_PR_CURVE_SQL,
         "events_percentile_drift": events.PERCENTILE_DRIFT_SQL,

@@ -253,6 +253,9 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
     return df.mapInPandas(_sample, FRAME_SCHEMA)
 
 
+AUDIO_CHUNK_BYTES = 128  # frame length (STFT convention)
+AUDIO_HOP_BYTES = 96  # hop < frame -> overlapping windows
+
 AUDIO_CHUNK_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -266,8 +269,8 @@ AUDIO_CHUNK_SCHEMA = StructType(
 
 def audio_chunk_features(
     df: DataFrame,
-    chunk_bytes: int = 128,
-    hop_bytes: int = 96,
+    chunk_bytes: int = AUDIO_CHUNK_BYTES,
+    hop_bytes: int = AUDIO_HOP_BYTES,
     fake: bool = False,
     batch_size: int = 256,
 ) -> DataFrame:
@@ -331,10 +334,17 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry surface: synth audio payloads from the documents table
     (the ``media_from_documents`` convention — text bytes stand in for
     an opaque audio column), chunk with the default frame/hop, roll up
-    per media: chunk count and total energy. Driver gets the weaker
-    rows-only check — the mapInPandas byte path is outside the SQL
-    oracle's reach, like every codec surface; the VALUES are pinned by
-    the unit tests instead."""
+    per media: chunk count and total energy.
+
+    Unlike the other codec surfaces, this one IS oracle-checkable
+    (VERDICT r10 next#7): the stand-in payload is the UTF-8 bytes of
+    an ASCII corpus, so the byte-window energies the mapInPandas stub
+    computes are re-derivable in SQL as code-point sums over substring
+    windows — ``AUDIO_FEATURES_SQL`` replays the exact chunk grid
+    (n = max((len − overlap) // hop, 1), frame-truncated tails) and
+    the driver hash-verifies the full Arrow round-trip, not just row
+    counts. Unit tests still pin exact chunk values; on a non-ASCII
+    corpus the oracle (not the operator) would need the blob form."""
     media = media_from_documents(spark, sf_dir)
     chunks = audio_chunk_features(media, fake=True)
     return (
@@ -346,3 +356,28 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+AUDIO_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS nb FROM documents
+), grid AS (
+  SELECT media_id, text, nb,
+         unnest(range(0, GREATEST(GREATEST(nb - {AUDIO_CHUNK_BYTES - AUDIO_HOP_BYTES}, 0) // {AUDIO_HOP_BYTES}, 1))) AS i
+  FROM m
+), ch AS (
+  SELECT media_id,
+         GREATEST(LEAST({AUDIO_CHUNK_BYTES}, nb - i * {AUDIO_HOP_BYTES}), 0) AS n_bytes,
+         COALESCE(list_aggregate(
+           list_transform(
+             range(1, CAST(GREATEST(LEAST({AUDIO_CHUNK_BYTES}, nb - i * {AUDIO_HOP_BYTES}), 0) AS INT) + 1),
+             j -> ord(substr(text, CAST(i * {AUDIO_HOP_BYTES} + j AS INT), 1))),
+           'sum'), 0) AS energy
+  FROM grid
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(energy) AS BIGINT) AS total_energy,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_chunk_bytes
+FROM ch GROUP BY media_id ORDER BY media_id
+"""
