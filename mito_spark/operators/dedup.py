@@ -2852,3 +2852,136 @@ FROM documents""")
 
 
 DEDUP_NORMALIZATION_SQL = _normalization_sql()
+
+
+# --- Content-defined chunking (CDC) sub-document dedup ------------------
+
+CDC_WINDOW = 16  # boundary-judgment window (chars)
+CDC_MOD = 64  # boundary when window-hash % CDC_MOD == 0 -> expected
+# chunk length ~= CDC_MOD chars (the mask-bits knob of FastCDC)
+
+
+def cdc_chunk_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = CDC_WINDOW,
+    mod: int = CDC_MOD,
+) -> DataFrame:
+    """Content-defined chunking dedup — the SUB-DOCUMENT dedup tier
+    (LBFS, Muthitacharoen et al. SOSP'01; FastCDC, Xia et al. USENIX
+    ATC'16): chunk boundaries are placed where a local window hash
+    satisfies a modulus condition, so boundaries RESYNCHRONIZE after
+    insertions — two documents sharing a long substring at DIFFERENT
+    offsets still produce identical chunks inside the shared region,
+    the property fixed-size chunking lacks and whole-doc hashing
+    (``exact_dedup``) can't see. The storage/transfer-dedup primitive
+    (rsync/casync/restic) applied to corpus curation: the output is
+    the shared-chunk table a pipeline uses to bill cross-document
+    boilerplate at sub-document granularity (complementing
+    ``boilerplate_ngrams``' fixed-n view and ``winnow_fingerprints``'
+    pair detection with variable-length, content-aligned dedup UNITS).
+
+    Boundary rule: a chunk starts at position i (i >= 2) iff the
+    60-bit md5 hash of the ``window`` chars starting at i is ≡ 0
+    (mod ``mod``); position 1 is an implicit start, end-of-doc an
+    implicit end. Expected chunk length ≈ ``mod`` chars. No min/max
+    clamping (documented convention — FastCDC's normalization is a
+    constant-factor tweak on the same shuffle shape).
+
+    Scale shape: the position explode is the corpus scan (one md5 per
+    char over a ``window``-char slice — scan-bandwidth JVM work, the
+    winnow_fingerprints cost class, no shuffle: explode+filter happen
+    inside the scan stage); only the SPARSE boundary rows
+    (~1/``mod`` of positions) shuffle into the per-doc lead() window;
+    chunk texts are re-sliced by a doc-keyed join of slim span rows
+    back to the scan (chunk bytes never ride the window shuffle); the
+    final groupBy shuffles (chunk_hash, doc_id) pairs — exact_dedup's
+    shape at chunk granularity. Output: one row per chunk content
+    shared by >= 2 docs (chunk_hash, chunk_len, n_docs,
+    n_occurrences, kept_doc), ordered by hash.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "text", F.length("text").alias("len")).localCheckpoint()
+    cand = base.where(F.col("len") >= window).select(
+        "doc_id",
+        "len",
+        "text",
+        F.explode(F.sequence(F.lit(2), F.col("len") - (window - 1))).alias("i"),
+    )
+    bnd = cand.where(
+        _hash60(F.col("text").substr(F.col("i"), F.lit(window))) % mod == 0
+    ).select("doc_id", "len", F.col("i").cast("bigint").alias("i"))
+    allb = base.select(
+        "doc_id", "len", F.lit(1).cast("bigint").alias("i")
+    ).unionByName(bnd)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = allb.select(
+        "doc_id",
+        "i",
+        F.coalesce(F.lead("i").over(w), F.col("len") + 1).alias("nxt"),
+    )
+    chunks = (
+        spans.where(F.col("nxt") > F.col("i"))
+        .join(base.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("text").substr(
+                F.col("i").cast("int"), (F.col("nxt") - F.col("i")).cast("int")
+            ).alias("chunk"),
+        )
+    )
+    return (
+        chunks.select(
+            "doc_id", F.md5("chunk").alias("chunk_hash"), F.length("chunk").alias("cl")
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("cl").cast("bigint").alias("chunk_len"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("kept_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    )
+
+
+def _cdc_sql(window: int = CDC_WINDOW, mod: int = CDC_MOD) -> str:
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, text, length(text) AS len FROM documents
+), cand AS (
+  SELECT doc_id, len, unnest(range(2, len - {window - 1} + 1)) AS i
+  FROM base WHERE len >= {window}
+), bnd AS (
+  SELECT c.doc_id, c.len, CAST(c.i AS BIGINT) AS i
+  FROM cand c JOIN base b ON b.doc_id = c.doc_id
+  WHERE CAST('0x' || substr(md5(substr(b.text, CAST(c.i AS INT), {window})), 1, 15) AS BIGINT) % {mod} = 0
+), allb AS (
+  SELECT doc_id, len, CAST(1 AS BIGINT) AS i FROM base
+  UNION ALL SELECT doc_id, len, i FROM bnd
+), spans AS (
+  SELECT doc_id, i,
+         COALESCE(LEAD(i) OVER (PARTITION BY doc_id ORDER BY i), len + 1) AS nxt
+  FROM allb
+), chunks AS (
+  SELECT s.doc_id,
+         substr(b.text, CAST(s.i AS INT), CAST(s.nxt - s.i AS INT)) AS chunk
+  FROM spans s JOIN base b USING (doc_id)
+  WHERE s.nxt > s.i
+)
+SELECT md5(chunk) AS chunk_hash,
+       CAST(MIN(length(chunk)) AS BIGINT) AS chunk_len,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS kept_doc
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY chunk_hash
+"""
+
+
+CDC_SQL = _cdc_sql()

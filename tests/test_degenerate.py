@@ -179,6 +179,9 @@ DOC_OPS = [
     # [UNK] branch on both engines
     "wordpiece_learn_subword",
     "wordpiece_encode_subword",
+    # r11: CDC on empty/short docs (len 0 -> zero-width span filtered;
+    # len < window -> one whole-text chunk, unshared -> no rows)
+    "cdc_chunk_dedup",
 ]
 EMB_OPS = [
     "quantize_embeddings",

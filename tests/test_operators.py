@@ -73,6 +73,32 @@ def test_simhash_hamming_bound(spark, sf_dir):
     assert all(p.hamming <= dedup.SIMHASH_MAX_DIST for p in pairs)
 
 
+def test_cdc_chunks_resync_after_offset_shift(spark, tmp_path):
+    """THE content-defined-chunking property: boundaries derive from
+    content, so two docs sharing a long substring at DIFFERENT offsets
+    chunk identically inside the shared region — fixed-size chunking
+    would misalign every chunk after the insertion point. Doc 1 is
+    doc 0's tail behind a different prefix; shared chunks must be
+    found, and every reported chunk appears in both docs."""
+    import hashlib
+
+    body = " ".join(hashlib.md5(str(i).encode()).hexdigest() for i in range(24))
+    rows = [
+        (0, body, "en", "src0", len(body)),
+        (1, "unrelated prefix padding " + body[119:], "en", "src1", 1),
+        (2, "completely different content " * 12, "en", "src2", 1),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = dedup.cdc_chunk_dedup(spark, d).collect()
+    assert len(out) >= 1
+    assert all(r.n_docs == 2 and r.kept_doc == 0 for r in out)
+    # the shared region is ~600 chars: resync must recover most of it
+    assert sum(r.chunk_len for r in out) > 200
+
+
 def test_exact_dedup_total_preserved(spark, sf_dir):
     from mito_spark.engine import load_table
 

@@ -673,6 +673,9 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # is the intended shape, never CartesianProduct)
         ("text", "wordpiece_learn_subword", ()),
         ("text", "wordpiece_encode_subword", ()),
+        # r11: CDC — scan-stage explode+filter, slim span window,
+        # doc-keyed re-slice join, hash groupBy; no Python anywhere
+        ("dedup", "cdc_chunk_dedup", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

@@ -1088,6 +1088,7 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("classify", "quality_classifier_pr_curve"),  # margin rungs
         ("text", "wordpiece_learn_subword"),  # r11: weighted argmax ties
         ("text", "wordpiece_encode_subword"),  # r11: greedy fold + rollup
+        ("dedup", "cdc_chunk_dedup"),  # r11: window lead + hash rollup
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):
