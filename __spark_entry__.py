@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode_subword": text.wordpiece_encode_subword,
         "audio_features": multimodal.audio_features,
         "cdc_chunk_dedup": dedup.cdc_chunk_dedup,
+        "quantile_sketch_calibration": sketches.quantile_sketch_calibration,
         # ---- r10-new operators, newest first (12 + 12) ----
         "bootstrap_ci_report": sampling.bootstrap_ci_report,
         "quality_classifier_pr_curve": classify.quality_classifier_pr_curve,
@@ -326,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_encode_subword": text.WPS_ENCODE_SQL,
         "audio_features": multimodal.AUDIO_FEATURES_SQL,
         "cdc_chunk_dedup": dedup.CDC_SQL,
+        "quantile_sketch_calibration": sketches.QUANTILE_SKETCH_SQL,
         "bootstrap_ci_report": sampling.BOOTSTRAP_CI_SQL,
         "quality_classifier_pr_curve": classify.QC_PR_CURVE_SQL,
         "events_percentile_drift": events.PERCENTILE_DRIFT_SQL,

@@ -1001,3 +1001,144 @@ def hll_distinct_by(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
         v_empty.alias("v_empty"),
         F.when(lin, F.lit("linear")).otherwise(F.lit("raw")).alias("branch"),
     )
+
+
+# --- fixed-bin quantile sketch + calibration ----------------------------
+
+QS_BINS = 256  # sketch size: <= QS_BINS rows per group, any corpus size
+QS_QUANTILES = (0.5, 0.95, 0.99)
+
+
+def quantile_sketch_calibration(
+    spark: SparkSession, sf_dir: str, bins: int = QS_BINS
+) -> DataFrame:
+    """Fixed-bin histogram QUANTILE SKETCH with a calibration yardstick
+    — the deterministic, hash-checkable stand-in for approx_percentile
+    that events_value_percentiles' docstring points at but cannot gate
+    (t-digest centroids are engine-private). Completes the sketch
+    family's measure-don't-trust ladder: CMS (counts), HLL
+    (distinct), MG (heavy hitters), iterative histograms (exact
+    global percentiles) — this is the one-pass MERGEABLE per-group
+    quantile estimator.
+
+    Sketch: bucket = clamp(floor(value / width), 0, bins-1) with
+    width = max(value)/bins (corpus-derived, the auto_* discipline; a
+    non-positive max falls back to 1.0 on both engines). The sketch
+    is <= bins rows per event type at ANY corpus size and merges by
+    addition — the map-side-combine property that makes the shuffle
+    carry histograms instead of values at 100 TB. Estimate = the
+    LOWER EDGE of the first bucket whose cumulative count reaches
+    ceil(q*n), so est <= exact and the error is bounded by one bin
+    width — reported per quantile beside the exact order statistic
+    (the yardstick leg: per-type sorted collect, bounded by group
+    size at gate SF; at 100 TB the yardstick is what you sample, the
+    sketch is what you ship — the HLL-calibration posture).
+
+    Parity: bucket ids are floor of an IEEE divide by the shared
+    width; cumulative/min-bucket math is integer-exact; estimates are
+    6dp rounds of bucket*width products; the exact leg picks the
+    order statistic at rank ceil(q*n) from the sorted values — all
+    bit-identical across engines.
+    """
+    from mito_spark.engine import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    wd = ev.agg(
+        F.when(F.max("value") > 0, F.max("value") / float(bins))
+        .otherwise(F.lit(1.0))
+        .alias("wd")
+    )
+    b = ev.crossJoin(F.broadcast(wd)).select(
+        "event_type",
+        F.least(
+            F.greatest(F.floor(F.col("value") / F.col("wd")), F.lit(0)),
+            F.lit(bins - 1),
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    sk = b.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = sk.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    est = cum.groupBy("event_type", "n").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bucket")
+                )
+            ).alias(f"_b{int(q * 100)}")
+            for q in QS_QUANTILES
+        ]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("value")).alias("vs")
+    )
+    out = est.join(exact, "event_type").crossJoin(F.broadcast(wd))
+    cols = [F.col("event_type"), F.col("n")]
+    for q in QS_QUANTILES:
+        tag = int(q * 100)
+        bq = F.col(f"_b{tag}")
+        exv = F.element_at(
+            "vs", F.ceil(F.lit(q) * F.col("n")).cast("int")
+        )
+        cols += [
+            F.round(bq * F.col("wd"), 6).alias(f"est_p{tag}"),
+            F.round(exv, 6).alias(f"exact_p{tag}"),
+            F.round(F.abs(bq * F.col("wd") - exv), 6).alias(f"err_p{tag}"),
+        ]
+    return out.select(*cols).orderBy("event_type")
+
+
+def _qs_sql(bins: int = QS_BINS) -> str:
+    sel = []
+    for q in QS_QUANTILES:
+        tag = int(q * 100)
+        rk = f"CAST(CEIL(CAST({q} AS DOUBLE) * e.n) AS INT)"
+        sel.append(f"ROUND(e._b{tag} * wd.wd, 6) AS est_p{tag}")
+        sel.append(f"ROUND(ex.vs[{rk}], 6) AS exact_p{tag}")
+        sel.append(f"ROUND(ABS(e._b{tag} * wd.wd - ex.vs[{rk}]), 6) AS err_p{tag}")
+    ests = ", ".join(
+        f"MIN(CASE WHEN cum >= CEIL(CAST({q} AS DOUBLE) * n) THEN bucket END) AS _b{int(q * 100)}"
+        for q in QS_QUANTILES
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), wd AS (
+  SELECT CASE WHEN MAX(value) > 0 THEN MAX(value) / {float(bins)!r} ELSE 1.0 END AS wd FROM ev
+), bk AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(FLOOR(value / wd) AS BIGINT), 0), {bins - 1}) AS bucket
+  FROM ev, wd
+), sk AS (
+  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM bk GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM sk
+), est AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n, {ests}
+  FROM cum GROUP BY event_type, n
+), ex AS (
+  SELECT event_type, list(value ORDER BY value) AS vs FROM ev GROUP BY 1
+)
+SELECT e.event_type, e.n, {", ".join(sel)}
+FROM est e JOIN ex USING (event_type), wd
+ORDER BY e.event_type
+"""
+
+
+QUANTILE_SKETCH_SQL = _qs_sql()

@@ -676,6 +676,9 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # r11: CDC — scan-stage explode+filter, slim span window,
         # doc-keyed re-slice join, hash groupBy; no Python anywhere
         ("dedup", "cdc_chunk_dedup", ()),
+        # r11: quantile sketch — histogram groupBy + bounded windows;
+        # the width scalar rides a 1-row broadcast
+        ("sketches", "quantile_sketch_calibration", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

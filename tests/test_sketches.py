@@ -484,3 +484,58 @@ def test_hll_error_is_calibrated_on_gate_corpus(spark, sf_dir):
     for r in rows:
         bound = 4.9 if r["branch"] == "raw" else 5.0
         assert abs(r["err_pct"]) <= bound, (r["domain"], r["err_pct"])
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
+    """The sketch's contract: the estimate is the LOWER EDGE of the
+    bucket holding the target rank, so est <= exact and the error is
+    bounded by one bin width (max/QS_BINS) for every group and every
+    quantile."""
+    from pyspark.sql import functions as F
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.sketches import QS_BINS, quantile_sketch_calibration
+
+    rows = quantile_sketch_calibration(spark, sf_dir).collect()
+    assert rows
+    mx = load_table(spark, sf_dir, "events").agg(F.max("value")).collect()[0][0]
+    width = mx / QS_BINS
+    for r in rows:
+        for t in (50, 95, 99):
+            assert r[f"est_p{t}"] <= r[f"exact_p{t}"] + 1e-9, (r["event_type"], t)
+            assert r[f"err_p{t}"] <= width + 1e-9, (r["event_type"], t)
+
+
+def test_quantile_sketch_degenerate_events(spark, tmp_path):
+    """Single-value and single-row groups: the estimate bucket exists
+    (clamp keeps value == max in the last bin), ranks stay in
+    [1, n], and both engines agree exactly."""
+    import duckdb
+
+    from mito_spark.operators.sketches import (
+        QUANTILE_SKETCH_SQL,
+        quantile_sketch_calibration,
+    )
+
+    d = str(tmp_path / "qs")
+    spark.createDataFrame(
+        [(0, "a", 5.0), (1, "a", 5.0), (2, "b", 1.25)],
+        "event_id long, event_type string, value double",
+    ).selectExpr(
+        "event_id",
+        "timestamp('2024-01-01') as ts",
+        "event_id % 3 as user_id",
+        "event_type",
+        "value",
+        "'{}' as props",
+    ).write.parquet(d + "/events.parquet")
+    got = sorted(tuple(r) for r in quantile_sketch_calibration(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    want = sorted(tuple(r) for r in con.execute(QUANTILE_SKETCH_SQL).fetchall())
+    assert got == want
+    by_type = {r[0]: r for r in got}
+    # type 'a': all values 5.0 == max -> last-bin clamp; exact == 5.0
+    assert by_type["a"][3] == 5.0  # exact_p50
+    # type 'b': single row -> every quantile is that row
+    assert by_type["b"][3] == 1.25
