@@ -749,3 +749,110 @@ FROM agg ORDER BY threshold
 
 
 QC_PR_CURVE_SQL = _qc_pr_sql()
+
+
+QC_CAL_BINS = 10
+
+
+def quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str, bins: int = QC_CAL_BINS
+) -> DataFrame:
+    """Reliability table for the hashed-NB quality classifier — the
+    calibration surface completing the classifier family (report =
+    confusion, top_features = explanation, pr_curve = operating
+    points, THIS = is-the-score-meaningful): held-out docs are ranked
+    by margin (score_pass − score_fail) into ``bins`` equal-population
+    bins, and each bin reports its empirical pass rate beside its
+    mean margin. A monotone pass-rate column says the margin ORDERS
+    docs correctly (rank calibration) even where its absolute scale
+    is length-inflated — exactly what a pipeline needs to trust a
+    margin threshold picked off the PR curve.
+
+    Binning is by MARGIN RANK, not by a sigmoid probability: the NB
+    margin is a per-token log-odds sum whose exp() would differ at
+    the last ulp across engines; ranks and decimal margin sums are
+    exact. Ties order (margin, doc_id) — deterministic ntile on both
+    engines (the shared Postgres convention: earlier bins take the
+    remainder). Docs with no scoreable tokens have no margin and are
+    EXCLUDED from the bins (the PR curve's −∞ branch accounts for
+    them); the global ntile sort runs over the held-out EVAL frame —
+    bounded by the split, the mmr/bounded-query-set convention, not a
+    corpus sort.
+
+    Parity: margins stay DECIMAL end-to-end (exact sums of 9dp model
+    terms); mean margin is a 6dp round of an exact decimal sum over
+    an integer count; pass rate is a 6dp round of an integer
+    quotient.
+    """
+    te, scores = _qc_scores(spark, sf_dir)
+    sp = scores.where(F.col("lbl") == "pass").select(
+        "doc_id", F.col("score").alias("s_pass")
+    )
+    sf_ = scores.where(F.col("lbl") == "fail").select(
+        "doc_id", F.col("score").alias("s_fail")
+    )
+    margins = (
+        te.select("doc_id", "weak_label")
+        .join(sp, "doc_id")
+        .join(sf_, "doc_id")
+        .select(
+            "doc_id",
+            "weak_label",
+            (F.col("s_pass") - F.col("s_fail")).alias("m"),
+        )
+    )
+    w = Window.orderBy("m", "doc_id")
+    binned = margins.select(
+        "weak_label", "m", F.ntile(bins).over(w).alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("weak_label") == "pass", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.round(
+                F.sum("m").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_margin"),
+            F.round(
+                F.sum(
+                    F.when(F.col("weak_label") == "pass", 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pass_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _qc_calibration_sql(bins: int = QC_CAL_BINS) -> str:
+    head, _, _ = QUALITY_CLASSIFIER_SQL.partition("), pred AS (")
+    return (
+        head
+        + rf""") , sp AS (
+  SELECT doc_id, score AS s_pass FROM scores WHERE lbl = 'pass'
+), sfa AS (
+  SELECT doc_id, score AS s_fail FROM scores WHERE lbl = 'fail'
+), margins AS (
+  SELECT s.doc_id, s.weak_label, sp.s_pass - sfa.s_fail AS m
+  FROM staged s
+  JOIN sp ON sp.doc_id = s.doc_id
+  JOIN sfa ON sfa.doc_id = s.doc_id
+  WHERE NOT s.is_train
+), binned AS (
+  SELECT weak_label, m, ntile({bins}) OVER (ORDER BY m, doc_id) AS bin
+  FROM margins
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN weak_label = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6) AS mean_margin,
+       ROUND(CAST(SUM(CASE WHEN weak_label = 'pass' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pass_rate
+FROM binned GROUP BY bin ORDER BY bin
+"""
+    )
+
+
+QC_CALIBRATION_SQL = _qc_calibration_sql()

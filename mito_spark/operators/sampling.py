@@ -580,3 +580,89 @@ ORDER BY s.source
 
 
 BOOTSTRAP_CI_SQL = _bootstrap_sql()
+
+
+# --- word2vec negative-sampling table ------------------------------------
+
+NS_TABLE_SIZE = 1 << 20  # slot budget of the sampling table (word2vec's 1e8
+# scaled to the demo corpus; a constant — slots per token derive from it)
+NS_POWER_NUM, NS_POWER_DEN = 3, 4  # the unigram^(3/4) smoothing exponent
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling distribution (Mikolov et al.
+    2013 §2.2): token probability ∝ count^(3/4) — the smoothing that
+    upweights the tail so frequent words don't monopolize negatives —
+    materialized as the SLOT TABLE the original implementation builds
+    (n_slots out of NS_TABLE_SIZE per token): the sampling plan a
+    contrastive/embedding trainer ships to its workers.
+
+    Exactness without transcendentals: count^(3/4) is computed as
+    sqrt(sqrt(c·c·c)) — IEEE sqrt is CORRECTLY ROUNDED (unlike
+    exp/ln/pow), so both engines produce the bit-identical double from
+    the same integer count, no 9dp crutch needed. The smoothed weights
+    round at 9dp into DECIMAL so the normalizing total is an exact
+    sum (order-free); probabilities and slot counts are then single
+    correctly-rounded divides off exact operands.
+
+    Scale shape: ONE corpus tokenize+count shuffle builds the vocab
+    frame; everything after is vocab-bounded (the `_bpe_learn_bytes`
+    working-set argument). floor() slot allocation under-fills the
+    table by < |vocab| slots — the standard remainder the original
+    table build also leaves; a trainer tops up from the head or
+    ignores it (documented convention, deterministic on both
+    engines). Output ordered (cnt desc, token asc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from mito_spark.operators.text import _tokens
+
+    vocab = (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = F.col("cnt").cast("double")
+    sm = F.round(F.sqrt(F.sqrt(c * c * c)), 9).cast("decimal(28,9)")
+    smoothed = vocab.select("token", "cnt", sm.alias("sm"))
+    tot = smoothed.agg(F.sum("sm").alias("tot"))
+    return (
+        smoothed.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("sm").cast("double"), 6).alias("smoothed"),
+            F.round(
+                F.col("sm").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("prob"),
+            F.floor(
+                F.col("sm").cast("double")
+                * float(NS_TABLE_SIZE)
+                / F.col("tot").cast("double")
+            )
+            .cast("bigint")
+            .alias("n_slots"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("token"))
+    )
+
+
+NEGATIVE_SAMPLING_SQL = rf"""
+WITH vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+    FROM documents
+  ) GROUP BY token
+), smoothed AS (
+  SELECT token, cnt,
+         CAST(ROUND(sqrt(sqrt(CAST(cnt AS DOUBLE) * cnt * cnt)), 9) AS DECIMAL(28,9)) AS sm
+  FROM vocab
+), tot AS (
+  SELECT SUM(sm) AS tot FROM smoothed
+)
+SELECT token, cnt,
+       ROUND(CAST(sm AS DOUBLE), 6) AS smoothed,
+       ROUND(CAST(sm AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS prob,
+       CAST(FLOOR(CAST(sm AS DOUBLE) * {float(NS_TABLE_SIZE)!r} / CAST(tot AS DOUBLE)) AS BIGINT) AS n_slots
+FROM smoothed, tot
+ORDER BY cnt DESC, token ASC
+"""

@@ -433,3 +433,31 @@ def test_pr_curve_monotone_tradeoff(spark, sf_dir):
         assert nxt["fp"] <= prev["fp"]
         assert nxt["fn"] >= prev["fn"]
         assert nxt["tp"] + nxt["fn"] == pos
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_calibration
+# ---------------------------------------------------------------------------
+
+
+def test_qc_calibration_rank_orders_separable_corpus(spark, tmp_path):
+    """On a corpus where the weak label is linearly separable by the
+    hashed features (long docs reuse 'goodword', short docs
+    'badword'), the margin must RANK-order the held-out docs: the top
+    bin's pass rate >= the bottom bin's, bins partition the scored
+    held-out count, and rates stay in [0, 1]."""
+    from mito_spark.operators.classify import quality_classifier_calibration
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "goodword " * 45))  # >= QC_MIN_WORDS -> pass
+    for i in range(40, 80):
+        rows.append((i, "badword " * 10))  # short -> fail
+    d = _write_docs(spark, tmp_path, rows)
+    out = quality_classifier_calibration(spark, d, bins=4).collect()
+    assert [r["bin"] for r in out] == sorted(r["bin"] for r in out)
+    assert all(0.0 <= r["pass_rate"] <= 1.0 for r in out)
+    assert out[-1]["pass_rate"] >= out[0]["pass_rate"]
+    # margins are monotone with the bins by construction of ntile
+    means = [r["mean_margin"] for r in out]
+    assert means == sorted(means)

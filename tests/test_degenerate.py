@@ -182,6 +182,11 @@ DOC_OPS = [
     # r11: CDC on empty/short docs (len 0 -> zero-width span filtered;
     # len < window -> one whole-text chunk, unshared -> no rows)
     "cdc_chunk_dedup",
+    # r11: calibration on a corpus whose held-out split may have no
+    # scoreable docs (empty margins -> zero bins, not a crash); the
+    # sampling table on an all-whitespace vocab (zero rows)
+    "quality_classifier_calibration",
+    "negative_sampling_table",
 ]
 EMB_OPS = [
     "quantize_embeddings",

@@ -679,6 +679,11 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # r11: quantile sketch — histogram groupBy + bounded windows;
         # the width scalar rides a 1-row broadcast
         ("sketches", "quantile_sketch_calibration", ()),
+        ("classify", "quality_classifier_calibration", ()),
+        # negative-sampling table is scan + vocab groupBy + 1-row
+        # broadcast total: no windows, no hash joins of any kind
+        ("sampling", "negative_sampling_table",
+         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "Window")),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

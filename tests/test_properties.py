@@ -1090,6 +1090,8 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("text", "wordpiece_encode_subword"),  # r11: greedy fold + rollup
         ("dedup", "cdc_chunk_dedup"),  # r11: window lead + hash rollup
         ("sketches", "quantile_sketch_calibration"),  # r11: cum window + ranks
+        ("classify", "quality_classifier_calibration"),  # r11: ntile + decimal
+        ("sampling", "negative_sampling_table"),  # r11: sqrt-smoothed decimals
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):

@@ -539,3 +539,26 @@ def test_quantile_sketch_degenerate_events(spark, tmp_path):
     assert by_type["a"][3] == 5.0  # exact_p50
     # type 'b': single row -> every quantile is that row
     assert by_type["b"][3] == 1.25
+
+
+def test_negative_sampling_smoothing_ratio(spark, tmp_path):
+    """The 3/4-power smoothing, pinned exactly: a token with count 16
+    gets 16^(3/4) = 8x the probability (and ~8x the slots) of a
+    count-1 token — not 16x (unsmoothed) and not 1x (uniform). Slot
+    floor() under-fills by < |vocab|."""
+    from mito_spark.operators.sampling import (
+        NS_TABLE_SIZE,
+        negative_sampling_table,
+    )
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "aa " * 16 + "bb", "en", "s0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = {r["token"]: r for r in negative_sampling_table(spark, d).collect()}
+    assert rows["aa"]["cnt"] == 16 and rows["bb"]["cnt"] == 1
+    assert rows["aa"]["smoothed"] == 8.0 and rows["bb"]["smoothed"] == 1.0
+    assert abs(rows["aa"]["prob"] - 8 / 9) < 1e-6
+    total_slots = sum(r["n_slots"] for r in rows.values())
+    assert NS_TABLE_SIZE - len(rows) < total_slots <= NS_TABLE_SIZE
