@@ -883,3 +883,101 @@ def streaming_paragraph_dedup(chunks: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- live per-type quantile sketch (fixed-bin histogram) ----
+
+QSK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("est_p50", DoubleType()),
+        StructField("est_p95", DoubleType()),
+        StructField("est_p99", DoubleType()),
+    ]
+)
+QSK_STATE_SCHEMA = StructType(
+    [
+        StructField("buckets", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def _qsk_step_factory(width: float, bins: int):
+    def step(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from mito_spark.operators.sketches import QS_QUANTILES
+
+        hist: dict = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        for pdf in batches:
+            for v in pdf["value"]:
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue
+                b = min(max(math.floor(float(v) / width), 0), bins - 1)
+                hist[b] = hist.get(b, 0) + 1
+        state.update((list(hist.keys()), list(hist.values())))
+        n = sum(hist.values())
+        ests = []
+        for q in QS_QUANTILES:
+            rank = math.ceil(q * n)
+            cum = 0
+            est_b = None
+            for b in sorted(hist):
+                cum += hist[b]
+                if cum >= rank:
+                    est_b = b
+                    break
+            est = float(
+                Decimal(repr(est_b * width)).quantize(
+                    Decimal("1e-6"), ROUND_HALF_UP
+                )
+            )
+            ests.append(est)
+        yield pd.DataFrame(
+            [(key[0], n, *ests)],
+            columns=["event_type", "n", "est_p50", "est_p95", "est_p99"],
+        )
+
+    return step
+
+
+def streaming_quantile_sketch(
+    values: DataFrame, width: float, bins: int | None = None
+) -> DataFrame:
+    """Streaming twin of ``sketches.quantile_sketch_calibration``'s
+    sketch leg — the LIVE per-type quantile monitor, and the proof
+    that the fixed-bin histogram really is mergeable: state is at most
+    ``bins`` (bucket, count) pairs per key regardless of stream
+    length, and bucket-count merge is ADDITION — associative and
+    commutative, so batch-vs-stream equality holds under ANY arrival
+    order and ANY micro-batch split (like the HLL twin's MAX merge and
+    unlike the order-sensitive EWMA twins; replays double-count,
+    exactly as the batch op double-counts a duplicated log row).
+
+    ``width`` is the pre-agreed bin width — the knob the batch
+    calibration derives (max/bins) and a deployment FREEZES before
+    going live, because a streaming operator cannot know the final
+    max; this is how production fixed-layout histograms work. The
+    estimate arithmetic (clamped floor(v/width) buckets, rank
+    ceil(q·n), lower-edge estimate, half-up 6dp round) mirrors the
+    batch expression tree op-for-op, so the final emission per key
+    equals the batch op's est_* columns bit-for-bit — pytest-pinned
+    across a non-chronological split.
+
+    Expects an (event_type, value) frame; update mode."""
+    from mito_spark.operators.sketches import QS_BINS
+
+    return values.groupBy("event_type").applyInPandasWithState(
+        _qsk_step_factory(float(width), bins or QS_BINS),
+        outputStructType=QSK_OUTPUT_SCHEMA,
+        stateStructType=QSK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -812,3 +812,66 @@ def test_streaming_paragraph_dedup_matches_batch_rank(
     q.awaitTermination(180)
     sink.close()
     assert got == want
+
+
+def test_streaming_quantile_sketch_matches_batch_any_order(spark, sf_dir, tmp_path):
+    """The live histogram's final estimates must equal the batch
+    quantile sketch's est_* columns bit-for-bit after the full stream,
+    under a non-chronological (event_id mod 3) split — bucket-count
+    merge is ADDITION, so arrival order and batch boundaries cannot
+    matter. Width is frozen from the batch derivation (max/bins), the
+    deployment contract."""
+    import os
+    import time
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.sketches import (
+        QS_BINS,
+        quantile_sketch_calibration,
+    )
+    from mito_spark.streaming.stateful import streaming_quantile_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("value")).collect()[0][0]
+    width = mx / float(QS_BINS)
+
+    d = str(tmp_path / "qsk")
+    dest = d + "/ev.parquet"
+    base_t = time.time()
+    seen: set = set()
+    for i in range(3):
+        ev.select("event_id", "event_type", "value").where(
+            F.col("event_id") % 3 == i
+        ).coalesce(1).write.mode("append").parquet(dest)
+        for f in os.listdir(dest):
+            if f in seen:
+                continue
+            seen.add(f)
+            os.utime(os.path.join(dest, f), (base_t + 100 * i, base_t + 100 * i))
+    schema = spark.read.parquet(dest).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+        .select("event_type", "value")
+    )
+    latest: dict = {}
+
+    def on_batch(b, _i):
+        for r in b.collect():
+            latest[r.event_type] = (r.n, r.est_p50, r.est_p95, r.est_p99)
+
+    sink = ChannelSink("qskstream", on_batch)
+    q = sink.send_to(
+        streaming_quantile_sketch(stream, width),
+        output_mode="update",
+        availableNow=True,
+    )
+    q.awaitTermination(180)
+    sink.close()
+
+    want = {
+        r.event_type: (r.n, r.est_p50, r.est_p95, r.est_p99)
+        for r in quantile_sketch_calibration(spark, sf_dir).collect()
+    }
+    assert len(want) > 1 and latest == want
