@@ -290,3 +290,179 @@ FROM spans
 
 
 PIPELINE_SQL = _pipeline_sql()
+
+
+# --- curriculum scheduling ------------------------------------------------
+
+CURRICULUM_PHASES = 4
+CURRICULUM_BINS = 256  # same fixed-bin discipline as the quantile sketch
+
+
+def curriculum_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    phases: int = CURRICULUM_PHASES,
+    bins: int = CURRICULUM_BINS,
+) -> DataFrame:
+    """Curriculum schedule WITHOUT a corpus sort — the easy-to-hard
+    phase plan (Bengio et al. 2009) a pretraining run feeds its data
+    loader: per-doc difficulty = mean unigram surprisal (the corpus-
+    model signal ``unigram_surprisal`` already computes), phase
+    boundaries = equal-population quartile edges ESTIMATED from the
+    fixed-bin histogram (the ``quantile_sketch_calibration``
+    machinery), assignment = integer bucket-vs-edge comparisons.
+
+    The composition is the point: a naive curriculum ORDERs the corpus
+    by difficulty — a global sort of every doc, the one operation a
+    100 TB pipeline cannot afford — while this plan costs the
+    surprisal pass plus a <= ``bins``-row histogram, and assigns
+    phases in the same scan that bucketed the docs. Phase populations
+    are equal up to bucket granularity (documented convention: docs
+    sharing a difficulty bucket share a phase — at bin width max/256
+    that is the resolution a loader actually schedules at).
+
+    Output (one row per phase): n_docs, n_tokens, mean_difficulty
+    (6dp round of an exact decimal sum), d_lo/d_hi (order-free
+    min/max). Parity: bucket ids are floors of IEEE divides by the
+    shared width; edges and assignments are integer comparisons;
+    difficulty is already a 6dp-rounded double, summed as
+    DECIMAL(18,6).
+    """
+    from mito_spark.operators.text import unigram_surprisal
+
+    per_doc = unigram_surprisal(spark, sf_dir).localCheckpoint()
+    # bins span the OBSERVED difficulty range [min, max]: surprisal
+    # concentrates well away from 0 (a corpus-model mean is never
+    # near-zero), so [0, max] bins would collapse the whole corpus
+    # into a handful of buckets and starve the phase edges
+    wd = per_doc.agg(
+        F.when(
+            F.max("mean_surprisal") > F.min("mean_surprisal"),
+            (F.max("mean_surprisal") - F.min("mean_surprisal")) / float(bins),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("wd"),
+        F.min("mean_surprisal").alias("mn"),
+    )
+    b = (
+        per_doc.crossJoin(F.broadcast(wd))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_surprisal",
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("mean_surprisal") - F.col("mn")) / F.col("wd")
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(bins - 1),
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+        .localCheckpoint()  # feeds the histogram AND the assignment
+    )
+    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.agg(F.sum("c").alias("n"))
+    cum = (
+        hist.crossJoin(F.broadcast(tot)).select(
+            "bucket",
+            "n",
+            F.sum("c")
+            .over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cum"),
+        )
+        # the global-order window runs over the <= bins histogram rows,
+        # never docs — bounded by construction
+    )
+    qs = [i / phases for i in range(1, phases)]
+    edges = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                    F.col("bucket"),
+                )
+            ).alias(f"e{i}")
+            for i, q in enumerate(qs, 1)
+        ]
+    )
+    phase = F.lit(1)
+    for i in range(1, phases):
+        phase = phase + F.when(F.col("bucket") > F.col(f"e{i}"), 1).otherwise(0)
+    return (
+        b.crossJoin(F.broadcast(edges))
+        .select(
+            phase.cast("int").alias("phase"),
+            "n_tokens",
+            F.col("mean_surprisal").cast("decimal(18,6)").alias("d6"),
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("d6").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_difficulty"),
+            F.min("d6").cast("double").alias("d_lo"),
+            F.max("d6").cast("double").alias("d_hi"),
+        )
+        .orderBy("phase")
+    )
+
+
+def _curriculum_sql(
+    phases: int = CURRICULUM_PHASES, bins: int = CURRICULUM_BINS
+) -> str:
+    from mito_spark.operators.text import SURPRISAL_PER_DOC_CTE
+
+    qs = [i / phases for i in range(1, phases)]
+    edge_sel = ", ".join(
+        f"MIN(CASE WHEN cum >= CEIL(CAST({q} AS DOUBLE) * n) THEN bucket END) AS e{i}"
+        for i, q in enumerate(qs, 1)
+    )
+    phase_expr = "1" + "".join(
+        f" + CASE WHEN bucket > e{i} THEN 1 ELSE 0 END" for i in range(1, phases)
+    )
+    return (
+        "WITH "
+        + SURPRISAL_PER_DOC_CTE
+        + f""", wd AS (
+  SELECT CASE WHEN MAX(mean_surprisal) > MIN(mean_surprisal)
+              THEN (MAX(mean_surprisal) - MIN(mean_surprisal)) / {float(bins)!r}
+              ELSE 1.0 END AS wd,
+         MIN(mean_surprisal) AS mn
+  FROM per_doc
+), b AS (
+  SELECT doc_id, n_tokens, mean_surprisal,
+         LEAST(GREATEST(CAST(FLOOR((mean_surprisal - mn) / wd) AS BIGINT), 0), {bins - 1}) AS bucket
+  FROM per_doc, wd
+), hist AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bucket
+), cum AS (
+  SELECT bucket, (SELECT SUM(c) FROM hist) AS n,
+         SUM(c) OVER (ORDER BY bucket) AS cum
+  FROM hist
+), edges AS (
+  SELECT {edge_sel} FROM cum
+)
+SELECT CAST({phase_expr} AS INT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(mean_surprisal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_difficulty,
+       CAST(MIN(CAST(mean_surprisal AS DECIMAL(18,6))) AS DOUBLE) AS d_lo,
+       CAST(MAX(CAST(mean_surprisal AS DECIMAL(18,6))) AS DOUBLE) AS d_hi
+FROM b, edges
+GROUP BY 1
+ORDER BY 1
+"""
+    )
+
+
+CURRICULUM_SQL = _curriculum_sql()

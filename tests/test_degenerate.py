@@ -187,6 +187,9 @@ DOC_OPS = [
     # sampling table on an all-whitespace vocab (zero rows)
     "quality_classifier_calibration",
     "negative_sampling_table",
+    # r11: curriculum on a degenerate corpus (identical or zero docs:
+    # max==min -> width fallback 1.0, single bucket, single phase)
+    "curriculum_plan",
 ]
 EMB_OPS = [
     "quantize_embeddings",

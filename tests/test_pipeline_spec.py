@@ -125,3 +125,33 @@ def test_cli_want_more_loop(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout) == [{"n": 3, "want_more": False}]
+
+
+def test_curriculum_plan_orders_phases_by_difficulty(spark, tmp_path):
+    """Phases must be difficulty-ordered and populated on a corpus
+    with clearly tiered surprisal: common-word docs land in early
+    phases, rare-word docs in late ones; mean difficulty is strictly
+    monotone and the doc count is preserved."""
+    from pyspark.sql import functions as F
+
+    from mito_spark.operators.pipeline import curriculum_plan
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "common words repeated here " * 10))
+    for i in range(40, 60):
+        rows.append((i, f"rare{i} unusual{i} singleton{i} token{i}"))
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    out = curriculum_plan(spark, d).collect()
+    assert sum(r.n_docs for r in out) == 60
+    means = [r.mean_difficulty for r in out]
+    assert means == sorted(means)
+    assert len(means) >= 2
+    # range columns are bucket-disjoint: phase i's max difficulty
+    # never exceeds phase i+1's min
+    for a, b in zip(out, out[1:]):
+        assert a.d_hi <= b.d_lo + 1e-9

@@ -684,6 +684,7 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # broadcast total: no windows, no hash joins of any kind
         ("sampling", "negative_sampling_table",
          ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "Window")),
+        ("pipeline", "curriculum_plan", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

@@ -1092,6 +1092,7 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("sketches", "quantile_sketch_calibration"),  # r11: cum window + ranks
         ("classify", "quality_classifier_calibration"),  # r11: ntile + decimal
         ("sampling", "negative_sampling_table"),  # r11: sqrt-smoothed decimals
+        ("pipeline", "curriculum_plan"),  # r11: histogram edges + decimal mean
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):
