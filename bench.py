@@ -297,6 +297,19 @@ HEADLINE = [
     # quality_classifier_pr_curve excluded by the composition rule
     # (the benched quality_classifier_report model/score build + a
     # rung fan-out over the bounded margin frame).
+    # r11 — additive, no swaps. Each owns corpus-sized work:
+    "wordpiece_learn_subword",  # 6 type-table trainer rounds (own loop)
+    "cdc_chunk_dedup",  # per-char boundary scan + span window + hash groupBy
+    "quantile_sketch_calibration",  # events histogram + per-type sort yardstick
+    "negative_sampling_table",  # corpus tokenize + vocab count shuffle
+    "audio_features",  # Arrow chunking pass over every payload
+    # wordpiece_encode_subword excluded by the two-surface rule (the
+    # benched learn loop + the greedy fold over the bounded type table
+    # + one corpus word join); quality_classifier_calibration excluded
+    # by the composition rule (the benched QC model/score chains + an
+    # ntile over the bounded eval frame); curriculum_plan excluded by
+    # the composition rule (the benched text_surprisal pass + a
+    # <=256-row histogram + a scan-level phase tag).
 ]
 
 

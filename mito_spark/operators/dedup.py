@@ -2985,3 +2985,102 @@ ORDER BY chunk_hash
 
 
 CDC_SQL = _cdc_sql()
+
+
+# --- near-dup pair explain surface ---------------------------------------
+
+EXPLAIN_TOP_PAIRS = 10
+EXPLAIN_SHINGLES = 5
+
+
+def dedup_pair_explain(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    shingle: int = 3,
+    top_pairs: int = EXPLAIN_TOP_PAIRS,
+    n_examples: int = EXPLAIN_SHINGLES,
+) -> DataFrame:
+    """The near-dup EXPLAIN surface — what a curation reviewer asks
+    right after the dedup report: WHY are these two documents flagged?
+    For the top ``top_pairs`` verified pairs (jaccard desc, ids asc),
+    emit the overlap evidence: shared/total shingle counts and the
+    first ``n_examples`` shared shingles in lexicographic order (the
+    deterministic sample a human spot-checks; at 100 TB this is the
+    table an audit UI pages through, never the full intersection).
+
+    Scale shape: everything ``minhash_lsh_dedup`` costs (the shared
+    candidate+verify chain), then ONE TakeOrdered to the bounded pair
+    frame and a doc-keyed join of just those <= 2·top_pairs docs'
+    shingle sets; the intersection sort+slice runs on the bounded
+    frame only. Parity: counts are exact ints; jaccard is the verify
+    stage's exact rational, rounded 6dp here; the example list is
+    array_sort + slice + comma-join — identical on both engines
+    (shingles contain no commas: they are space-joined word n-grams).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    shd = _staged_shingles(docs, shingle).localCheckpoint()
+    pairs = (
+        minhash_lsh_dedup(spark, sf_dir, threshold, shingle, shingles=shd)
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top_pairs)
+        .localCheckpoint()
+    )
+    j = pairs.join(
+        shd.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"),
+        "id_a",
+    ).join(
+        shd.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"),
+        "id_b",
+    )
+    inter = F.array_sort(F.array_intersect("sh_a", "sh_b"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.size(inter).cast("bigint").alias("n_shared"),
+            F.size("sh_a").cast("bigint").alias("n_sh_a"),
+            F.size("sh_b").cast("bigint").alias("n_sh_b"),
+            F.array_join(F.slice(inter, 1, n_examples), ",").alias(
+                "example_shingles"
+            ),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+    )
+
+
+def _pair_explain_sql(
+    threshold: float = 0.5,
+    shingle: int = 3,
+    top_pairs: int = EXPLAIN_TOP_PAIRS,
+    n_examples: int = EXPLAIN_SHINGLES,
+) -> str:
+    return (
+        _minhash_cand_sql(shingle, *auto_lsh_bands(threshold))
+        + rf""", verified AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+           / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
+  FROM cand JOIN tok ta ON cand.id_a = ta.doc_id
+            JOIN tok tb ON cand.id_b = tb.doc_id
+  WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+           / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) >= {threshold}
+), top AS (
+  SELECT id_a, id_b, jaccard FROM verified
+  ORDER BY jaccard DESC, id_a, id_b LIMIT {top_pairs}
+)
+SELECT t.id_a, t.id_b,
+       ROUND(t.jaccard, 6) AS jaccard,
+       CAST(len(list_intersect(ta.sh, tb.sh)) AS BIGINT) AS n_shared,
+       CAST(len(ta.sh) AS BIGINT) AS n_sh_a,
+       CAST(len(tb.sh) AS BIGINT) AS n_sh_b,
+       COALESCE(array_to_string(list_sort(list_intersect(ta.sh, tb.sh))[1:{n_examples}], ','), '') AS example_shingles
+FROM top t JOIN tok ta ON t.id_a = ta.doc_id
+           JOIN tok tb ON t.id_b = tb.doc_id
+ORDER BY t.jaccard DESC, t.id_a, t.id_b
+"""
+    )
+
+
+PAIR_EXPLAIN_SQL = _pair_explain_sql()

@@ -3420,3 +3420,118 @@ ORDER BY doc_id
 
 WPS_LEARN_SQL = _wps_learn_sql()
 WPS_ENCODE_SQL = _wps_encode_sql()
+
+
+def tokenizer_compression_curve(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_BYTES_ROUNDS
+) -> DataFrame:
+    """The tokenizer trainer's RETURN-ON-VOCAB curve — per merge round
+    of the char-level BPE trainer: vocabulary size, total corpus
+    pieces (wc-weighted over the word-TYPE table), and the
+    compression each additional merge bought vs the char baseline.
+    The table a vocab-size decision reads (the knee where extra
+    merges stop paying is the budget cut), completing the tuner
+    family next to lsh_curve_report (banding knob),
+    dedup_threshold_sweep (verify knob), and ann_nprobe_curve
+    (serving knob) — this walks the TOKENIZER-BUDGET knob.
+
+    One loop, same plan class as ``bpe_learn_merges_bytes`` (the
+    shared pair-argmax/merge-fold shape over the type table), plus
+    TWO bounded aggregates per round: total pieces (one sum over
+    |types| rows) and distinct-symbol count (explode of the bounded
+    type table). Round 0 is the char baseline. Compression is a 6dp
+    round of an exact integer quotient.
+
+    Reference intent: SURVEY §7 step 7's tokenizer family;
+    Sennrich et al. 2016 §3 (the merges-vs-vocabulary tradeoff).
+    """
+    from mito_spark.engine import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    cur = words.select(
+        "w",
+        "wc",
+        F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("toks"),
+    ).localCheckpoint()
+    has_long = bool(cur.where(F.size("toks") > BPE_FOLD_MAX_TOKENS).take(1))
+
+    def snapshot(frame: DataFrame) -> tuple[int, int]:
+        tp = frame.agg(
+            F.sum(F.col("wc") * F.size("toks")).alias("tp")
+        ).collect()[0]["tp"]
+        vs = (
+            frame.select(F.explode("toks").alias("t")).distinct().count()
+        )
+        return int(tp), int(vs)
+
+    tp0, vs0 = snapshot(cur)
+    rows = [(0, vs0, tp0)]
+    for r in range(1, rounds + 1):
+        pairs_col = F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("a"),
+                    F.element_at(F.col("toks"), i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        staged = cur.select("wc", pairs_col.alias("pairs")).localCheckpoint()
+        top = (
+            staged.select("wc", F.explode("pairs").alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        cur = _apply_merge_linear(
+            cur, a, b, a + b, maybe_long=has_long
+        ).localCheckpoint()
+        tp, vs = snapshot(cur)
+        rows.append((r, vs, tp))
+    out = spark.createDataFrame(
+        rows, "round int, vocab_size long, total_pieces long"
+    )
+    return out.select(
+        "round",
+        "vocab_size",
+        "total_pieces",
+        F.round(F.lit(float(tp0)) / F.col("total_pieces"), 6).alias(
+            "compression"
+        ),
+    ).orderBy("round")
+
+
+def _compression_curve_sql(rounds: int = BPE_BYTES_ROUNDS) -> str:
+    per_round = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS round,
+       (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM (SELECT unnest(toks) AS t FROM t{r})) AS vocab_size,
+       (SELECT CAST(SUM(wc * len(toks)) AS BIGINT) FROM t{r}) AS total_pieces"""
+        for r in range(0, rounds + 1)
+    )
+    return (
+        _bpe_bytes_chain(rounds)
+        + f""", curve AS (
+{per_round}
+), base AS (
+  SELECT CAST(SUM(wc * len(toks)) AS BIGINT) AS tp0 FROM t0
+)
+SELECT round, vocab_size, total_pieces,
+       ROUND(CAST(tp0 AS DOUBLE) / total_pieces, 6) AS compression
+FROM curve, base
+ORDER BY round
+"""
+    )
+
+
+COMPRESSION_CURVE_SQL = _compression_curve_sql()

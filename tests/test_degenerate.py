@@ -190,6 +190,11 @@ DOC_OPS = [
     # r11: curriculum on a degenerate corpus (identical or zero docs:
     # max==min -> width fallback 1.0, single bucket, single phase)
     "curriculum_plan",
+    # r11 wave 2: the curve on a corpus whose merges die early (the
+    # loop breaks, partial curve rows); explain on a corpus with zero
+    # verified pairs (empty bounded frame, zero rows)
+    "tokenizer_compression_curve",
+    "dedup_pair_explain",
 ]
 EMB_OPS = [
     "quantize_embeddings",

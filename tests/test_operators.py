@@ -730,3 +730,44 @@ def test_dedup_normalization_ladder_planted(spark, tmp_path):
     assert all(r["n_docs"] == 5 for r in rows.values())
     dist = [rows[k]["n_distinct"] for k in sorted(rows)]
     assert dist == [5, 4, 3, 2]
+
+
+def test_compression_curve_monotone(spark, sf_dir):
+    """Each merge grows the vocabulary by exactly one symbol and can
+    only shrink the corpus piece count, so compression is >= 1 and
+    non-decreasing with round 0 as the char baseline (1.0)."""
+    from mito_spark.operators.text import tokenizer_compression_curve
+
+    rows = tokenizer_compression_curve(spark, sf_dir).collect()
+    assert rows[0]["round"] == 0 and rows[0]["compression"] == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["vocab_size"] == a["vocab_size"] + 1
+        assert b["total_pieces"] <= a["total_pieces"]
+        assert b["compression"] >= a["compression"]
+
+
+def test_pair_explain_evidence_is_consistent(spark, tmp_path):
+    """The explain surface's evidence must be internally consistent:
+    n_shared / (n_sh_a + n_sh_b - n_shared) reproduces the reported
+    jaccard, and every example shingle is a real shingle of BOTH
+    docs."""
+    from mito_spark.operators.dedup import dedup_pair_explain
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "en", "s0", 1),
+        (1, base + " extra tail words here", "en", "s0", 1),
+        (2, "completely different text content entirely", "en", "s1", 1),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = dedup_pair_explain(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (0, 1)
+    j = r.n_shared / (r.n_sh_a + r.n_sh_b - r.n_shared)
+    assert abs(j - r.jaccard) < 1e-6
+    for sh in r.example_shingles.split(","):
+        assert sh in base  # shared shingles come from the common prefix

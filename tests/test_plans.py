@@ -685,6 +685,8 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         ("sampling", "negative_sampling_table",
          ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "Window")),
         ("pipeline", "curriculum_plan", ()),
+        ("text", "tokenizer_compression_curve", ()),
+        ("dedup", "dedup_pair_explain", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

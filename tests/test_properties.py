@@ -1093,6 +1093,8 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("classify", "quality_classifier_calibration"),  # r11: ntile + decimal
         ("sampling", "negative_sampling_table"),  # r11: sqrt-smoothed decimals
         ("pipeline", "curriculum_plan"),  # r11: histogram edges + decimal mean
+        ("text", "tokenizer_compression_curve"),  # r11: argmax ties per round
+        ("dedup", "dedup_pair_explain"),  # r11: top-pair ties + sorted slice
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):
