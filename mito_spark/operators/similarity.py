@@ -1893,3 +1893,130 @@ def _nprobe_curve_sql(
 
 
 NPROBE_CURVE_SQL = _nprobe_curve_sql()
+
+
+# --- inter-dimension correlation (redundancy detector) -------------------
+
+CORR_TOP_K = 20
+
+
+def embedding_correlation_report(
+    spark: SparkSession, sf_dir: str, top_k: int = CORR_TOP_K
+) -> DataFrame:
+    """Top correlated embedding-dimension pairs — the REDUNDANCY
+    detector that tells ``embedding_dim_ablation`` where its cheap
+    truncation wins come from: two dimensions carrying |corr| ≈ 1 are
+    one dimension of information, so the ablation can drop one for
+    free, and a whitening/PCA step is worth its cost exactly when
+    this table's head is heavy. Completes the embedding-hygiene
+    family (outliers, drift, JL width, ablation, THIS).
+
+    Pearson r per (i < j) pair from exact moment sums: per-dim Σx and
+    Σx² and per-pair Σxy accumulate as 9dp-rounded DECIMALs (float32
+    inputs widen to double exactly; products are correctly-rounded
+    doubles — the house decimal-sum convention), so both engines see
+    identical moments; cov/var/corr arithmetic is then an identical
+    IEEE expression tree. Near-constant dims whose 9dp-rounded
+    variance collapses to <= 0 clamp to 0 and NULL out of the ranking
+    via try_divide on both engines.
+
+    Scale shape: the exploded (vec, dim, x) frame is scan-sized; the
+    pair join costs O(n·d²/2) rows SHUFFLED ON vec_id — at 64 dims
+    that is 2016 products per vector, the honest price of a full
+    covariance pass (production samples vectors first: the moments
+    are mergeable, so a sampled run is the same plan on a FILTER'd
+    scan); the rollup is d²/2 rows, driver-bounded output is top_k.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+        .localCheckpoint()  # feeds the stats rollup AND the pair join
+    )
+
+    def dec(c):
+        return F.round(c, 9).cast("decimal(28,9)")
+
+    stats = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    xa = x.select("vec_id", F.col("dim").alias("i"), F.col("x").alias("xi"))
+    xb = x.select("vec_id", F.col("dim").alias("j"), F.col("x").alias("xj"))
+    pxy = (
+        xa.join(xb, "vec_id")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(dec(F.col("xi") * F.col("xj"))).alias("sxy"))
+    )
+    si = stats.select(
+        F.col("dim").alias("i"),
+        F.col("n").alias("n"),
+        F.col("sx").alias("sx_i"),
+        F.col("sxx").alias("sxx_i"),
+    )
+    sj = stats.select(
+        F.col("dim").alias("j"),
+        F.col("sx").alias("sx_j"),
+        F.col("sxx").alias("sxx_j"),
+    )
+    n = F.col("n").cast("double")
+    mi = F.col("sx_i").cast("double") / n
+    mj = F.col("sx_j").cast("double") / n
+    cov = F.col("sxy").cast("double") / n - mi * mj
+    vi = F.greatest(F.col("sxx_i").cast("double") / n - mi * mi, F.lit(0.0))
+    vj = F.greatest(F.col("sxx_j").cast("double") / n - mj * mj, F.lit(0.0))
+    corr = F.try_divide(cov, F.sqrt(vi * vj))
+    return (
+        pxy.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            F.round(cov, 6).alias("cov"),
+            F.round(corr, 6).alias("corr"),
+        )
+        .where(F.col("corr").isNotNull())
+        .orderBy(F.desc(F.abs(F.col("corr"))), F.asc("dim_i"), F.asc("dim_j"))
+        .limit(top_k)
+    )
+
+
+CORRELATION_REPORT_SQL = f"""
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), stats AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS sx,
+         SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS sxx
+  FROM x GROUP BY dim
+), pxy AS (
+  SELECT a.dim AS i, b.dim AS j,
+         SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28,9))) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+  GROUP BY 1, 2
+), m AS (
+  SELECT i, j,
+         CAST(sxy AS DOUBLE) / CAST(si.n AS DOUBLE)
+           - (CAST(si.sx AS DOUBLE) / CAST(si.n AS DOUBLE))
+             * (CAST(sj.sx AS DOUBLE) / CAST(si.n AS DOUBLE)) AS cov,
+         GREATEST(CAST(si.sxx AS DOUBLE) / CAST(si.n AS DOUBLE)
+           - (CAST(si.sx AS DOUBLE) / CAST(si.n AS DOUBLE))
+             * (CAST(si.sx AS DOUBLE) / CAST(si.n AS DOUBLE)), 0.0) AS vi,
+         GREATEST(CAST(sj.sxx AS DOUBLE) / CAST(si.n AS DOUBLE)
+           - (CAST(sj.sx AS DOUBLE) / CAST(si.n AS DOUBLE))
+             * (CAST(sj.sx AS DOUBLE) / CAST(si.n AS DOUBLE)), 0.0) AS vj
+  FROM pxy JOIN stats si ON si.dim = i JOIN stats sj ON sj.dim = j
+)
+SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+       ROUND(cov, 6) AS cov,
+       ROUND(cov / sqrt(vi * vj), 6) AS corr
+FROM m
+WHERE cov / sqrt(vi * vj) IS NOT NULL
+ORDER BY ABS(corr) DESC, dim_i, dim_j
+LIMIT {CORR_TOP_K}
+"""

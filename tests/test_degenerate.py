@@ -204,6 +204,9 @@ EMB_OPS = [
     "embedding_near_dup",
     "contrastive_pairs",
     "mmr_rerank",
+    # r11: correlation on zero/identical vectors (variance clamps to 0,
+    # corr NULLs out via try_divide -> pairs drop on both engines)
+    "embedding_correlation_report",
     # r6: persisted-index tiers (index built fresh in the tmp dir)
     # and the k-means family, runnable on tiny corpora since the
     # empty-train-sample guard in _ivf_train_sample

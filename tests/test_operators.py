@@ -771,3 +771,23 @@ def test_pair_explain_evidence_is_consistent(spark, tmp_path):
     assert abs(j - r.jaccard) < 1e-6
     for sh in r.example_shingles.split(","):
         assert sh in base  # shared shingles come from the common prefix
+
+
+def test_embedding_correlation_detects_planted_redundancy(spark, tmp_path):
+    """A planted perfectly-redundant dimension pair (dim1 = 2*dim0)
+    must top the report with corr = 1.0; an independent alternating
+    dim must not produce |corr| ~ 1 against dim0."""
+    rows = []
+    for k in range(40):
+        v = float(k % 7 + 1)
+        alt = float(1 if k % 2 else 2)
+        rows.append((k, [v, 2.0 * v, alt, 3.5], k % 2))
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = similarity.embedding_correlation_report(spark, d).collect()
+    top = out[0]
+    assert (top.dim_i, top.dim_j) == (0, 1) and abs(top.corr - 1.0) < 1e-6
+    # the constant dim 3 must be absent everywhere (zero variance)
+    assert all(3 not in (r.dim_i, r.dim_j) for r in out)

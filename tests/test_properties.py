@@ -1095,6 +1095,7 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("pipeline", "curriculum_plan"),  # r11: histogram edges + decimal mean
         ("text", "tokenizer_compression_curve"),  # r11: argmax ties per round
         ("dedup", "dedup_pair_explain"),  # r11: top-pair ties + sorted slice
+        ("similarity", "embedding_correlation_report"),  # r11: moment decimals
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):
