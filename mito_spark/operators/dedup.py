@@ -2861,6 +2861,70 @@ CDC_MOD = 64  # boundary when window-hash % CDC_MOD == 0 -> expected
 # chunk length ~= CDC_MOD chars (the mask-bits knob of FastCDC)
 
 
+def _cdc_chunks(docs: DataFrame, window: int = CDC_WINDOW, mod: int = CDC_MOD) -> DataFrame:
+    """(doc_id, chunk_idx, chunk): the content-defined chunk frame —
+    the single definition consumed by ``cdc_chunk_dedup``'s rollup and
+    the streaming twin's equality tests (``_cdc_boundaries_py`` is its
+    row-local Python mirror for the stream-side chunker). chunk_idx is
+    the 0-based position order within the doc."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id", "text", F.length("text").alias("len")
+    ).localCheckpoint()
+    cand = base.where(F.col("len") >= window).select(
+        "doc_id",
+        "len",
+        "text",
+        F.explode(F.sequence(F.lit(2), F.col("len") - (window - 1))).alias("i"),
+    )
+    bnd = cand.where(
+        _hash60(F.col("text").substr(F.col("i"), F.lit(window))) % mod == 0
+    ).select("doc_id", "len", F.col("i").cast("bigint").alias("i"))
+    allb = base.select(
+        "doc_id", "len", F.lit(1).cast("bigint").alias("i")
+    ).unionByName(bnd)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = allb.select(
+        "doc_id",
+        "i",
+        (F.row_number().over(w) - 1).alias("chunk_idx"),
+        F.coalesce(F.lead("i").over(w), F.col("len") + 1).alias("nxt"),
+    )
+    return (
+        spans.where(F.col("nxt") > F.col("i"))
+        .join(base.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("text").substr(
+                F.col("i").cast("int"), (F.col("nxt") - F.col("i")).cast("int")
+            ).alias("chunk"),
+        )
+    )
+
+
+def _cdc_boundaries_py(text: str, window: int = CDC_WINDOW, mod: int = CDC_MOD) -> list[str]:
+    """Row-local Python mirror of ``_cdc_chunks``'s boundary rule (for
+    the streaming chunker): hashlib md5's first 15 hex chars as a
+    60-bit int — the exact ``_hash60`` construction — tested equal to
+    the JVM frame chunk-for-chunk."""
+    import hashlib
+
+    n = len(text)
+    bounds = [1] + [
+        i
+        for i in range(2, n - window + 2)
+        if int(hashlib.md5(text[i - 1 : i - 1 + window].encode()).hexdigest()[:15], 16)
+        % mod
+        == 0
+    ]
+    bounds.append(n + 1)
+    return [
+        text[a - 1 : b - 1] for a, b in zip(bounds, bounds[1:]) if b > a
+    ]
+
+
 def cdc_chunk_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -2901,37 +2965,7 @@ def cdc_chunk_dedup(
     n_occurrences, kept_doc), ordered by hash.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    base = docs.select("doc_id", "text", F.length("text").alias("len")).localCheckpoint()
-    cand = base.where(F.col("len") >= window).select(
-        "doc_id",
-        "len",
-        "text",
-        F.explode(F.sequence(F.lit(2), F.col("len") - (window - 1))).alias("i"),
-    )
-    bnd = cand.where(
-        _hash60(F.col("text").substr(F.col("i"), F.lit(window))) % mod == 0
-    ).select("doc_id", "len", F.col("i").cast("bigint").alias("i"))
-    allb = base.select(
-        "doc_id", "len", F.lit(1).cast("bigint").alias("i")
-    ).unionByName(bnd)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("i")
-    spans = allb.select(
-        "doc_id",
-        "i",
-        F.coalesce(F.lead("i").over(w), F.col("len") + 1).alias("nxt"),
-    )
-    chunks = (
-        spans.where(F.col("nxt") > F.col("i"))
-        .join(base.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id",
-            F.col("text").substr(
-                F.col("i").cast("int"), (F.col("nxt") - F.col("i")).cast("int")
-            ).alias("chunk"),
-        )
-    )
+    chunks = _cdc_chunks(docs, window, mod)
     return (
         chunks.select(
             "doc_id", F.md5("chunk").alias("chunk_hash"), F.length("chunk").alias("cl")

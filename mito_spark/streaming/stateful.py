@@ -981,3 +981,44 @@ def streaming_quantile_sketch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cdc_chunk_dedup(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the CDC first-occurrence flag — sub-document
+    dedup LIVE (the ingest-side use of ``cdc_chunk_dedup``'s chunk
+    table): each arriving document is content-defined-chunked
+    row-locally (a stateless mapInPandas running
+    ``_cdc_boundaries_py``, the tested Python mirror of the batch
+    chunk frame — hashes match the JVM ``_hash60`` construction
+    bit-for-bit), then every chunk hash is flagged dup unless it IS
+    its key's stored first occurrence — the SAME one-pair-per-key
+    state record and step as ``streaming_paragraph_dedup`` (shared
+    ``_para_step_factory``: the dedup unit changed from token windows
+    to content-defined chunks, the protocol did not). In-order
+    contract like the paragraph twin: batch equality under
+    chronological (doc_id, chunk_idx) micro-batch splits; replayed
+    rows re-flag identically. Expects a (doc_id, text) stream."""
+    from mito_spark.operators.dedup import _cdc_boundaries_py
+
+    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                for k, c in enumerate(_cdc_boundaries_py(t or "")):
+                    ids.append(int(d))
+                    idxs.append(k)
+                    hs.append(hashlib.md5(c.encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "chunk_idx": idxs, "h": hs})
+
+    chunked = docs.mapInPandas(
+        _chunks, "doc_id long, chunk_idx int, h string"
+    )
+    return chunked.groupBy("h").applyInPandasWithState(
+        _para_step_factory(),
+        outputStructType=PARA_OUTPUT_SCHEMA,
+        stateStructType=PARA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -875,3 +875,85 @@ def test_streaming_quantile_sketch_matches_batch_any_order(spark, sf_dir, tmp_pa
         for r in quantile_sketch_calibration(spark, sf_dir).collect()
     }
     assert len(want) > 1 and latest == want
+
+
+def test_cdc_python_chunker_matches_jvm_frame(spark, sf_dir):
+    """The stream-side Python chunker must reproduce the batch JVM
+    chunk frame EXACTLY — same boundaries, same chunk order, same
+    content — on the whole gate corpus."""
+    import hashlib
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.dedup import _cdc_boundaries_py, _cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    jvm = sorted(
+        (r.doc_id, r.chunk_idx, hashlib.md5(r.chunk.encode()).hexdigest())
+        for r in _cdc_chunks(docs).collect()
+    )
+    py = []
+    for r in docs.select("doc_id", "text").collect():
+        for k, c in enumerate(_cdc_boundaries_py(r.text or "")):
+            py.append((r.doc_id, k, hashlib.md5(c.encode()).hexdigest()))
+    assert jvm == sorted(py) and len(jvm) > 0
+
+
+def test_streaming_cdc_dedup_matches_batch_rank(spark, sf_dir, tmp_path):
+    """The live CDC first-occurrence flag must equal the batch rank
+    (rn > 1) over the SAME chunk frame after the full stream, under
+    chronological doc_id-range splits — the in-order contract shared
+    with the paragraph twin."""
+    import hashlib
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.dedup import _cdc_chunks
+    from mito_spark.streaming.stateful import streaming_cdc_chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    d = str(tmp_path / "cdcstream")
+    dest = d + "/docs.parquet"
+    base_t = time.time()
+    seen: set = set()
+    cut = max_id // 3 + 1
+    for i in range(3):
+        docs.where(
+            (F.col("doc_id") >= i * cut) & (F.col("doc_id") < (i + 1) * cut)
+        ).coalesce(1).write.mode("append").parquet(dest)
+        for f in os.listdir(dest):
+            if f in seen:
+                continue
+            seen.add(f)
+            os.utime(os.path.join(dest, f), (base_t + 100 * i, base_t + 100 * i))
+    schema = spark.read.parquet(dest).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    got: dict = {}
+
+    def on_batch(b, _i):
+        for r in b.collect():
+            got[(r.doc_id, r.chunk_idx)] = (r.h, r.is_dup)
+
+    sink = ChannelSink("cdcstream", on_batch)
+    q = sink.send_to(
+        streaming_cdc_chunk_dedup(stream), output_mode="append", availableNow=True
+    )
+    q.awaitTermination(180)
+    sink.close()
+
+    chunks = _cdc_chunks(docs).select(
+        "doc_id", "chunk_idx", F.md5("chunk").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    want = {
+        (r.doc_id, r.chunk_idx): (r.h, r.rn > 1)
+        for r in chunks.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert len(want) > 100 and got == want
