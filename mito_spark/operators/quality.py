@@ -869,3 +869,93 @@ SELECT source, n_docs, nc AS n_chars,
        n_non_ascii
 FROM tot ORDER BY source
 """
+
+
+def lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity — the vocabulary-richness signals
+    corpus datasheets report (Templin 1957's type-token ratio; Herdan
+    1960's C, the log-log form that, unlike raw TTR, is comparable
+    across sources of different size): per source, doc/token/type
+    counts, the mean per-document TTR, and Herdan's C =
+    ln(types)/ln(tokens). A source whose diversity is an outlier is
+    boilerplate-heavy (low) or noise/OCR junk (high) — the cheap
+    aggregate cousin of the perplexity filters.
+
+    Parity discipline: per-doc TTR is a 6dp round of an exact integer
+    quotient, summed as DECIMAL(18,6) for the order-free mean; the
+    two logarithms round at 9dp before dividing (the kn_perplexity
+    precedent — absorbs the 1-ulp libm spread), and a single-token
+    source NULLs out via a zero denominator identically on both
+    engines. Docs with zero tokens contribute no rows (both engines
+    aggregate the exploded token frame).
+
+    Scale shape: ONE corpus tokenize explode feeds a (source, doc)
+    rollup and a (source, token)-distinct rollup — two shuffles, both
+    map-side combinable; output is |sources| rows.
+    """
+    from mito_spark.operators.text import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    per_doc = (
+        t.groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("w").alias("ty"))
+        .select(
+            "source",
+            "n",
+            F.round(F.col("ty").cast("double") / F.col("n"), 6)
+            .cast("decimal(18,6)")
+            .alias("ttr6"),
+        )
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        F.round(
+            F.sum("ttr6").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_doc_ttr"),
+    )
+    types_g = t.groupBy("source").agg(F.countDistinct("w").alias("n_types"))
+    l_ty = F.round(F.log(F.col("n_types").cast("double")), 9)
+    l_tk = F.round(F.log(F.col("n_tokens").cast("double")), 9)
+    return (
+        per_source.join(types_g, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            "mean_doc_ttr",
+            F.round(F.try_divide(l_ty, F.nullif(l_tk, F.lit(0.0))), 6).alias(
+                "herdan_c"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+LEXICAL_DIVERSITY_SQL = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+  FROM documents
+), per_doc AS (
+  SELECT source, doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS ty
+  FROM t GROUP BY 1, 2
+), per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(CAST(ROUND(CAST(ty AS DOUBLE) / n, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_doc_ttr
+  FROM per_doc GROUP BY 1
+), types_g AS (
+  SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types FROM t GROUP BY 1
+)
+SELECT s.source, s.n_docs, s.n_tokens, g.n_types, s.mean_doc_ttr,
+       ROUND(ROUND(ln(CAST(g.n_types AS DOUBLE)), 9)
+             / NULLIF(ROUND(ln(CAST(s.n_tokens AS DOUBLE)), 9), 0.0), 6) AS herdan_c
+FROM per_source s JOIN types_g g USING (source)
+ORDER BY s.source
+"""

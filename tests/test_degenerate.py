@@ -195,6 +195,10 @@ DOC_OPS = [
     # verified pairs (empty bounded frame, zero rows)
     "tokenizer_compression_curve",
     "dedup_pair_explain",
+    # r11 wave 3: diversity on all-empty/whitespace sources (no token
+    # rows -> the source is simply absent) and single-token sources
+    # (ln(1)=0 denominator -> herdan_c NULL on both engines)
+    "lexical_diversity_report",
 ]
 EMB_OPS = [
     "quantize_embeddings",

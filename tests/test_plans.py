@@ -688,6 +688,7 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         ("text", "tokenizer_compression_curve", ()),
         ("dedup", "dedup_pair_explain", ()),
         ("similarity", "embedding_correlation_report", ()),
+        ("quality", "lexical_diversity_report", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

@@ -1096,6 +1096,7 @@ def test_unigram_encode_matches_python_reference(spark, tmp_path):
         ("text", "tokenizer_compression_curve"),  # r11: argmax ties per round
         ("dedup", "dedup_pair_explain"),  # r11: top-pair ties + sorted slice
         ("similarity", "embedding_correlation_report"),  # r11: moment decimals
+        ("quality", "lexical_diversity_report"),  # r11: decimal TTR + 9dp lns
     ],
 )
 def test_r10_ops_partition_count_invariant(spark, sf_dir, modname, fnname):

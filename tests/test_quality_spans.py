@@ -883,3 +883,29 @@ def test_rolling_window_matches_bruteforce(spark, tmp_path):
         assert got[eid]["n_events_trailing"] == len(in_frame), eid
         want = float(sum(Decimal(str(round(r[4], 4))) for r in in_frame))
         assert abs(got[eid]["value_trailing"] - want) < 1e-9, eid
+
+
+def test_lexical_diversity_planted_extremes(spark, tmp_path):
+    """A boilerplate source (one word repeated) must read TTR near 0
+    and low Herdan C; an all-unique source reads TTR 1.0 and C = 1.0
+    (types == tokens). Single-token sources NULL their C (ln 1 = 0)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mito_spark.operators.quality import lexical_diversity_report
+
+    rows = [
+        (0, "spam " * 50, "boiler", ),
+        (1, "spam " * 50, "boiler"),
+        (2, " ".join(f"uniq{i}" for i in range(60)), "fresh"),
+        (3, "solo", "tiny"),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, t, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r.source: r for r in lexical_diversity_report(spark, d).collect()}
+    assert got["boiler"].n_types == 1 and got["boiler"].mean_doc_ttr == 0.02
+    assert got["fresh"].mean_doc_ttr == 1.0 and got["fresh"].herdan_c == 1.0
+    assert got["tiny"].herdan_c is None  # ln(1) = 0 denominator
+    assert got["boiler"].herdan_c == 0.0  # ln(1 type) = 0 numerator
