@@ -299,17 +299,21 @@ HEADLINE = [
     # rung fan-out over the bounded margin frame).
     # r11 — additive, no swaps. Each owns corpus-sized work:
     "wordpiece_learn_subword",  # 6 type-table trainer rounds (own loop)
-    "cdc_chunk_dedup",  # per-char boundary scan + span window + hash groupBy
+    "cdc_chunk_dedup",  # per-char boundary scan (in-row HOFs) + hash groupBy
     "quantile_sketch_calibration",  # events histogram + per-type sort yardstick
     "negative_sampling_table",  # corpus tokenize + vocab count shuffle
     "audio_features",  # Arrow chunking pass over every payload
     # wordpiece_encode_subword excluded by the two-surface rule (the
     # benched learn loop + the greedy fold over the bounded type table
     # + one corpus word join); quality_classifier_calibration excluded
-    # by the composition rule (the benched QC model/score chains + an
-    # ntile over the bounded eval frame); curriculum_plan excluded by
-    # the composition rule (the benched text_surprisal pass + a
+    # by the composition rule (the benched QC model/score chains + a
+    # distributed rank over the eval frame); curriculum_plan excluded
+    # by the composition rule (the benched text_surprisal pass + a
     # <=256-row histogram + a scan-level phase tag).
+    # r12 (VERDICT r11 next#7): embedding_correlation_report joins the
+    # headline — its O(n*d^2/2) dimension-pair shuffle on vec_id is
+    # the one genuinely new shuffle shape of r11, trend-track it:
+    "embedding_correlation_report",
 ]
 
 

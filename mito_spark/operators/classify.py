@@ -775,9 +775,19 @@ def quality_classifier_calibration(
     engines (the shared Postgres convention: earlier bins take the
     remainder). Docs with no scoreable tokens have no margin and are
     EXCLUDED from the bins (the PR curve's −∞ branch accounts for
-    them); the global ntile sort runs over the held-out EVAL frame —
-    bounded by the split, the mmr/bounded-query-set convention, not a
-    corpus sort.
+    them).
+
+    Scale shape (r12): the held-out frame is 20% of the CORPUS — not
+    bounded — so ntile must never run as a one-partition global sort
+    (the r11 implementation's `Window.orderBy` did exactly that; the
+    plan test now forbids it). The distributed form computes the SAME
+    bin assignment: range-repartition by the sort key (m, doc_id),
+    rank locally per partition, add per-partition offsets (a bounded
+    ≤|shuffle-partitions|-row frame, broadcast back), then apply
+    ntile's bucket arithmetic — floor(N/b) rows per bin, the first
+    N mod b bins take one extra — to the exact global rank. Max
+    per-reducer load is N/P instead of N; the oracle's ntile and the
+    result hash are unchanged.
 
     Parity: margins stay DECIMAL end-to-end (exact sums of 9dp model
     terms); mean margin is a 6dp round of an exact decimal sum over
@@ -801,9 +811,50 @@ def quality_classifier_calibration(
             (F.col("s_pass") - F.col("s_fail")).alias("m"),
         )
     )
-    w = Window.orderBy("m", "doc_id")
-    binned = margins.select(
-        "weak_label", "m", F.ntile(bins).over(w).alias("bin")
+    # distributed exact ntile: range-partition on the sort key, local
+    # rank, bounded offset frame, Postgres bucket formula on the
+    # global rank. The two reads of `parts` share ONE range exchange
+    # (ReuseExchange dedupes identical subtrees in the final plan).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = margins.repartitionByRange(n_parts, "m", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("pid").orderBy("m", "doc_id")
+    local = parts.withColumn("lr", F.row_number().over(wl))
+    # per-partition counts -> exclusive prefix offsets + grand total;
+    # bounded: one row per shuffle partition, window over <= n_parts
+    # rows (never corpus rows)
+    wc = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = (
+        parts.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("c").over(wc), F.lit(0)).alias("off"),
+            F.sum("c").over(wt).alias("n_total"),
+        )
+    )
+    ranked = local.join(F.broadcast(offs), "pid").select(
+        "weak_label", "m", (F.col("off") + F.col("lr")).alias("r"), "n_total"
+    )
+    # ntile(bins) from the 1-based global rank r and total N: the
+    # first `rem` bins hold q+1 rows, the rest hold q (q = N div b).
+    # ceil(a/k) as floor((a-1)/k)+1; counts < 2^53 so the double
+    # division is exact under floor. greatest(q,1) guards the ANSI
+    # divide-by-zero in the branch that is only taken when q >= 1.
+    q = (F.col("n_total") / bins).cast("bigint")
+    rem = F.col("n_total") % bins
+    bin_col = F.when(
+        F.col("r") <= rem * (q + 1),
+        F.floor((F.col("r") - 1) / (q + 1)) + 1,
+    ).otherwise(
+        rem + F.floor((F.col("r") - rem * (q + 1) - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    binned = ranked.select(
+        "weak_label", "m", bin_col.cast("int").alias("bin")
     )
     return (
         binned.groupBy("bin")

@@ -2866,41 +2866,73 @@ def _cdc_chunks(docs: DataFrame, window: int = CDC_WINDOW, mod: int = CDC_MOD) -
     the single definition consumed by ``cdc_chunk_dedup``'s rollup and
     the streaming twin's equality tests (``_cdc_boundaries_py`` is its
     row-local Python mirror for the stream-side chunker). chunk_idx is
-    the 0-based position order within the doc."""
-    from pyspark.sql import Window
+    the 0-based position order within the doc.
 
+    Scale shape (r12 rewrite): the text is split ONCE into a char
+    array, and every per-position window is an O(window) array slice —
+    NOT ``substr(i, window)``, whose code-point seek is O(i) per call
+    and made the old boundary scan O(len²) per doc (the nb_langid
+    pathology; invisible on short gate docs, ~10¹⁰ char ops on a
+    100 KB doc). Boundary positions, spans, and chunk texts are all
+    derived INSIDE the row via higher-order functions (filter /
+    transform / posexplode), so the whole chunker is one scan-stage
+    projection: no per-position explode, no window shuffle, no
+    doc-keyed self-join, no checkpoint. Per-doc cost is
+    O(len·window) for the scan plus O(len) to slice chunk bytes.
+
+    The ``len == window`` edge is guarded: sequence(2, len-(window-1))
+    with len == window is sequence(2, 1), which Spark emits as the
+    DESCENDING range [2, 1] — the guard returns an empty position
+    array instead, matching the Python mirror's range(2, n-window+2)
+    and the oracle's DuckDB range(2, 2), both empty."""
     base = docs.select(
-        "doc_id", "text", F.length("text").alias("len")
-    ).localCheckpoint()
-    cand = base.where(F.col("len") >= window).select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.split(F.col("text"), "").alias("chars"),
+    )
+
+    def _win_at(i: Column) -> Column:
+        return F.concat_ws("", F.slice(F.col("chars"), i, F.lit(window)))
+
+    bounds = F.when(
+        F.col("len") - (window - 1) >= 2,
+        F.filter(
+            F.sequence(F.lit(2), F.col("len") - (window - 1)),
+            lambda i: _hash60(_win_at(i)) % mod == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = base.select(
         "doc_id",
         "len",
-        "text",
-        F.explode(F.sequence(F.lit(2), F.col("len") - (window - 1))).alias("i"),
+        "chars",
+        F.concat(F.array(F.lit(1)), bounds).alias("starts"),
     )
-    bnd = cand.where(
-        _hash60(F.col("text").substr(F.col("i"), F.lit(window))) % mod == 0
-    ).select("doc_id", "len", F.col("i").cast("bigint").alias("i"))
-    allb = base.select(
-        "doc_id", "len", F.lit(1).cast("bigint").alias("i")
-    ).unionByName(bnd)
-    w = Window.partitionBy("doc_id").orderBy("i")
-    spans = allb.select(
-        "doc_id",
-        "i",
-        (F.row_number().over(w) - 1).alias("chunk_idx"),
-        F.coalesce(F.lead("i").over(w), F.col("len") + 1).alias("nxt"),
-    )
+    # starts is strictly increasing with every start <= len, so each
+    # span is non-empty except the len == 0 degenerate (starts=[1],
+    # end=1) — the empty-chunk filter below drops only that row.
     return (
-        spans.where(F.col("nxt") > F.col("i"))
-        .join(base.select("doc_id", "text"), "doc_id")
-        .select(
+        spans.select(
             "doc_id",
-            "chunk_idx",
-            F.col("text").substr(
-                F.col("i").cast("int"), (F.col("nxt") - F.col("i")).cast("int")
-            ).alias("chunk"),
+            F.posexplode(
+                F.transform(
+                    F.col("starts"),
+                    lambda s, k: F.concat_ws(
+                        "",
+                        F.slice(
+                            F.col("chars"),
+                            s,
+                            F.coalesce(
+                                F.get(F.col("starts"), k + F.lit(1)),
+                                F.col("len") + 1,
+                            )
+                            - s,
+                        ),
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
         )
+        .where(F.length("chunk") > 0)
+        .select("doc_id", "chunk_idx", "chunk")
     )
 
 
@@ -2952,16 +2984,17 @@ def cdc_chunk_dedup(
     clamping (documented convention — FastCDC's normalization is a
     constant-factor tweak on the same shuffle shape).
 
-    Scale shape: the position explode is the corpus scan (one md5 per
-    char over a ``window``-char slice — scan-bandwidth JVM work, the
-    winnow_fingerprints cost class, no shuffle: explode+filter happen
-    inside the scan stage); only the SPARSE boundary rows
-    (~1/``mod`` of positions) shuffle into the per-doc lead() window;
-    chunk texts are re-sliced by a doc-keyed join of slim span rows
-    back to the scan (chunk bytes never ride the window shuffle); the
-    final groupBy shuffles (chunk_hash, doc_id) pairs — exact_dedup's
-    shape at chunk granularity. Output: one row per chunk content
-    shared by >= 2 docs (chunk_hash, chunk_len, n_docs,
+    Scale shape: the entire chunker is ONE scan-stage projection —
+    the text is split once to a char array and every per-position
+    window is an O(window) array slice (never ``substr(i, w)``, whose
+    code-point seek is O(i) and turns the scan quadratic in doc
+    length); boundary positions, spans, and chunk texts all derive
+    inside the row via higher-order functions, so NOTHING shuffles
+    until the final groupBy of slim (chunk_hash, doc_id, len) rows —
+    exact_dedup's shape at chunk granularity. Per-doc cost is
+    O(len·window): linear in document length, safe for the 100 KB+
+    documents sub-document dedup exists for. Output: one row per
+    chunk content shared by >= 2 docs (chunk_hash, chunk_len, n_docs,
     n_occurrences, kept_doc), ordered by hash.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))

@@ -2020,3 +2020,270 @@ WHERE cov / sqrt(vi * vj) IS NOT NULL
 ORDER BY ABS(corr) DESC, dim_i, dim_j
 LIMIT {CORR_TOP_K}
 """
+
+
+# --- PCA / whitening step (explained-variance ladder) ---------------------
+
+PCA_COMPONENTS = 4
+PCA_ITERS = 24
+
+
+def _pca_cov_rows(spark: SparkSession, sf_dir: str):
+    """Collect the BOUNDED covariance matrix of the embedding columns
+    as {(i, j): cov} — d <= 64 so this is <= 4096 values regardless of
+    corpus size. The corpus-sized work (moment sums) runs in Spark
+    with ``embedding_correlation_report``'s exact decimal-sum recipe
+    (9dp-rounded DECIMAL(28,9) moments -> identical doubles on both
+    engines); every matrix entry is 9dp-rounded so the driver-side
+    iteration and the oracle's unrolled SQL iteration start from
+    identical bit patterns."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+        .localCheckpoint()
+    )
+
+    def dec(c):
+        return F.round(c, 9).cast("decimal(28,9)")
+
+    stats = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mi = F.col("sx").cast("double") / nd
+    diag = stats.select(
+        F.col("dim").alias("i"),
+        F.round(
+            F.greatest(F.col("sxx").cast("double") / nd - mi * mi, F.lit(0.0)), 9
+        ).alias("c"),
+    ).collect()
+    xa = x.select("vec_id", F.col("dim").alias("i"), F.col("x").alias("xi"))
+    xb = x.select("vec_id", F.col("dim").alias("j"), F.col("x").alias("xj"))
+    pxy = (
+        xa.join(xb, "vec_id")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(dec(F.col("xi") * F.col("xj"))).alias("sxy"))
+    )
+    si = stats.select(
+        F.col("dim").alias("i"), "n", F.col("sx").alias("sx_i")
+    )
+    sj = stats.select(F.col("dim").alias("j"), F.col("sx").alias("sx_j"))
+    nn = F.col("n").cast("double")
+    m_i = F.col("sx_i").cast("double") / nn
+    m_j = F.col("sx_j").cast("double") / nn
+    upper = (
+        pxy.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(F.col("sxy").cast("double") / nn - m_i * m_j, 9).alias("c"),
+        )
+        .collect()
+    )
+    cov: dict = {}
+    for r in diag:
+        cov[(r["i"], r["i"])] = float(r["c"])
+    for r in upper:
+        cov[(r["i"], r["j"])] = float(r["c"])
+        cov[(r["j"], r["i"])] = float(r["c"])
+    return cov
+
+
+def pca_projection_report(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = PCA_COMPONENTS,
+    iters: int = PCA_ITERS,
+) -> DataFrame:
+    """Top-k principal components of the embedding covariance by
+    POWER ITERATION with deflation (von Mises & Pollaczek-Geiringer
+    1929; Golub & Van Loan §7.3) — the explained-variance ladder that
+    ``embedding_correlation_report`` points at: a heavy correlated
+    head there means the top eigenvalues here carry most of the
+    trace, and var_ratio/cum_var_ratio quantify EXACTLY how much a
+    PCA/whitening projection would keep — the principled counterpart
+    to ``embedding_dim_ablation``'s prefix-truncation check and
+    ``jl_projection_report``'s oblivious random projection.
+    Completes the embedding-hygiene family.
+
+    Per component: init v = e_m at the argmax-diagonal dim (ties ->
+    smallest dim), ``iters`` fixed unrolled iterations of
+    v <- C v / ||C v||, eigenvalue = v'Cv, then deflate
+    C <- C - lambda v v' and repeat. Fixed iteration count is the
+    knn_pagerank discipline: both engines run the SAME arithmetic the
+    SAME number of times, so results agree bit-for-bit regardless of
+    convergence rate. Float discipline: every matvec/λ sum is a
+    decimal sum of 9dp-rounded terms (order-free); normalized vector
+    entries and deflated matrix entries are re-rounded to 9dp so the
+    next step's inputs are identical bit patterns on both engines; a
+    non-positive norm (zero/deflated-to-rank matrix) keeps the
+    previous vector and yields eigenvalue 0. Output per component:
+    eigenvalue, var_ratio (lambda/trace), cum_var_ratio, top_dim (the
+    dimension with the largest |loading|, ties -> smallest), and
+    top_loading (its |value|) — all sign-convention-free.
+
+    Scale shape: the corpus-sized work is the moment pass (one scan +
+    the O(n*d^2/2) pair shuffle ``embedding_correlation_report``
+    already prices — and like there, the moments are mergeable so a
+    sampled run is the same plan on a FILTER'd scan). The iteration
+    operand is the d x d matrix — d <= 64, CORPUS-INDEPENDENT — so it
+    runs driver-side on a bounded collect: 4*24 matvecs over <= 4096
+    entries is microseconds, where the knn_pagerank-style distributed
+    loop would schedule ~100 tiny jobs to do the same arithmetic
+    (that loop iterates a CORPUS-sized frame, which must stay
+    distributed; this one does not).
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    def r6(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    def dsum(terms) -> float:
+        return float(sum(Decimal(repr(t)) for t in terms) or 0)
+
+    cov = _pca_cov_rows(spark, sf_dir)
+    schema = (
+        "component int, eigenvalue double, var_ratio double, "
+        "cum_var_ratio double, top_dim int, top_loading double"
+    )
+    dims = sorted({i for i, _ in cov})
+    if not dims:
+        return spark.createDataFrame([], schema)
+    trace = dsum(cov[(i, i)] for i in dims)
+
+    def matvec(c: dict, v: dict) -> dict:
+        return {
+            i: dsum(r9(c[(i, j)] * v[j]) for j in dims if (i, j) in c)
+            for i in dims
+        }
+
+    rows = []
+    cum = 0.0
+    cur = dict(cov)
+    for comp in range(1, k + 1):
+        m = min(dims, key=lambda i: (-cur.get((i, i), 0.0), i))
+        v = {i: 1.0 if i == m else 0.0 for i in dims}
+        for _ in range(iters):
+            w = matvec(cur, v)
+            nrm = math.sqrt(dsum(r9(w[i] * w[i]) for i in dims))
+            if nrm > 0:
+                v = {i: r9(w[i] / nrm) for i in dims}
+        wf = matvec(cur, v)
+        lam = dsum(r9(v[i] * wf[i]) for i in dims)
+        top = min(dims, key=lambda i: (-abs(v[i]), i))
+        cum = cum + lam
+        rows.append(
+            (
+                comp,
+                r6(lam),
+                r6(lam / trace) if trace != 0 else None,
+                r6(cum / trace) if trace != 0 else None,
+                top,
+                r6(abs(v[top])),
+            )
+        )
+        cur = {
+            (i, j): r9(cur[(i, j)] - lam * v[i] * v[j])
+            for (i, j) in cur
+        }
+    return spark.createDataFrame(rows, schema)
+
+
+def _pca_sql(k: int = PCA_COMPONENTS, iters: int = PCA_ITERS) -> str:
+    """Unrolled power-iteration twin: the same moment CTEs as
+    CORRELATION_REPORT_SQL build mat1, then k x iters matvec+normalize
+    CTE pairs with the identical 9dp/decimal discipline."""
+    parts = [
+        """WITH x AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), stats AS MATERIALIZED (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS sx,
+         SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS sxx
+  FROM x GROUP BY dim
+), dims AS MATERIALIZED (
+  SELECT dim AS i FROM stats
+), pxy AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+         SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28,9))) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+  GROUP BY 1, 2
+), up AS MATERIALIZED (
+  SELECT i, j,
+         ROUND(CAST(sxy AS DOUBLE) / CAST(si.n AS DOUBLE)
+           - (CAST(si.sx AS DOUBLE) / CAST(si.n AS DOUBLE))
+             * (CAST(sj.sx AS DOUBLE) / CAST(si.n AS DOUBLE)), 9) AS m
+  FROM pxy JOIN stats si ON si.dim = i JOIN stats sj ON sj.dim = j
+), dg AS MATERIALIZED (
+  SELECT dim AS i, dim AS j,
+         ROUND(GREATEST(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 0.0), 9) AS m
+  FROM stats
+), mat1 AS MATERIALIZED (
+  SELECT i, j, m FROM dg
+  UNION ALL SELECT i, j, m FROM up
+  UNION ALL SELECT j AS i, i AS j, m FROM up
+), tr AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(m AS DECIMAL(38,9))) AS DOUBLE) AS trace FROM dg
+)"""
+    ]
+    for c in range(1, k + 1):
+        parts.append(f""", init{c} AS MATERIALIZED (
+  SELECT i FROM mat{c} WHERE i = j ORDER BY m DESC, i LIMIT 1
+), v{c}_0 AS MATERIALIZED (
+  SELECT d.i, CASE WHEN d.i = (SELECT i FROM init{c}) THEN 1.0 ELSE 0.0 END AS v
+  FROM dims d
+)""")
+        for t in range(1, iters + 1):
+            parts.append(f""", w{c}_{t} AS MATERIALIZED (
+  SELECT m.i, CAST(SUM(CAST(ROUND(m.m * v.v, 9) AS DECIMAL(38,9))) AS DOUBLE) AS w
+  FROM mat{c} m JOIN v{c}_{t - 1} v ON m.j = v.i GROUP BY m.i
+), n{c}_{t} AS MATERIALIZED (
+  SELECT sqrt(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+  FROM w{c}_{t}
+), v{c}_{t} AS MATERIALIZED (
+  SELECT w.i,
+         CASE WHEN n.nrm > 0 THEN ROUND(w.w / n.nrm, 9) ELSE p.v END AS v
+  FROM w{c}_{t} w JOIN v{c}_{t - 1} p ON p.i = w.i, n{c}_{t} n
+)""")
+        parts.append(f""", wf{c} AS MATERIALIZED (
+  SELECT m.i, CAST(SUM(CAST(ROUND(m.m * v.v, 9) AS DECIMAL(38,9))) AS DOUBLE) AS w
+  FROM mat{c} m JOIN v{c}_{iters} v ON m.j = v.i GROUP BY m.i
+), lam{c} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND(v.v * w.w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS lam
+  FROM v{c}_{iters} v JOIN wf{c} w ON w.i = v.i
+), top{c} AS MATERIALIZED (
+  SELECT i, ABS(v) AS a FROM v{c}_{iters} ORDER BY ABS(v) DESC, i LIMIT 1
+), mat{c + 1} AS MATERIALIZED (
+  SELECT m.i, m.j, ROUND(m.m - l.lam * vi.v * vj.v, 9) AS m
+  FROM mat{c} m
+  JOIN v{c}_{iters} vi ON vi.i = m.i
+  JOIN v{c}_{iters} vj ON vj.i = m.j, lam{c} l
+)""")
+    sel = []
+    for c in range(1, k + 1):
+        cumsum = " + ".join(f"(SELECT lam FROM lam{j})" for j in range(1, c + 1))
+        sel.append(f"""SELECT {c} AS component,
+       ROUND(l.lam, 6) AS eigenvalue,
+       ROUND(l.lam / NULLIF(t.trace, 0), 6) AS var_ratio,
+       ROUND(({cumsum}) / NULLIF(t.trace, 0), 6) AS cum_var_ratio,
+       CAST(tp.i AS INT) AS top_dim,
+       ROUND(tp.a, 6) AS top_loading
+FROM lam{c} l, tr t, top{c} tp""")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY component\n"
+
+
+PCA_PROJECTION_SQL = _pca_sql()

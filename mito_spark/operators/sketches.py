@@ -1007,10 +1007,18 @@ def hll_distinct_by(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
 
 QS_BINS = 256  # sketch size: <= QS_BINS rows per group, any corpus size
 QS_QUANTILES = (0.5, 0.95, 0.99)
+# yardstick bound: above this many TOTAL values, the calibration
+# restricts BOTH legs (and the width derivation) to a 1/rate hash
+# subdomain of event rows, so the exact sorted-collect leg never
+# builds unbounded per-group state — the _hll_yard_rate discipline
+QS_YARDSTICK_MAX = 1 << 24
 
 
 def quantile_sketch_calibration(
-    spark: SparkSession, sf_dir: str, bins: int = QS_BINS
+    spark: SparkSession,
+    sf_dir: str,
+    bins: int = QS_BINS,
+    yardstick_max: int = QS_YARDSTICK_MAX,
 ) -> DataFrame:
     """Fixed-bin histogram QUANTILE SKETCH with a calibration yardstick
     — the deterministic, hash-checkable stand-in for approx_percentile
@@ -1030,9 +1038,19 @@ def quantile_sketch_calibration(
     LOWER EDGE of the first bucket whose cumulative count reaches
     ceil(q*n), so est <= exact and the error is bounded by one bin
     width — reported per quantile beside the exact order statistic
-    (the yardstick leg: per-type sorted collect, bounded by group
-    size at gate SF; at 100 TB the yardstick is what you sample, the
-    sketch is what you ship — the HLL-calibration posture).
+    (the yardstick leg: per-type sorted collect).
+
+    Yardstick guard (r12, VERDICT r11 What's-wrong #3 — the
+    ``_hll_yard_rate`` discipline): when the total value count
+    exceeds ``yardstick_max``, BOTH legs — and the width derivation,
+    so the sketch stays coherent with its yardstick — restrict to the
+    1/rate hash subdomain of event rows (salt 'qsyard' on the unique
+    event_id; ``_hll_yard_rate`` picks the power-of-2 rate). The
+    exact leg's per-group sorted collect is therefore bounded at ANY
+    corpus size; the comparison stays apples-to-apples because both
+    legs see the same sub-population. ``yard_rate`` in the output
+    records the posture; the gate corpus floors to 1, which is what
+    the static oracle SQL is generated with.
 
     Parity: bucket ids are floor of an IEEE divide by the shared
     width; cumulative/min-bucket math is integer-exact; estimates are
@@ -1042,7 +1060,20 @@ def quantile_sketch_calibration(
     """
     from mito_spark.engine import load_table
 
+    from mito_spark.operators.dedup import _hash60
+
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # linear count sizes the yardstick subdomain (column-pruned scan)
+    n_items = int(ev.count())
+    yard_rate = _hll_yard_rate(n_items, yardstick_max)
+    if yard_rate > 1:
+        ev = ev.where(
+            F.pmod(
+                _hash60(F.col("event_id").cast("string"), F.lit("qsyard")),
+                F.lit(yard_rate),
+            )
+            == 0
+        )
     wd = ev.agg(
         F.when(F.max("value") > 0, F.max("value") / float(bins))
         .otherwise(F.lit(1.0))
@@ -1098,6 +1129,7 @@ def quantile_sketch_calibration(
             F.round(exv, 6).alias(f"exact_p{tag}"),
             F.round(F.abs(bq * F.col("wd") - exv), 6).alias(f"err_p{tag}"),
         ]
+    cols.append(F.lit(yard_rate).cast("bigint").alias("yard_rate"))
     return out.select(*cols).orderBy("event_type")
 
 
@@ -1135,7 +1167,7 @@ WITH ev AS (
 ), ex AS (
   SELECT event_type, list(value ORDER BY value) AS vs FROM ev GROUP BY 1
 )
-SELECT e.event_type, e.n, {", ".join(sel)}
+SELECT e.event_type, e.n, {", ".join(sel)}, CAST(1 AS BIGINT) AS yard_rate
 FROM est e JOIN ex USING (event_type), wd
 ORDER BY e.event_type
 """

@@ -3069,7 +3069,11 @@ def _wps_learn(
     """
     words = _wps_words(spark, sf_dir)
     train = words.where(F.col("wc") >= WPS_MIN_WC)
-    if bool(train.where(F.col("w").contains("#")).take(1)):
+    # the ambiguity guard scans the FULL word-type table, not just the
+    # wc-filtered train subset: hapax words still reach the encode
+    # surface (wordpiece_encode_subword segments every word type), so
+    # a '#' anywhere in the corpus breaks the '##' namespace
+    if bool(words.where(F.col("w").contains("#")).take(1)):
         raise ValueError(
             "subword WordPiece: training corpus contains '#' — the '##' "
             "continuation prefix would be ambiguous; pre-escape the corpus"
@@ -3529,6 +3533,7 @@ def _compression_curve_sql(rounds: int = BPE_BYTES_ROUNDS) -> str:
 SELECT round, vocab_size, total_pieces,
        ROUND(CAST(tp0 AS DOUBLE) / total_pieces, 6) AS compression
 FROM curve, base
+WHERE total_pieces IS NOT NULL
 ORDER BY round
 """
     )

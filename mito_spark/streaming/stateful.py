@@ -923,6 +923,12 @@ def _qsk_step_factory(width: float, bins: int):
                 b = min(max(math.floor(float(v) / width), 0), bins - 1)
                 hist[b] = hist.get(b, 0) + 1
         state.update((list(hist.keys()), list(hist.values())))
+        if not hist:
+            # a micro-batch can deliver only NULL/NaN values for a key:
+            # n == 0 leaves est_b None and 'est_b * width' would raise,
+            # failing the task — the batch twin filters nulls before
+            # grouping and simply omits such keys, so emit nothing
+            return
         n = sum(hist.values())
         ests = []
         for q in QS_QUANTILES:

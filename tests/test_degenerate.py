@@ -245,6 +245,11 @@ EMB_OPS = [
     # buckets may leave a side empty (full-outer per-dim join +
     # greatest(n,1) guards -> a missing side reads as centroid 0)
     "embedding_snapshot_drift",
+    # r12: PCA on 4 degen 8-dim vectors — d < k components means the
+    # covariance deflates toward zero rank; the norm<=0 guard keeps
+    # the previous vector and later eigenvalues go ~0, identically in
+    # the driver iteration and the unrolled SQL
+    "pca_projection_report",
 ]
 
 

@@ -746,6 +746,36 @@ def test_compression_curve_monotone(spark, sf_dir):
         assert b["compression"] >= a["compression"]
 
 
+def test_compression_curve_pair_exhaustion_matches_oracle(spark, tmp_path):
+    """ADVICE r11: on a corpus whose pairs exhaust before
+    BPE_BYTES_ROUNDS, the operator stops at the last successful merge
+    — the oracle must emit EXACTLY the same rounds (its chain's
+    post-exhaustion rows carry NULL total_pieces and are filtered),
+    not extra vocab_size-0 rows."""
+    import duckdb
+
+    from mito_spark.operators.text import (
+        BPE_BYTES_ROUNDS,
+        COMPRESSION_CURVE_SQL,
+        tokenizer_compression_curve,
+    )
+
+    d = str(tmp_path / "exh")
+    spark.createDataFrame(
+        [(i, "ab ab ab", "en", "s0", 8) for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    got = [tuple(r) for r in tokenizer_compression_curve(spark, d).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(COMPRESSION_CURVE_SQL).fetchall()]
+    assert got == want
+    # the single word type 'ab' exhausts after 2 merges: rounds 0..2
+    assert len(got) < BPE_BYTES_ROUNDS + 1 and got[-1][0] == len(got) - 1
+
+
 def test_pair_explain_evidence_is_consistent(spark, tmp_path):
     """The explain surface's evidence must be internally consistent:
     n_shared / (n_sh_a + n_sh_b - n_shared) reproduces the reported
@@ -791,3 +821,56 @@ def test_embedding_correlation_detects_planted_redundancy(spark, tmp_path):
     assert (top.dim_i, top.dim_j) == (0, 1) and abs(top.corr - 1.0) < 1e-6
     # the constant dim 3 must be absent everywhere (zero variance)
     assert all(3 not in (r.dim_i, r.dim_j) for r in out)
+
+
+def test_pca_recovers_planted_dominant_direction(spark, tmp_path):
+    """On the planted-redundancy frame (dim1 = 2*dim0, independent
+    alternating dim2, constant dim3) the top component must be the
+    (1,2,0,0)/sqrt(5) direction: top_dim 1 (|loading| 2/sqrt(5)),
+    eigenvalue = 5*var(v) — checked against numpy's exact eigh —
+    var_ratios in [0,1] and cumulative ladder non-decreasing."""
+    import numpy as np
+
+    rows = []
+    for k in range(40):
+        v = float(k % 7 + 1)
+        alt = float(1 if k % 2 else 2)
+        rows.append((k, [v, 2.0 * v, alt, 3.5], k % 2))
+    d = str(tmp_path / "embp")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = similarity.pca_projection_report(spark, d).collect()
+    assert [r.component for r in out] == [1, 2, 3, 4]
+    x = np.array([r[1] for r in rows])
+    evals = np.linalg.eigvalsh(np.cov(x.T, bias=True))[::-1]
+    assert abs(out[0].eigenvalue - evals[0]) < 1e-4
+    assert out[0].top_dim == 1
+    assert abs(out[0].top_loading - 2.0 / 5.0 ** 0.5) < 1e-4
+    cums = [r.cum_var_ratio for r in out]
+    assert all(0.0 <= r.var_ratio <= 1.0 + 1e-9 for r in out)
+    assert cums == sorted(cums) and cums[-1] <= 1.0 + 1e-6
+
+
+def test_pca_matches_oracle_off_gate_corpus(spark, tmp_path):
+    """Engine parity beyond the gate corpus: the unrolled SQL twin
+    must reproduce the driver-side power iteration bit-for-bit on the
+    planted frame (init argmax, 9dp decimal matvecs, deflation)."""
+    import duckdb
+
+    rows = []
+    for k in range(40):
+        v = float(k % 7 + 1)
+        alt = float(1 if k % 2 else 2)
+        rows.append((k, [v, 2.0 * v, alt, 3.5], k % 2))
+    d = str(tmp_path / "embq")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    got = [tuple(r) for r in similarity.pca_projection_report(spark, d).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(similarity.PCA_PROJECTION_SQL).fetchall()]
+    assert got == want and len(got) == 4

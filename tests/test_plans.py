@@ -673,9 +673,12 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # is the intended shape, never CartesianProduct)
         ("text", "wordpiece_learn_subword", ()),
         ("text", "wordpiece_encode_subword", ()),
-        # r11: CDC — scan-stage explode+filter, slim span window,
-        # doc-keyed re-slice join, hash groupBy; no Python anywhere
-        ("dedup", "cdc_chunk_dedup", ()),
+        # r12: CDC — one scan-stage HOF projection (char-array
+        # slices, boundaries/spans/chunks derived in-row), then the
+        # hash groupBy; no joins, no windows, no Python anywhere
+        ("dedup", "cdc_chunk_dedup",
+         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin", "Window")),
         # r11: quantile sketch — histogram groupBy + bounded windows;
         # the width scalar rides a 1-row broadcast
         ("sketches", "quantile_sketch_calibration", ()),
@@ -689,6 +692,10 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         ("dedup", "dedup_pair_explain", ()),
         ("similarity", "embedding_correlation_report", ()),
         ("quality", "lexical_diversity_report", ()),
+        # r12: PCA — the corpus-sized moment pass (scan + pair join);
+        # the bounded d x d iteration runs driver-side, so the plan
+        # here is just the moment shuffles, no Python eval nodes
+        ("similarity", "pca_projection_report", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
@@ -702,3 +709,24 @@ def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, ex
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas", "CartesianProduct") + tuple(extra_forbidden):
         assert node not in plan, (fnname, node)
+
+
+def test_qc_calibration_has_no_global_sort_window(spark, sf_dir):
+    """VERDICT r11 What's-wrong #2: the calibration's ntile ran as a
+    ONE-partition window over the held-out frame (20% of the corpus).
+    The r12 distributed form must (a) contain no ntile at all and
+    (b) keep every UNPARTITIONED window spec on the bounded
+    per-partition-counts frame (ordered by pid) — never on the
+    corpus-proportional margin sort key."""
+    from mito_spark.operators.classify import quality_classifier_calibration
+
+    plan = _plan(quality_classifier_calibration(spark, sf_dir))
+    assert "ntile" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the calibration plan"
+    for spec in specs:
+        first = spec.split(",")[0].strip()
+        if "ASC" in first or "DESC" in first:
+            # unpartitioned window: only legal over the bounded
+            # pid-counts frame
+            assert first.startswith("pid"), spec

@@ -541,6 +541,82 @@ def test_quantile_sketch_degenerate_events(spark, tmp_path):
     assert by_type["b"][3] == 1.25
 
 
+def test_qs_gate_corpus_floors_to_unrestricted_yardstick(spark, sf_dir):
+    """The gate corpus must derive yard_rate == 1 (auto-knob floor
+    discipline: the derived value must equal the constant in the
+    static oracle SQL)."""
+    from mito_spark.operators.sketches import quantile_sketch_calibration
+
+    rows = quantile_sketch_calibration(spark, sf_dir).collect()
+    assert rows and {r["yard_rate"] for r in rows} == {1}
+
+
+def test_qs_yardstick_subdomain_matches_python_reference(spark, tmp_path):
+    """Forced tiny yardstick_max: BOTH legs — and the width
+    derivation, so the sketch stays coherent with its yardstick —
+    must restrict to the SAME 'qsyard'-salted hash subdomain of event
+    rows; estimates/exacts/errors equal a pure-Python twin computed
+    on the sampled rows, and yard_rate records the restriction."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mito_spark.operators.sketches import (
+        QS_BINS,
+        QS_QUANTILES,
+        _hll_yard_rate,
+        quantile_sketch_calibration,
+    )
+
+    rows = [(i, f"t{i % 4}", float((i * 37) % 101) + 0.25) for i in range(300)]
+    d = str(tmp_path / "qsyard")
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    ).selectExpr(
+        "event_id",
+        "timestamp('2024-01-01') as ts",
+        "event_id % 7 as user_id",
+        "event_type",
+        "value",
+        "'{}' as props",
+    ).write.parquet(d + "/events.parquet")
+
+    rate = _hll_yard_rate(300, yardstick_max=64)
+    assert rate > 1  # the restriction actually fires
+
+    def in_sub(eid):
+        return int(hashlib.md5(f"qsyard:{eid}".encode()).hexdigest()[:15], 16) % rate == 0
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    sub = [(t, v) for i, t, v in rows if in_sub(i)]
+    assert sub
+    mx = max(v for _, v in sub)
+    width = mx / QS_BINS if mx > 0 else 1.0
+    want = {}
+    for t in sorted({tt for tt, _ in sub}):
+        vs = sorted(v for tt, v in sub if tt == t)
+        n = len(vs)
+        # sorted bucket ids: the id at 1-based rank IS the first
+        # bucket whose cumulative count reaches the rank
+        buckets = sorted(
+            min(max(math.floor(v / width), 0), QS_BINS - 1) for v in vs
+        )
+        rec = [n]
+        for q in QS_QUANTILES:
+            rank = math.ceil(q * n)
+            est = buckets[rank - 1] * width
+            rec += [r6(est), r6(vs[rank - 1]), r6(abs(est - vs[rank - 1]))]
+        rec.append(rate)
+        want[t] = tuple(rec)
+    got = {
+        r["event_type"]: tuple(r)[1:]
+        for r in quantile_sketch_calibration(spark, d, yardstick_max=64).collect()
+    }
+    assert got == want
+
+
 def test_negative_sampling_smoothing_ratio(spark, tmp_path):
     """The 3/4-power smoothing, pinned exactly: a token with count 16
     gets 16^(3/4) = 8x the probability (and ~8x the slots) of a

@@ -884,9 +884,23 @@ def test_cdc_python_chunker_matches_jvm_frame(spark, sf_dir):
     import hashlib
 
     from mito_spark.engine import load_table
-    from mito_spark.operators.dedup import _cdc_boundaries_py, _cdc_chunks
+    from mito_spark.operators.dedup import CDC_WINDOW, _cdc_boundaries_py, _cdc_chunks
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ADVICE r11: a doc of EXACTLY window length once chunked as
+    # ['k', 'kqzmspdeu oqrx '] on the JVM side (sequence(2,1) is the
+    # DESCENDING range [2,1]) while both the Python mirror and the
+    # oracle saw one chunk — pin the guarded edge plus its neighbors
+    edge = spark.createDataFrame(
+        [
+            (900001, "kkqzmspdeu oqrx "),
+            (900002, "a" * (CDC_WINDOW - 1)),
+            (900003, "b" * CDC_WINDOW),
+            (900004, "c" * (CDC_WINDOW + 1)),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
     jvm = sorted(
         (r.doc_id, r.chunk_idx, hashlib.md5(r.chunk.encode()).hexdigest())
         for r in _cdc_chunks(docs).collect()
