@@ -314,6 +314,13 @@ HEADLINE = [
     # headline — its O(n*d^2/2) dimension-pair shuffle on vec_id is
     # the one genuinely new shuffle shape of r11, trend-track it:
     "embedding_correlation_report",
+    # r12: OPH owns its own corpus-sized signature pass (one md5 per
+    # shingle + K bin-min passes) on top of the benched k-wise chain —
+    # the 100 TB signature-cost alternative, trend-track both:
+    "minhash_oph_report",
+    # pca_projection_report excluded by the composition rule: its
+    # corpus-sized work IS embedding_correlation_report's benched
+    # moment pass; the d x d iteration is corpus-independent.
 ]
 
 

@@ -1293,6 +1293,237 @@ FROM bk GROUP BY jaccard_bucket ORDER BY jaccard_bucket
 MINHASH_ESTIMATE_SQL = _minhash_estimate_sql()
 
 
+# --- one-permutation hashing (OPH) signature tier ------------------------
+
+OPH_OFFSET = 1 << 44  # densification borrow-distance offset (values are
+# 60-bit; raw + 15*2^44 fits int64 and distance-tags borrowed slots)
+
+
+def _oph_signature(sh: Column, num_hashes: int = NUM_HASHES) -> tuple[Column, Column, Column]:
+    """One-Permutation-Hashing MinHash (Li/Owen/Zhang NIPS'12): ONE
+    salted 60-bit md5 per shingle; the hash space is split into K bins
+    by h mod K and each bin keeps its minimum. Empty bins densify by
+    borrowing the nearest non-empty bin to the RIGHT, cyclically, with
+    a distance offset t*OPH_OFFSET (rotation densification,
+    Shrivastava & Li ICML'14 — deterministic, so hash-oracled; the
+    2017 'optimal densification' variant randomizes the direction for
+    lower variance and is the production refinement this report's
+    measurement would justify). Returns (raw, sig) as staged-column
+    EXPRESSIONS (raw, t, sig) — callers must materialize ``raw`` and
+    then ``t`` in separate selects before referencing them downstream
+    (the HOF-staging rule: CollapseProject otherwise re-inlines the
+    K-pass min per consumer)."""
+    lit = F.lit("oph")
+    hs = F.transform(sh, lambda s: _hash60(s, lit))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.filter(hs, lambda h: F.pmod(h, F.lit(num_hashes)) == j)),
+    )
+    # borrow distance per slot: t = first d >= 0 with raw[(j+d)%K]
+    # non-null (t = 0 for occupied slots, so ONE formula covers both)
+    tcol = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.get(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda d: F.get(
+                    F.col("raw"), F.pmod(j + d, F.lit(num_hashes))
+                ).isNotNull(),
+            ),
+            0,
+        ),
+    )
+    sig = F.zip_with(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        F.col("t"),
+        lambda j, t: F.get(F.col("raw"), F.pmod(j + t, F.lit(num_hashes)))
+        + t.cast("bigint") * F.lit(OPH_OFFSET),
+    )
+    return raw, tcol, sig
+
+
+def minhash_oph_report(
+    spark: SparkSession, sf_dir: str, shingle: int = 3
+) -> DataFrame:
+    """MEASURED One-Permutation-Hashing accuracy vs the K-salt MinHash
+    — the report that prices the 100 TB signature question: the K-salt
+    scheme pays K md5 calls PER SHINGLE (the honest price of K-wise
+    independence, and the dominant CPU of the signature pass at
+    corpus scale), while OPH pays ONE md5 per shingle and splits the
+    hash space into K bins (Li/Owen/Zhang NIPS'12) — a ~K× reduction
+    of the scan-stage hash work — at the cost of empty-bin
+    densification variance on sparse sets (Shrivastava & Li ICML'14).
+    Per exact-Jaccard decile of the SAME LSH candidate population as
+    ``minhash_estimate_report``: pair count, mean exact Jaccard, and
+    mean estimate + mean |err| for BOTH estimators side by side. The
+    decision table for switching the signature tier at scale: if
+    mean_abs_err_oph tracks mean_abs_err_kwise on THIS corpus's
+    candidate distribution, the K× hash saving is free (gate corpus:
+    docs carry ~hundreds of shingles >> K=16 bins, so densification
+    rarely fires and the two columns should agree; a short-doc corpus
+    would show OPH's variance penalty — that is what the report is
+    FOR). The measure-don't-trust ladder's signature-cost rung.
+
+    Measured gate-corpus surprise worth knowing: on the low-J decile
+    the K-SALT estimator reads HIGH (mean_est 0.139 on exact 0.012)
+    while OPH reads 0.014 — because LSH candidates are selected BY
+    collisions in the k-wise signature's own slots (the banding keys
+    are built from them), a selection bias the estimate inherits; OPH
+    slots are independent of the banding keys, so on the candidate
+    population the cheaper estimator is also the less biased one.
+
+    Scale shape: one tokenize+shingle pass feeds both signature
+    builders (the k-wise one also keys the banding, so candidates are
+    identical to the production chain); OPH adds one md5 pass + K
+    filter/min passes (comparisons, not hashes) + an O(K²) in-row
+    densification scan; per candidate two K-slot compares + one exact
+    intersect; the rollup is a ≤11-row decile table on 9dp-decimal
+    sums. Everything JVM-side; signatures are deterministic salted
+    md5, so the whole measurement is hash-oracled.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    shingles = _staged_shingles(docs, shingle)
+    raw_e, t_e, sig_e = _oph_signature(F.col("sh"), NUM_HASHES)
+    sigd = (
+        shingles.select(
+            "doc_id",
+            "sh",
+            _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig"),
+            raw_e.alias("raw"),
+        )
+        .select("doc_id", "sh", "sig", "raw", t_e.alias("t"))
+        .select("doc_id", "sh", "sig", sig_e.alias("oph"))
+        .localCheckpoint()  # feeds both band-join sides AND the compares
+    )
+    cand = _lsh_candidates(sigd)
+    sided = cand.join(
+        sigd.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            F.col("oph").alias("oph_a"),
+            F.col("sh").alias("sh_a"),
+        ),
+        "id_a",
+    ).join(
+        sigd.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            F.col("oph").alias("oph_b"),
+            F.col("sh").alias("sh_b"),
+        ),
+        "id_b",
+    )
+
+    def frac_eq(a: str, b: str) -> Column:
+        return (
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(float(NUM_HASHES))
+        )
+
+    ni = F.size(F.array_intersect("sh_a", "sh_b"))
+    scored = sided.select(
+        frac_eq("sig_a", "sig_b").alias("est_k"),
+        frac_eq("oph_a", "oph_b").alias("est_o"),
+        (ni.cast("double") / (F.size("sh_a") + F.size("sh_b") - ni)).alias("jaccard"),
+    )
+
+    def dec(c: Column) -> Column:
+        return F.round(c, 9).cast("decimal(28,9)")
+
+    bucketed = scored.select(
+        (F.floor(F.col("jaccard") * 10).cast("double") / F.lit(10.0)).alias(
+            "jaccard_bucket"
+        ),
+        dec(F.col("jaccard")).alias("j"),
+        dec(F.col("est_k")).alias("ek"),
+        dec(F.abs(F.col("est_k") - F.col("jaccard"))).alias("dk"),
+        dec(F.col("est_o")).alias("eo"),
+        dec(F.abs(F.col("est_o") - F.col("jaccard"))).alias("ov"),
+    )
+    n = F.col("n_pairs")
+    return (
+        bucketed.groupBy("jaccard_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("j").alias("js"),
+            F.sum("ek").alias("eks"),
+            F.sum("dk").alias("dks"),
+            F.sum("eo").alias("eos"),
+            F.sum("ov").alias("dos"),
+        )
+        .select(
+            "jaccard_bucket",
+            "n_pairs",
+            F.round(F.col("js").cast("double") / n, 6).alias("mean_exact"),
+            F.round(F.col("eks").cast("double") / n, 6).alias("mean_est_kwise"),
+            F.round(F.col("dks").cast("double") / n, 6).alias("mean_abs_err_kwise"),
+            F.round(F.col("eos").cast("double") / n, 6).alias("mean_est_oph"),
+            F.round(F.col("dos").cast("double") / n, 6).alias("mean_abs_err_oph"),
+        )
+        .orderBy("jaccard_bucket")
+    )
+
+
+def _oph_sql(shingle: int = 3) -> str:
+    k = NUM_HASHES
+    h60 = "CAST('0x' || substr(md5('oph:' || s), 1, 15) AS BIGINT)"
+    return (
+        _minhash_cand_sql(shingle)
+        + rf""", ophh AS (
+  SELECT doc_id, list_transform(sh, s -> {h60}) AS hs FROM tok
+), ophraw AS (
+  SELECT doc_id,
+         list_transform(range(0, {k}), j ->
+           list_min(list_filter(hs, h -> h % {k} = j))) AS raw
+  FROM ophh
+), opht AS (
+  SELECT doc_id, raw,
+         list_transform(range(0, {k}), j ->
+           list_min(list_filter(range(0, {k}), d -> raw[((j + d) % {k}) + 1] IS NOT NULL))) AS t
+  FROM ophraw
+), ophsig AS (
+  SELECT doc_id,
+         list_transform(range(0, {k}), j ->
+           raw[((j + t[j + 1]) % {k}) + 1] + t[j + 1] * {OPH_OFFSET}) AS oph
+  FROM opht
+), est AS (
+  SELECT CAST(len(list_filter(range(1, {k} + 1),
+                              i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {float(k)} AS est_k,
+         CAST(len(list_filter(range(1, {k} + 1),
+                              i -> oa.oph[i] = ob.oph[i])) AS DOUBLE) / {float(k)} AS est_o,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+            JOIN sig sb ON cand.id_b = sb.doc_id
+            JOIN ophsig oa ON cand.id_a = oa.doc_id
+            JOIN ophsig ob ON cand.id_b = ob.doc_id
+), bk AS (
+  SELECT CAST(floor(jaccard * 10) AS DOUBLE) / 10.0 AS jaccard_bucket,
+         CAST(ROUND(jaccard, 9) AS DECIMAL(28,9)) AS j,
+         CAST(ROUND(est_k, 9) AS DECIMAL(28,9)) AS ek,
+         CAST(ROUND(abs(est_k - jaccard), 9) AS DECIMAL(28,9)) AS dk,
+         CAST(ROUND(est_o, 9) AS DECIMAL(28,9)) AS eo,
+         CAST(ROUND(abs(est_o - jaccard), 9) AS DECIMAL(28,9)) AS ov
+  FROM est
+)
+SELECT jaccard_bucket, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(j) AS DOUBLE) / COUNT(*), 6) AS mean_exact,
+       ROUND(CAST(SUM(ek) AS DOUBLE) / COUNT(*), 6) AS mean_est_kwise,
+       ROUND(CAST(SUM(dk) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err_kwise,
+       ROUND(CAST(SUM(eo) AS DOUBLE) / COUNT(*), 6) AS mean_est_oph,
+       ROUND(CAST(SUM(ov) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err_oph
+FROM bk GROUP BY jaccard_bucket ORDER BY jaccard_bucket
+"""
+    )
+
+
+MINHASH_OPH_SQL = _oph_sql()
+
+
 def dedup_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint attribution across the three dedup tiers — exact content
     hash, MinHash+LSH verified near-dup (J >= 0.5), and SimHash

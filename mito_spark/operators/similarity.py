@@ -2287,3 +2287,110 @@ FROM lam{c} l, tr t, top{c} tp""")
 
 
 PCA_PROJECTION_SQL = _pca_sql()
+
+
+# --- isotropy / anisotropy datasheet row ----------------------------------
+
+
+def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-space ISOTROPY datasheet row — the cheap screen that says
+    whether the PCA/whitening step (``pca_projection_report``) and the
+    mean-centering trick (Mu & Viswanath ICLR'18, "All-but-the-Top")
+    are worth running at all: contextual/static embedding spaces are
+    routinely anisotropic (Ethayarajh EMNLP'19 — average pairwise
+    cosine far above 0), which degrades cosine retrieval and
+    embedding-dedup thresholds alike.
+
+    The trick that makes it a SCAN, not a pair join: for unit-
+    normalized vectors u, the average pairwise cosine over all n(n−1)
+    ordered pairs is (||Σu||² − n) / (n(n−1)) — so ONE per-dim sum of
+    u (a d-row rollup) replaces the O(n²) pair enumeration that the
+    correlation report honestly prices. Columns: n_vectors, mean_norm
+    and norm_cv of the RAW vectors (a high CV flags norm outliers —
+    the hubness precursor), mean_pairwise_cosine (the Ethayarajh
+    anisotropy estimate; 0 = isotropic), and centroid_norm =
+    ||mean(u)|| (the All-but-the-Top common-direction mass; equals
+    sqrt of the cosine estimate's numerator scaled — reported
+    separately because it is the quantity the centering fix removes).
+
+    Float discipline: per-row norms are left-to-right F.aggregate
+    folds (the module's dot convention, matched by the oracle's
+    list_sum); all cross-row sums are 9dp-decimal (order-free);
+    zero-norm vectors drop via the nm > 0 filter on both engines;
+    n < 2 yields NULL mean_pairwise_cosine via try_divide. Scale
+    shape: one scan + one d-row rollup + one 1-row join — no shuffle
+    carries more than d rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def dec(c: Column) -> Column:
+        return F.round(c, 9).cast("decimal(38,9)")
+
+    xs = emb.select(F.col("embedding").cast("array<double>").alias("x"))
+    base = xs.select("x", _norm(F.col("x")).alias("nm")).where(F.col("nm") > 0)
+    staged = base.select(
+        "nm", F.transform("x", lambda v: v / F.col("nm")).alias("u")
+    ).localCheckpoint()  # feeds the scalar agg AND the per-dim rollup
+    scalars = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("nm"))).alias("sn"),
+        F.sum(dec(F.col("nm") * F.col("nm"))).alias("snn"),
+    )
+    dimsums = (
+        staged.select(F.posexplode("u").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.sum(dec(F.col("v"))).alias("su"))
+    )
+    ssq = dimsums.agg(
+        F.sum(
+            dec(F.col("su").cast("double") * F.col("su").cast("double"))
+        ).alias("ssq")
+    )
+    n = F.col("n").cast("double")
+    mean_norm = F.col("sn").cast("double") / n
+    var_norm = F.greatest(
+        F.col("snn").cast("double") / n - mean_norm * mean_norm, F.lit(0.0)
+    )
+    ssqd = F.col("ssq").cast("double")
+    return scalars.crossJoin(F.broadcast(ssq)).select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(mean_norm, 6).alias("mean_norm"),
+        F.round(F.try_divide(F.sqrt(var_norm), mean_norm), 6).alias("norm_cv"),
+        F.round(F.try_divide(ssqd - n, n * (n - F.lit(1.0))), 6).alias(
+            "mean_pairwise_cosine"
+        ),
+        F.round(F.sqrt(ssqd) / n, 6).alias("centroid_norm"),
+    )
+
+
+ISOTROPY_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x,
+         sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS nm
+  FROM embeddings
+), staged AS MATERIALIZED (
+  SELECT nm, list_transform(x, v -> v / nm) AS u
+  FROM base WHERE nm > 0
+), scalars AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ROUND(nm, 9) AS DECIMAL(38,9))) AS sn,
+         SUM(CAST(ROUND(nm * nm, 9) AS DECIMAL(38,9))) AS snn
+  FROM staged
+), dimsums AS (
+  SELECT dim, SUM(CAST(ROUND(v, 9) AS DECIMAL(38,9))) AS su
+  FROM (
+    SELECT generate_subscripts(u, 1) - 1 AS dim, unnest(u) AS v FROM staged
+  ) GROUP BY dim
+), sq AS (
+  SELECT SUM(CAST(ROUND(CAST(su AS DOUBLE) * CAST(su AS DOUBLE), 9) AS DECIMAL(38,9))) AS ssq
+  FROM dimsums
+)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       ROUND(CAST(sn AS DOUBLE) / n, 6) AS mean_norm,
+       ROUND(sqrt(GREATEST(CAST(snn AS DOUBLE) / n
+                 - (CAST(sn AS DOUBLE) / n) * (CAST(sn AS DOUBLE) / n), 0.0))
+             / nullif(CAST(sn AS DOUBLE) / n, 0), 6) AS norm_cv,
+       ROUND((CAST(ssq AS DOUBLE) - n) / nullif(n * (n - 1.0), 0), 6) AS mean_pairwise_cosine,
+       ROUND(sqrt(CAST(ssq AS DOUBLE)) / n, 6) AS centroid_norm
+FROM scalars, sq
+"""

@@ -199,6 +199,10 @@ DOC_OPS = [
     # rows -> the source is simply absent) and single-token sources
     # (ln(1)=0 denominator -> herdan_c NULL on both engines)
     "lexical_diversity_report",
+    # r12: OPH on 1-2-shingle docs — most bins empty, rotation
+    # densification fills every slot from the nearest occupied bin;
+    # zero candidate pairs -> zero rows, not a crash
+    "minhash_oph_report",
 ]
 EMB_OPS = [
     "quantize_embeddings",
@@ -245,6 +249,9 @@ EMB_OPS = [
     # buckets may leave a side empty (full-outer per-dim join +
     # greatest(n,1) guards -> a missing side reads as centroid 0)
     "embedding_snapshot_drift",
+    # r12: isotropy on the degen frame — the zero vector drops via
+    # nm > 0; identical vectors give mean_pairwise_cosine 1
+    "embedding_isotropy_report",
     # r12: PCA on 4 degen 8-dim vectors — d < k components means the
     # covariance deflates toward zero rank; the norm<=0 guard keeps
     # the previous vector and later eigenvalues go ~0, identically in

@@ -823,6 +823,100 @@ def test_embedding_correlation_detects_planted_redundancy(spark, tmp_path):
     assert all(3 not in (r.dim_i, r.dim_j) for r in out)
 
 
+def test_oph_signature_estimates_jaccard_on_planted_pairs(spark, tmp_path):
+    """OPH end-to-end sanity off the gate corpus: planted near-dup
+    pairs must land in a high exact-Jaccard bucket with BOTH
+    estimators within the K=16 binomial noise band of the exact
+    value, and the Spark frame must equal the DuckDB twin
+    bit-for-bit (engine parity beyond the gate corpus)."""
+    import duckdb
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (0, base, "en", "s0", 1),
+        (1, base + " tail one", "en", "s0", 1),
+        (2, base + " tail two", "en", "s0", 1),
+        (3, "completely different words " * 10, "en", "s1", 1),
+    ]
+    d = str(tmp_path / "oph")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = [tuple(r) for r in dedup.minhash_oph_report(spark, d).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(dedup.MINHASH_OPH_SQL).fetchall()]
+    assert got == want and len(got) >= 1
+    hi = [r for r in got if r[0] >= 0.8]
+    assert hi, got  # the planted near-dups must be found
+    for _, _, mean_exact, est_k, err_k, est_o, err_o in hi:
+        # 3 sigma of Binomial(16, J)/16 at J ~ 0.95 is ~0.16
+        assert abs(est_k - mean_exact) < 0.2 and err_k < 0.2
+        assert abs(est_o - mean_exact) < 0.2 and err_o < 0.2
+
+
+def test_oph_densification_fills_every_slot(spark, tmp_path):
+    """A single-shingle doc occupies exactly one bin; rotation
+    densification must fill the other 15 slots with distance-tagged
+    borrows — no NULLs, and two docs with the SAME single shingle
+    must produce identical signatures (so they still estimate J=1)."""
+    from pyspark.sql import functions as F
+
+    from mito_spark.operators.dedup import NUM_HASHES, _oph_signature
+
+    frame = spark.createDataFrame(
+        [(0, ["alpha beta gamma"]), (1, ["alpha beta gamma"])],
+        "doc_id long, sh array<string>",
+    )
+    raw_e, t_e, sig_e = _oph_signature(F.col("sh"), NUM_HASHES)
+    out = (
+        frame.select("doc_id", "sh", raw_e.alias("raw"))
+        .select("doc_id", "sh", "raw", t_e.alias("t"))
+        .select("doc_id", sig_e.alias("oph"))
+        .collect()
+    )
+    sigs = {r.doc_id: r.oph for r in out}
+    assert all(v is not None for v in sigs[0])
+    assert len(sigs[0]) == NUM_HASHES
+    assert sigs[0] == sigs[1]
+
+
+def test_isotropy_matches_numpy_on_planted_anisotropy(spark, tmp_path):
+    """Plant a strong common direction (the Ethayarajh pathology):
+    mean_pairwise_cosine must match the O(n^2) numpy brute force to
+    6dp-rounding noise and sit way above 0; centroid_norm must carry
+    the common-direction mass; the Spark row must equal the oracle."""
+    import duckdb
+    import numpy as np
+
+    rng_base = np.full(8, 1.0)
+    rows = []
+    for k in range(30):
+        v = rng_base + 0.3 * np.array([((k * 7 + i) % 5) - 2 for i in range(8)])
+        rows.append((k, [float(t) for t in v], k % 2))
+    d = str(tmp_path / "iso")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    got = similarity.embedding_isotropy_report(spark, d).collect()[0]
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cos = u @ u.T
+    n = len(rows)
+    want_cos = (cos.sum() - n) / (n * (n - 1))
+    assert abs(got.mean_pairwise_cosine - want_cos) < 1e-4
+    assert got.mean_pairwise_cosine > 0.5  # strongly anisotropic
+    assert abs(got.centroid_norm - np.linalg.norm(u.mean(axis=0))) < 1e-4
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(similarity.ISOTROPY_SQL).fetchall()]
+    assert [tuple(got)] == want
+
+
 def test_pca_recovers_planted_dominant_direction(spark, tmp_path):
     """On the planted-redundancy frame (dim1 = 2*dim0, independent
     alternating dim2, constant dim3) the top component must be the

@@ -696,6 +696,13 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # the bounded d x d iteration runs driver-side, so the plan
         # here is just the moment shuffles, no Python eval nodes
         ("similarity", "pca_projection_report", ()),
+        # r12: OPH — one staged signature scan feeding the banded
+        # self-join + per-pair compares; all HOFs, no Python anywhere
+        ("dedup", "minhash_oph_report", ()),
+        # r12: isotropy — one scan + d-row rollup + 1-row broadcast
+        # join; no hash/merge joins of any kind, no windows
+        ("similarity", "embedding_isotropy_report",
+         ("SortMergeJoin", "ShuffledHashJoin", "Window")),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
