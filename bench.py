@@ -318,6 +318,9 @@ HEADLINE = [
     # shingle + K bin-min passes) on top of the benched k-wise chain —
     # the 100 TB signature-cost alternative, trend-track both:
     "minhash_oph_report",
+    # r12: the entropy ladder owns three vocabulary-shuffle groupBys
+    # (uni/bi/trigram types) off one staged scan:
+    "ngram_entropy_report",
     # pca_projection_report excluded by the composition rule: its
     # corpus-sized work IS embedding_correlation_report's benched
     # moment pass; the d x d iteration is corpus-independent.

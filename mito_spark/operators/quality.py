@@ -959,3 +959,155 @@ SELECT s.source, s.n_docs, s.n_tokens, g.n_types, s.mean_doc_ttr,
 FROM per_source s JOIN types_g g USING (source)
 ORDER BY s.source
 """
+
+
+# --- Shannon n-gram entropy ladder ----------------------------------------
+
+ENTROPY_MAX_N = 3
+_LN2 = 0.6931471805599453  # folded literal: both engines divide by it
+
+
+def ngram_entropy_report(
+    spark: SparkSession, sf_dir: str, max_n: int = ENTROPY_MAX_N
+) -> DataFrame:
+    """Corpus REDUNDANCY ladder — Shannon's n-gram entropy estimates
+    (Shannon 1951, "Prediction and Entropy of Printed English"): per
+    n in 1..max_n the token-level entropy H_n of the n-gram
+    distribution in bits, and the conditional entropy
+    H(w_n | w_1..w_{n-1}) = H_n − H_{n−1} — the steepness of that
+    ladder is the corpus's predictability: template boilerplate and
+    duplicated spans pull the conditional entropies toward 0 (the
+    next word is determined), natural prose holds them up. The
+    information-theoretic cousin of ``lexical_diversity_report``
+    (type-counting) and ``text_zipf_profile`` (rank-frequency shape),
+    and the signal a curation pipeline reads BEFORE paying for a
+    perplexity model: H_2 − H_1 collapsing round-over-round means a
+    crawl batch is template-flooded.
+
+    Exactness: the plug-in estimate is computed as
+    H = (ln N − Σ c·ln(c) / N) / ln 2 with each c·ln(c) term
+    9dp-rounded and summed as DECIMAL(28,9) (order-free across the
+    type shuffle), ln 2 a folded literal, output 6dp — the zipf/
+    surprisal recipe. Conditional rows subtract the PRE-ROUNDED H
+    values so both engines subtract identical doubles.
+
+    Scale shape: ONE tokenize scan staged, then per n one
+    explode→groupBy over n-gram TYPES (the vocabulary shuffle —
+    collocation_pmi's cost class; the ladder reuses the staged token
+    arrays, never re-tokenizes) and a 1-row rollup; output max_n
+    rows. Per-doc n-grams are in-row transform slices over the
+    staged token array.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def slicer(width: int):
+        # closure factory: the HOF lambda must take exactly ONE
+        # parameter — a second (even defaulted) binds the array index
+        return lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(width)))
+
+    def gram_col(n: int):
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)), slicer(n)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # ALL gram arrays materialize in ONE checkpointed frame (the
+    # hll_calibration pattern) — exploding an interpreted-HOF
+    # expression directly would re-evaluate the generator input per
+    # emitted row (the winnow lesson)
+    staged = (
+        docs.select(_tokens(F.lower(F.col("text"))).alias("toks"))
+        .select(
+            "toks", *[gram_col(n).alias(f"g{n}") for n in range(2, max_n + 1)]
+        )
+        .localCheckpoint()
+    )
+
+    def dec(c):
+        return F.round(c, 9).cast("decimal(28,9)")
+
+    rows = []
+    for n in range(1, max_n + 1):
+        src = "toks" if n == 1 else f"g{n}"
+        grams = staged.select(F.explode(src).alias("g"))
+        cnts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        agg = cnts.agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(
+                dec(
+                    F.col("c").cast("double")
+                    * F.round(F.log(F.col("c").cast("double")), 9)
+                )
+            ).alias("s"),
+        )
+        rows.append(
+            agg.select(
+                F.lit(n).alias("n"),
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.col("n_types").cast("bigint").alias("n_types"),
+                F.round(
+                    (
+                        F.round(F.log(F.col("n_tokens").cast("double")), 9)
+                        - F.col("s").cast("double")
+                        / F.col("n_tokens").cast("double")
+                    )
+                    / F.lit(_LN2),
+                    6,
+                ).alias("entropy_bits"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    from pyspark.sql import Window
+
+    # conditional ladder over the <= max_n-row frame (bounded window)
+    w = Window.orderBy("n").rowsBetween(-1, -1)
+    return (
+        out.select(
+            "n",
+            "n_tokens",
+            "n_types",
+            "entropy_bits",
+            F.round(
+                F.col("entropy_bits")
+                - F.coalesce(F.sum("entropy_bits").over(w), F.lit(0.0)),
+                6,
+            ).alias("cond_entropy_bits"),
+        )
+        .orderBy("n")
+    )
+
+
+def _entropy_sql(max_n: int = ENTROPY_MAX_N) -> str:
+    legs = []
+    for n in range(1, max_n + 1):
+        if n == 1:
+            g = "SELECT unnest(toks) AS g FROM staged"
+        else:
+            g = f"""SELECT unnest(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                 i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS g FROM staged"""
+        legs.append(f"""SELECT {n} AS n,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND((ROUND(ln(CAST(SUM(c) AS DOUBLE)), 9)
+              - CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ROUND(ln(CAST(c AS DOUBLE)), 9), 9) AS DECIMAL(28,9))) AS DOUBLE)
+                / CAST(SUM(c) AS DOUBLE)) / {_LN2!r}, 6) AS entropy_bits
+FROM (SELECT g, COUNT(*) AS c FROM ({g}) GROUP BY g)""")
+    union = "\nUNION ALL\n".join(legs)
+    return rf"""
+WITH staged AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), ladder AS (
+{union}
+)
+SELECT n, n_tokens, n_types, entropy_bits,
+       ROUND(entropy_bits - COALESCE(SUM(entropy_bits) OVER (
+         ORDER BY n ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING), 0.0), 6) AS cond_entropy_bits
+FROM ladder ORDER BY n
+"""
+
+
+NGRAM_ENTROPY_SQL = _entropy_sql()

@@ -199,6 +199,10 @@ DOC_OPS = [
     # rows -> the source is simply absent) and single-token sources
     # (ln(1)=0 denominator -> herdan_c NULL on both engines)
     "lexical_diversity_report",
+    # r12: entropy ladder on empty/whitespace docs (zero gram rows
+    # for a leg -> ln(0) never evaluated: the leg emits n_tokens NULL
+    # -> both engines agree on the degraded row shape)
+    "ngram_entropy_report",
     # r12: OPH on 1-2-shingle docs — most bins empty, rotation
     # densification fills every slot from the nearest occupied bin;
     # zero candidate pairs -> zero rows, not a crash

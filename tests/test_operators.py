@@ -883,6 +883,55 @@ def test_oph_densification_fills_every_slot(spark, tmp_path):
     assert sigs[0] == sigs[1]
 
 
+def test_ngram_entropy_collapses_on_template_corpus(spark, tmp_path):
+    """Shannon-ladder semantics check: a template-flooded corpus
+    (one sentence repeated) must drive the conditional entropies to
+    ~0 while a varied corpus holds them up; H1 must equal the exact
+    plug-in unigram entropy computed in Python; Spark == oracle off
+    the gate corpus."""
+    import math
+
+    import duckdb
+
+    from mito_spark.operators.quality import NGRAM_ENTROPY_SQL, ngram_entropy_report
+
+    tmpl = "the same template sentence every time"
+    varied = [
+        " ".join(f"w{(i * 17 + j * j) % 97}" for j in range(30)) for i in range(20)
+    ]
+    for name, texts in [("tmpl", [tmpl] * 20), ("var", varied)]:
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {r.n: r for r in ngram_entropy_report(spark, d).collect()}
+        # exact plug-in H1 in Python
+        toks = [w for t in texts for w in t.lower().split()]
+        cnt: dict = {}
+        for w in toks:
+            cnt[w] = cnt.get(w, 0) + 1
+        n = len(toks)
+        h1 = (
+            math.log(n) - sum(c * round(math.log(c), 9) for c in cnt.values()) / n
+        ) / math.log(2)
+        assert abs(got[1].entropy_bits - h1) < 1e-5, name
+        if name == "tmpl":
+            # deterministic continuation: every next word is forced
+            # except at the sentence seam
+            assert got[2].cond_entropy_bits < 0.5
+            assert got[3].cond_entropy_bits < 0.5
+        else:
+            assert got[2].cond_entropy_bits > 2.0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+        )
+        want = [tuple(r) for r in con.execute(NGRAM_ENTROPY_SQL).fetchall()]
+        assert [tuple(got[k]) for k in sorted(got)] == want
+        con.close()
+
+
 def test_isotropy_matches_numpy_on_planted_anisotropy(spark, tmp_path):
     """Plant a strong common direction (the Ethayarajh pathology):
     mean_pairwise_cosine must match the O(n^2) numpy brute force to

@@ -703,6 +703,12 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # join; no hash/merge joins of any kind, no windows
         ("similarity", "embedding_isotropy_report",
          ("SortMergeJoin", "ShuffledHashJoin", "Window")),
+        # r12: entropy ladder — 3 gram groupBys off one checkpointed
+        # scan + 1-row rollups; the conditional window runs over the
+        # <= 3-row ladder, never gram rows; no joins of any kind
+        ("quality", "ngram_entropy_report",
+         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin")),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
