@@ -321,6 +321,9 @@ HEADLINE = [
     # r12: the entropy ladder owns three vocabulary-shuffle groupBys
     # (uni/bi/trigram types) off one staged scan:
     "ngram_entropy_report",
+    # r12: stupid backoff owns its trigram model shuffles + the
+    # 4-way gram-keyed scoring join on the held-out fifth:
+    "stupid_backoff_ppl",
     # pca_projection_report excluded by the composition rule: its
     # corpus-sized work IS embedding_correlation_report's benched
     # moment pass; the d x d iteration is corpus-independent.

@@ -3540,3 +3540,265 @@ ORDER BY round
 
 
 COMPRESSION_CURVE_SQL = _compression_curve_sql()
+
+
+# --- Stupid Backoff trigram scoring ---------------------------------------
+
+SB_ALPHA = 0.4  # the Brants et al. backoff weight (not a probability
+# normalizer — "stupid" is the paper's own name for skipping it)
+SB_TRAIN_BUCKETS = 8  # train on 8/10 md5 buckets, score the held-out 2
+
+
+def stupid_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out document scoring under a TRIGRAM Stupid Backoff model
+    (Brants/Popat/Xu/Och/Dean EMNLP'07, "Large Language Models in
+    Machine Translation") — the LM the paper built precisely for
+    distributed count-based training at web scale, which is why it
+    belongs in this engine: no discounting, no normalization, just
+    relative frequencies with a fixed backoff weight:
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)            if c(w1w2w3) > 0
+                   = α · c(w2w3)/c(w2)            elif c(w2w3) > 0
+                   = α² · c(w3)/N                 elif c(w3) > 0
+                   = OOV (no score)               otherwise
+
+    with α = 0.4 (the paper's value). Completes the LM-quality ladder
+    above ``kn_bigram_perplexity``: a longer context than KN's bigram
+    at a fraction of the model machinery — the exact trade the paper
+    measured (at enough data, stupid backoff approaches KN's BLEU at
+    a fraction of the cost). Scored on the md5-split HELD-OUT docs
+    (the classifier family's split convention, salt 'sbsplit:v1:') —
+    self-scoring would never back off and the level columns would be
+    degenerate.
+
+    Output per held-out doc: n_pos (trigram positions), n_tri / n_bi
+    / n_uni (which backoff level fired — the model-coverage
+    diagnostic), n_oov, sb_xent (mean −ln S over scored positions,
+    6dp; NULL when nothing scored), sb_ppl = exp of the ROUNDED xent
+    (the kn discipline: both engines exponentiate an identical
+    double). Per-position −ln S terms are 9dp-rounded and summed as
+    DECIMAL(28,9) — order-free across the shuffle.
+
+    Scale shape: ONE tokenize scan staged with trigram/bigram struct
+    arrays as materialized columns (the Generate rule); the model is
+    three TYPE tables (reductions of the corpus — the Brants
+    architecture: counts sharded by gram key); scoring is four
+    gram-keyed joins of held-out positions against those tables
+    (broadcast-eligible when small, plain shuffle joins at scale —
+    never corpus-sized broadcasts) plus the 1-row N broadcast; then
+    one per-doc rollup. OOV/zero-count branches never evaluate ln
+    (lazy CASE on both engines — the DuckDB ln(0)-errors gotcha).
+    """
+    from mito_spark.engine import spread
+    from mito_spark.operators.classify import _split_bucket
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id",
+        (_split_bucket(F.col("doc_id"), "sbsplit:v1:") < SB_TRAIN_BUCKETS).alias(
+            "is_train"
+        ),
+        _tokens(F.lower(F.col("text"))).alias("toks"),
+    )
+    tri_col = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+                F.element_at(F.col("toks"), i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    pair_col = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("a"),
+                F.element_at(F.col("toks"), i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    staged = toked.select(
+        "doc_id", "is_train", "toks", tri_col.alias("tris"), pair_col.alias("pairs")
+    ).localCheckpoint()
+    train = staged.where(F.col("is_train"))
+    c3 = (
+        train.select(F.explode("tris").alias("t"))
+        .groupBy(
+            F.col("t.w1").alias("t1"), F.col("t.w2").alias("t2"), F.col("t.w3").alias("t3")
+        )
+        .agg(F.count(F.lit(1)).alias("c3n"))
+    )
+    c2 = (
+        train.select(F.explode("pairs").alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c2n"))
+        .localCheckpoint()  # two consumers: the context join and the backoff join
+    )
+    c1 = (
+        train.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1n"))
+        .localCheckpoint()  # two consumers: c(w2) and c(w3)
+    )
+    ntot = c1.agg(F.sum("c1n").alias("n_train"))
+    pos = staged.where(~F.col("is_train")).select(
+        "doc_id",
+        F.explode("tris").alias("t"),
+    ).select(
+        "doc_id",
+        F.col("t.w1").alias("w1"),
+        F.col("t.w2").alias("w2"),
+        F.col("t.w3").alias("w3"),
+    )
+    ctx = c2.select(F.col("a").alias("w1"), F.col("b").alias("w2"), F.col("c2n").alias("ctxn"))
+    bo = c2.select(F.col("a").alias("w2"), F.col("b").alias("w3"), F.col("c2n").alias("bon"))
+    cw2 = c1.select(F.col("w").alias("w2"), F.col("c1n").alias("cw2n"))
+    cw3 = c1.select(F.col("w").alias("w3"), F.col("c1n").alias("cw3n"))
+    tri = c3.select(
+        F.col("t1").alias("w1"), F.col("t2").alias("w2"), F.col("t3").alias("w3"), "c3n"
+    )
+    scored = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(ctx, ["w1", "w2"], "left")
+        .join(bo, ["w2", "w3"], "left")
+        .join(cw2, ["w2"], "left")
+        .join(cw3, ["w3"], "left")
+        .crossJoin(F.broadcast(ntot))
+    )
+    s = (
+        F.when(
+            F.col("c3n").isNotNull(),
+            F.col("c3n").cast("double") / F.col("ctxn").cast("double"),
+        )
+        .when(
+            F.col("bon").isNotNull(),
+            F.lit(SB_ALPHA) * F.col("bon").cast("double") / F.col("cw2n").cast("double"),
+        )
+        .when(
+            F.col("cw3n").isNotNull(),
+            F.lit(SB_ALPHA * SB_ALPHA)
+            * F.col("cw3n").cast("double")
+            / F.col("n_train").cast("double"),
+        )
+    )
+    level = (
+        F.when(F.col("c3n").isNotNull(), F.lit("tri"))
+        .when(F.col("bon").isNotNull(), F.lit("bi"))
+        .when(F.col("cw3n").isNotNull(), F.lit("uni"))
+        .otherwise(F.lit("oov"))
+    )
+    contrib = F.when(
+        s.isNotNull(), F.round(-F.round(F.log(s), 9), 9).cast("decimal(28,9)")
+    )
+    perdoc = scored.select("doc_id", level.alias("lv"), contrib.alias("c")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(F.when(F.col("lv") == "tri", 1).otherwise(0)).cast("bigint").alias("n_tri"),
+        F.sum(F.when(F.col("lv") == "bi", 1).otherwise(0)).cast("bigint").alias("n_bi"),
+        F.sum(F.when(F.col("lv") == "uni", 1).otherwise(0)).cast("bigint").alias("n_uni"),
+        F.sum(F.when(F.col("lv") == "oov", 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        F.sum("c").alias("ssum"),
+        F.count("c").alias("n_scored"),
+    )
+    anchor = staged.where(~F.col("is_train")).select("doc_id")
+    xent = F.round(
+        F.try_divide(F.col("ssum").cast("double"), F.col("n_scored").cast("double")), 6
+    )
+    return (
+        anchor.join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+            F.coalesce(F.col("n_bi"), F.lit(0)).cast("bigint").alias("n_bi"),
+            F.coalesce(F.col("n_uni"), F.lit(0)).cast("bigint").alias("n_uni"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("bigint").alias("n_oov"),
+            xent.alias("sb_xent"),
+            F.round(F.exp(xent), 6).alias("sb_ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sb_sql() -> str:
+    return rf"""
+WITH toked AS MATERIALIZED (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('sbsplit:v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < {SB_TRAIN_BUCKETS} AS is_train,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), tri_i AS (
+  SELECT doc_id, is_train, toks,
+         unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+  FROM toked
+), pair_i AS (
+  SELECT is_train, toks,
+         unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+  FROM toked
+), c3 AS (
+  SELECT toks[i] AS t1, toks[i+1] AS t2, toks[i+2] AS t3,
+         CAST(COUNT(*) AS BIGINT) AS c3n
+  FROM tri_i WHERE is_train GROUP BY 1, 2, 3
+), c2 AS (
+  SELECT toks[i] AS a, toks[i+1] AS b, CAST(COUNT(*) AS BIGINT) AS c2n
+  FROM pair_i WHERE is_train GROUP BY 1, 2
+), c1 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1n FROM (
+    SELECT unnest(toks) AS w FROM toked WHERE is_train
+  ) GROUP BY 1
+), ntot AS (
+  SELECT CAST(SUM(c1n) AS BIGINT) AS n_train FROM c1
+), pos AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+  FROM tri_i WHERE NOT is_train
+), scored AS (
+  SELECT p.doc_id,
+         CASE WHEN c3.c3n IS NOT NULL THEN 'tri'
+              WHEN bo.c2n IS NOT NULL THEN 'bi'
+              WHEN cw3.c1n IS NOT NULL THEN 'uni'
+              ELSE 'oov' END AS lv,
+         CASE WHEN c3.c3n IS NOT NULL
+                THEN CAST(ROUND(-ROUND(ln(CAST(c3.c3n AS DOUBLE) / CAST(ctx.c2n AS DOUBLE)), 9), 9) AS DECIMAL(28,9))
+              WHEN bo.c2n IS NOT NULL
+                THEN CAST(ROUND(-ROUND(ln({SB_ALPHA!r} * CAST(bo.c2n AS DOUBLE) / CAST(cw2.c1n AS DOUBLE)), 9), 9) AS DECIMAL(28,9))
+              WHEN cw3.c1n IS NOT NULL
+                THEN CAST(ROUND(-ROUND(ln({SB_ALPHA * SB_ALPHA!r} * CAST(cw3.c1n AS DOUBLE) / CAST(n.n_train AS DOUBLE)), 9), 9) AS DECIMAL(28,9))
+              END AS c
+  FROM pos p
+  LEFT JOIN c3 ON c3.t1 = p.w1 AND c3.t2 = p.w2 AND c3.t3 = p.w3
+  LEFT JOIN c2 ctx ON ctx.a = p.w1 AND ctx.b = p.w2
+  LEFT JOIN c2 bo ON bo.a = p.w2 AND bo.b = p.w3
+  LEFT JOIN c1 cw2 ON cw2.w = p.w2
+  LEFT JOIN c1 cw3 ON cw3.w = p.w3
+  CROSS JOIN ntot n
+), perdoc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN lv = 'tri' THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+         CAST(SUM(CASE WHEN lv = 'bi' THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+         CAST(SUM(CASE WHEN lv = 'uni' THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+         CAST(SUM(CASE WHEN lv = 'oov' THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         SUM(c) AS ssum,
+         CAST(COUNT(c) AS BIGINT) AS n_scored
+  FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(p.n_pos, 0) AS n_pos,
+       COALESCE(p.n_tri, 0) AS n_tri,
+       COALESCE(p.n_bi, 0) AS n_bi,
+       COALESCE(p.n_uni, 0) AS n_uni,
+       COALESCE(p.n_oov, 0) AS n_oov,
+       ROUND(CAST(p.ssum AS DOUBLE) / nullif(p.n_scored, 0), 6) AS sb_xent,
+       ROUND(exp(ROUND(CAST(p.ssum AS DOUBLE) / nullif(p.n_scored, 0), 6)), 6) AS sb_ppl
+FROM (SELECT doc_id FROM toked WHERE NOT is_train) t
+LEFT JOIN perdoc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+STUPID_BACKOFF_SQL = _sb_sql()

@@ -203,6 +203,10 @@ DOC_OPS = [
     # for a leg -> ln(0) never evaluated: the leg emits n_tokens NULL
     # -> both engines agree on the degraded row shape)
     "ngram_entropy_report",
+    # r12: stupid backoff on a degenerate corpus — train split may
+    # be empty (every held-out position is OOV, NULL xent) and docs
+    # with < 3 tokens contribute no positions (n_pos 0 anchor rows)
+    "stupid_backoff_ppl",
     # r12: OPH on 1-2-shingle docs — most bins empty, rotation
     # densification fills every slot from the nearest occupied bin;
     # zero candidate pairs -> zero rows, not a crash

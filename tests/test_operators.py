@@ -883,6 +883,54 @@ def test_oph_densification_fills_every_slot(spark, tmp_path):
     assert sigs[0] == sigs[1]
 
 
+def test_stupid_backoff_levels_and_oov(spark, tmp_path):
+    """Backoff-level semantics on a planted corpus: the md5 split is
+    computed in-test, a held-out doc repeating the training sentence
+    must score every position at the trigram level with
+    xent = -ln(trigram relfreq); a held-out doc of never-seen words
+    must be all-OOV with NULL xent; Spark == oracle off-gate."""
+    import duckdb
+    import hashlib
+
+    from mito_spark.operators.text import (
+        SB_TRAIN_BUCKETS,
+        STUPID_BACKOFF_SQL,
+        stupid_backoff_ppl,
+    )
+
+    def bucket(doc_id):
+        return int(hashlib.md5(f"sbsplit:v1:{doc_id}".encode()).hexdigest()[:15], 16) % 10
+
+    sent = "the quick brown fox jumps over the lazy dog"
+    train_ids = [i for i in range(200) if bucket(i) < SB_TRAIN_BUCKETS][:6]
+    heldout = [i for i in range(200) if bucket(i) >= SB_TRAIN_BUCKETS][:2]
+    rows = [(i, sent, "en", "s0", 1) for i in train_ids]
+    rows.append((heldout[0], sent, "en", "s0", 1))
+    rows.append((heldout[1], "zz1 zz2 zz3 zz4", "en", "s0", 1))
+    d = str(tmp_path / "sb")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in stupid_backoff_ppl(spark, d).collect()}
+    assert set(got) == set(heldout)
+    rep = got[heldout[0]]
+    # every trigram of the repeated sentence was seen in train
+    assert rep.n_pos == rep.n_tri == 7 and rep.n_oov == 0
+    # 'the' appears twice as w1: trigram 'the quick brown' has
+    # relfreq c3/c2 = 1 for every position here (each bigram context
+    # occurs exactly as often as its continuation) -> xent == 0
+    assert rep.sb_xent == 0.0 and rep.sb_ppl == 1.0
+    unseen = got[heldout[1]]
+    assert unseen.n_oov == unseen.n_pos == 2
+    assert unseen.sb_xent is None and unseen.sb_ppl is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(STUPID_BACKOFF_SQL).fetchall()]
+    assert sorted(tuple(r) for r in got.values()) == sorted(want)
+
+
 def test_ngram_entropy_collapses_on_template_corpus(spark, tmp_path):
     """Shannon-ladder semantics check: a template-flooded corpus
     (one sentence repeated) must drive the conditional entropies to

@@ -709,6 +709,9 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         ("quality", "ngram_entropy_report",
          ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
           "BroadcastNestedLoopJoin")),
+        # r12: stupid backoff — gram-keyed model joins (broadcast-
+        # eligible type tables), never a Cartesian, no Python
+        ("text", "stupid_backoff_ppl", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
