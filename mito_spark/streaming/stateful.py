@@ -1028,3 +1028,134 @@ def streaming_cdc_chunk_dedup(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- live per-slice isotropy monitor (additive fixed-point moments) ----
+
+ISO_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("label", IntegerType()),
+        StructField("n_vectors", LongType()),
+        StructField("mean_norm", DoubleType()),
+        StructField("norm_cv", DoubleType()),
+        StructField("mean_pairwise_cosine", DoubleType()),
+        StructField("centroid_norm", DoubleType()),
+    ]
+)
+ISO_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sn", LongType()),
+        StructField("snn", LongType()),
+        StructField("su", ArrayType(LongType())),
+    ]
+)
+
+
+def _iso_fixed9(v: float) -> int:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        (Decimal(repr(float(v))) * (10**9)).quantize(Decimal("1"), ROUND_HALF_UP)
+    )
+
+
+def _iso_step_factory():
+    def step(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def rdp(v, p):
+            return float(
+                Decimal(repr(float(v))).quantize(Decimal(f"1e-{p}"), ROUND_HALF_UP)
+            )
+
+        n, sn, snn, su = (
+            (state.get[0], state.get[1], state.get[2], list(state.get[3]))
+            if state.exists
+            else (0, 0, 0, [])
+        )
+        for pdf in batches:
+            for nm, u in zip(pdf["nm"], pdf["u"]):
+                nm = float(nm)
+                n += 1
+                sn += _iso_fixed9(nm)
+                snn += _iso_fixed9(nm * nm)
+                if not su:
+                    su = [0] * len(u)
+                for i, v in enumerate(u):
+                    su[i] += _iso_fixed9(v)
+        state.update((n, sn, snn, su))
+        if n == 0:
+            return
+        nd = float(n)
+        mean_norm = float(Decimal(sn).scaleb(-9)) / nd
+        var_norm = max(float(Decimal(snn).scaleb(-9)) / nd - mean_norm * mean_norm, 0.0)
+        ssq_fixed = 0
+        for s in su:
+            sd = float(Decimal(s).scaleb(-9))
+            ssq_fixed += _iso_fixed9(sd * sd)
+        ssq = float(Decimal(ssq_fixed).scaleb(-9))
+        cv = rdp(math.sqrt(var_norm) / mean_norm, 6) if mean_norm != 0 else None
+        cos = rdp((ssq - nd) / (nd * (nd - 1.0)), 6) if n > 1 else None
+        yield pd.DataFrame(
+            [
+                (
+                    key[0],
+                    n,
+                    rdp(mean_norm, 6),
+                    cv,
+                    cos,
+                    rdp(math.sqrt(ssq) / nd, 6),
+                )
+            ],
+            columns=[
+                "label",
+                "n_vectors",
+                "mean_norm",
+                "norm_cv",
+                "mean_pairwise_cosine",
+                "centroid_norm",
+            ],
+        )
+
+    return step
+
+
+def streaming_isotropy(embs: DataFrame) -> DataFrame:
+    """Streaming twin of ``similarity.embedding_isotropy_report`` — a
+    LIVE per-label anisotropy monitor (the Ethayarajh estimate as an
+    ingestion gauge: a rising mean pairwise cosine on an arriving
+    embedding slice flags a common-direction flood before it poisons
+    cosine retrieval thresholds).
+
+    State per key is the ADDITIVE moment tuple (n, Σ‖x‖, Σ‖x‖²,
+    per-dim Σu) held as FIXED-POINT 1e-9 integers: integer addition
+    is exact, associative, and commutative, and it equals the batch
+    op's decimal(38,9) sums of 9dp-rounded terms bit-for-bit — so
+    batch-vs-stream equality holds under ANY arrival order and ANY
+    micro-batch split (the quantile-sketch twin's contract; replays
+    double-count, exactly as the batch op would double-count a
+    duplicated row). State is d+3 integers per key regardless of
+    stream length; int64 fixed-point overflows past ~9·10⁹ unit-norm
+    rows per key — the documented bound (the batch decimal(38,9)
+    carries further; shard the key before that).
+
+    The emission arithmetic mirrors the batch expression tree
+    op-for-op: decimal→double conversion of each sum, the identical
+    cosine identity (‖Σu‖²−n)/(n(n−1)) with ‖Σu‖² re-rounded at 9dp
+    per dimension term, 6dp half-up output rounds.
+
+    Expects a (label, nm, u) frame — normalize UPSTREAM with the SAME
+    JVM expressions as the batch op (x cast double, nm = ‖x‖ fold,
+    filter nm > 0, u = x/nm) so the arriving unit vectors are
+    bit-identical; update mode."""
+    return embs.groupBy("label").applyInPandasWithState(
+        _iso_step_factory(),
+        outputStructType=ISO_OUTPUT_SCHEMA,
+        stateStructType=ISO_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

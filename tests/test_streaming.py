@@ -971,3 +971,75 @@ def test_streaming_cdc_dedup_matches_batch_rank(spark, sf_dir, tmp_path):
         for r in chunks.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert len(want) > 100 and got == want
+
+
+def test_streaming_isotropy_matches_batch_any_order(spark, sf_dir, tmp_path):
+    """The live isotropy monitor's final per-label emission must equal
+    the batch embedding_isotropy_report run on that label's slice —
+    bit-for-bit, under a non-chronological (vec_id mod 3) split: the
+    fixed-point moment state merges by integer ADDITION, so arrival
+    order and batch boundaries cannot matter."""
+    import os
+    import time
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.similarity import (
+        _norm,
+        embedding_isotropy_report,
+    )
+    from mito_spark.streaming.stateful import streaming_isotropy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = sorted(r.label for r in emb.select("label").distinct().collect())
+    want = {}
+    for lb in labels:
+        d = str(tmp_path / f"iso{lb}")
+        emb.where(F.col("label") == lb).write.parquet(d + "/embeddings.parquet")
+        r = embedding_isotropy_report(spark, d).collect()[0]
+        want[lb] = tuple(r)
+
+    d = str(tmp_path / "isostream")
+    dest = d + "/emb.parquet"
+    base_t = time.time()
+    seen: set = set()
+    for i in range(3):
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(dest)
+        for f in os.listdir(dest):
+            if f in seen:
+                continue
+            seen.add(f)
+            os.utime(os.path.join(dest, f), (base_t + 100 * i, base_t + 100 * i))
+    schema = spark.read.parquet(dest).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+        .select("label", F.col("embedding").cast("array<double>").alias("x"))
+        .select("label", "x", _norm(F.col("x")).alias("nm"))
+        .where(F.col("nm") > 0)
+        .select(
+            "label", "nm", F.transform("x", lambda v: v / F.col("nm")).alias("u")
+        )
+    )
+    latest: dict = {}
+
+    def on_batch(b, _i):
+        for r in b.collect():
+            latest[r.label] = (
+                r.n_vectors,
+                r.mean_norm,
+                r.norm_cv,
+                r.mean_pairwise_cosine,
+                r.centroid_norm,
+            )
+
+    sink = ChannelSink("isostream", on_batch)
+    q = sink.send_to(
+        streaming_isotropy(stream), output_mode="update", availableNow=True
+    )
+    q.awaitTermination(180)
+    sink.close()
+    assert set(latest) == set(want) and len(want) >= 2
+    assert latest == want
