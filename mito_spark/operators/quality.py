@@ -1111,3 +1111,102 @@ FROM ladder ORDER BY n
 
 
 NGRAM_ENTROPY_SQL = _entropy_sql()
+
+
+# --- term burstiness (Church-Gale adaptation + Fano factor) ---------------
+
+BURST_DF_FLOOR = 5  # a term must appear in >= this many docs to rank
+BURST_TOP = 20
+
+
+def term_burstiness_report(
+    spark: SparkSession, sf_dir: str, top: int = BURST_TOP
+) -> DataFrame:
+    """Per-term BURSTINESS — the Church & Gale (1995, "Poisson
+    mixtures") observation that content words are not Poisson: once a
+    word appears in a document it tends to appear AGAIN, while
+    function words spread evenly. Two classic statistics per term:
+
+    - **adaptation** = cf/df — mean occurrences per CONTAINING doc
+      (E[tf | tf > 0]): ~1 for function words, >> 1 for topical and
+      boilerplate terms;
+    - **fano** = var(tf)/mean(tf) over ALL docs (zeros included) —
+      the Poisson yardstick (Fano = 1 under Poisson; burstiness shows
+      as Fano >> 1). Computed from exact integer moments:
+      fano = Σtf²/cf − cf/N, the algebraic collapse of
+      ((Σtf² − cf²/N)/N)/(cf/N) — two double ops on exact integers,
+      bit-identical on both engines.
+
+    Why a pipeline wants it: high-Fano high-df terms are the
+    boilerplate/template vocabulary (they concentrate in doc clumps —
+    prime n-gram-filter candidates, cf. boilerplate_ngrams); Fano ≈ 1
+    terms are the Poisson background no filter should key on. The
+    report ranks the top-`top` bursty terms above a df floor
+    (BURST_DF_FLOOR — singleton-doc terms have degenerate variance).
+
+    Scale shape: ONE tokenize explode → (doc, term) tf rollup →
+    (term) moment rollup — both map-side combinable; the doc count N
+    rides a broadcast 1-row frame; final selection is a global
+    top-`top` (TakeOrdered — never a corpus-wide window). The
+    intermediate is |vocab|-bounded; nothing corpus-sized survives
+    the second shuffle.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_term = tf.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.sum(F.col("tf") * F.col("tf")).alias("s2"),
+    )
+    scored = (
+        per_term.where(F.col("df") >= BURST_DF_FLOOR)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("w").alias("term"),
+            "df",
+            "cf",
+            F.round(F.col("cf").cast("double") / F.col("df").cast("double"), 6).alias(
+                "adaptation"
+            ),
+            F.round(
+                F.col("s2").cast("double") / F.col("cf").cast("double")
+                - F.col("cf").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("fano"),
+        )
+    )
+    return scored.orderBy(F.desc("fano"), F.asc("term")).limit(top)
+
+
+def _burstiness_sql(top: int = BURST_TOP) -> str:
+    return rf"""
+WITH tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+), per_term AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+         CAST(SUM(tf * tf) AS BIGINT) AS s2
+  FROM tf GROUP BY w
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT w AS term, df, cf,
+       ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS adaptation,
+       ROUND(CAST(s2 AS DOUBLE) / CAST(cf AS DOUBLE)
+             - CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS fano
+FROM per_term CROSS JOIN n
+WHERE df >= {BURST_DF_FLOOR}
+ORDER BY fano DESC, term ASC
+LIMIT {top}
+"""
+
+
+TERM_BURSTINESS_SQL = _burstiness_sql()

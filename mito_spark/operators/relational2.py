@@ -1007,3 +1007,123 @@ SELECT l_returnflag, n,
                    * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))), 6) AS corr_qty_discount
 FROM g ORDER BY l_returnflag
 """
+
+
+# --- table profiling (ANALYZE-style column statistics) --------------------
+
+_TP_COLS: list[tuple[str, str]] = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics over the widest fact table
+    — row count, null count, EXACT distinct count, min/max — the
+    profile an optimizer's stats collector, a data-quality monitor,
+    and a migration diff all start from (the engine-surface sibling of
+    corpus_snapshot_diff, which does the same job for documents).
+
+    One PASS over the table: a single aggregate computes all 4 stats x
+    11 columns; the per-column rows are then rotated out of the 1-row
+    aggregate (rotate late — the unpivot touches 11 rows, never the
+    fact table; the lineitem_metrics_unpivot discipline). The exact
+    multi-column distinct makes Spark plan an Expand (one input pass,
+    |cols|+1 internal row replication before partial aggregation) —
+    the honest price of exactness, paid map-side. At 100 TB the
+    drop-in substitution is approx_count_distinct (no Expand, one
+    HLL per column); hll_calibration_report prices exactly that swap's
+    error, which is why the exact form is what the gate hash-checks.
+
+    Min/max render through type-pinned formats so both engines emit
+    identical strings (the profile is heterogeneous, so values ship as
+    strings): integers via plain CAST, measures via DECIMAL(18,2) (the
+    data is 2dp-quantized; nearest-double error ~1e-13 never straddles
+    a rounding boundary), timestamps via an explicit
+    yyyy-MM-dd HH:mm:ss format — never engine-default float/timestamp
+    rendering, which diverges (Spark switches to E-notation at 1e7).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, _ in _TP_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).alias(f"min_{c}"),
+            F.max(F.col(c)).alias(f"max_{c}"),
+        ]
+    one = li.agg(*aggs)
+
+    def render(name: str, kind: str):
+        col = F.col(name)
+        if kind == "int":
+            return col.cast("string")
+        if kind == "num":
+            return col.cast("decimal(18,2)").cast("string")
+        if kind == "ts":
+            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        return col
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                render(f"min_{c}", k).alias("min_value"),
+                render(f"max_{c}", k).alias("max_value"),
+            )
+            for c, k in _TP_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("column_name")
+    )
+
+
+def _table_profile_sql() -> str:
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c, _ in _TP_COLS:
+        aggs += [
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_{c}",
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}",
+            f"MIN({c}) AS min_{c}",
+            f"MAX({c}) AS max_{c}",
+        ]
+
+    def render(name: str, kind: str) -> str:
+        if kind == "int":
+            return f"CAST({name} AS VARCHAR)"
+        if kind == "num":
+            return f"CAST(CAST({name} AS DECIMAL(18,2)) AS VARCHAR)"
+        if kind == "ts":
+            return f"strftime({name}, '%Y-%m-%d %H:%M:%S')"
+        return name
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, n_rows, nulls_{c} AS n_nulls, nd_{c} AS n_distinct,\n"
+        f"       {render(f'min_{c}', k)} AS min_value, {render(f'max_{c}', k)} AS max_value FROM one"
+        for c, k in _TP_COLS
+    )
+    return f"""
+WITH one AS MATERIALIZED (
+  SELECT {', '.join(aggs)} FROM lineitem
+)
+{arms}
+ORDER BY column_name
+"""
+
+
+TABLE_PROFILE_SQL = _table_profile_sql()

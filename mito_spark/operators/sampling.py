@@ -666,3 +666,85 @@ SELECT token, cnt,
 FROM smoothed, tot
 ORDER BY cnt DESC, token ASC
 """
+
+
+# --- word2vec frequent-word subsampling ----------------------------------
+
+SUBSAMPLE_T = 1e-4  # word2vec C-code default sample threshold
+SUBSAMPLE_TOP = 50
+
+
+def subsample_frequent_words(
+    spark: SparkSession, sf_dir: str, top: int = SUBSAMPLE_TOP
+) -> DataFrame:
+    """The word2vec frequent-word SUBSAMPLING plan (Mikolov et al.
+    2013 §2.3) — the other half of the sampling pair next to
+    ``negative_sampling_table``: frequent tokens are randomly dropped
+    from training windows with a frequency-dependent keep
+    probability, which both speeds training and improves rare-word
+    vectors. This materializes the per-token keep table a trainer
+    ships with its corpus shards.
+
+    Formula: the C implementation's keep probability
+    p_keep = (sqrt(f/t) + 1) · t/f, clipped to 1, with f the corpus
+    relative frequency and t = 1e-4 (the paper's prose states the
+    simpler 1 − sqrt(t/f); the C form is what every released
+    word2vec/fastText binary actually runs, so that is the spec
+    here). Every step is a correctly-rounded IEEE op on exact
+    operands — divide, sqrt, multiply-add, least — no transcendentals,
+    so both engines hold the bit-identical double before the final
+    6dp display round (the negative_sampling_table discipline).
+
+    Scale shape: ONE tokenize+count shuffle to the vocab frame; the
+    total rides a broadcast 1-row aggregate; output is the top-`top`
+    tokens by count (TakeOrdered) with cnt, freq, p_keep, and the
+    expected kept occurrences — the head of the table is where
+    subsampling bites (p_keep is monotone non-increasing in f, pinned
+    by a property test).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from mito_spark.operators.text import _tokens
+
+    vocab = (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = vocab.agg(F.sum("cnt").alias("tot"))
+    f = F.col("cnt").cast("double") / F.col("tot").cast("double")
+    t = F.lit(SUBSAMPLE_T)
+    p_keep = F.least(F.lit(1.0), (F.sqrt(f / t) + F.lit(1.0)) * t / f)
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "cnt",
+            F.round(f, 6).alias("freq"),
+            F.round(p_keep, 6).alias("p_keep"),
+            F.round(F.col("cnt").cast("double") * p_keep, 6).alias("expected_kept"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top)
+    )
+
+
+SUBSAMPLE_SQL = rf"""
+WITH vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+    FROM documents
+  ) GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM vocab
+)
+SELECT token, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS freq,
+       ROUND(LEAST(1.0, (sqrt((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) / {SUBSAMPLE_T!r}) + 1.0)
+                        * {SUBSAMPLE_T!r} / (CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS p_keep,
+       ROUND(CAST(cnt AS DOUBLE)
+             * LEAST(1.0, (sqrt((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) / {SUBSAMPLE_T!r}) + 1.0)
+                          * {SUBSAMPLE_T!r} / (CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS expected_kept
+FROM vocab CROSS JOIN tot
+ORDER BY cnt DESC, token ASC
+LIMIT {SUBSAMPLE_TOP}
+"""

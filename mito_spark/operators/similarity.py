@@ -884,6 +884,301 @@ FROM (
 COSINE_SQ8_SQL = _sq8_sql()
 
 
+# --- binary (1-bit) quantization tier ---------------------------------
+
+
+def cosine_topk_binary(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """Binary-quantized ANN: 1-bit sign codes, Hamming-distance
+    candidate generation, exact float re-rank — the bottom rung of the
+    quantization ladder (fp32 → SQ8 → PQ → 1-bit) and the cheapest
+    serving tier there is: d=64 packs into TWO 32-bit words (16 bytes
+    vs 256 fp32 bytes, 16×), and the candidate distance is
+    XOR + popcount (`F.bit_count`) — integer ALU ops inside
+    whole-stage codegen, the same primitive Faiss's IndexBinaryFlat
+    and Lucene/Elasticsearch BBQ serve with. Sign-random-projection
+    theory (Charikar STOC'02) makes Hamming on sign bits a monotone
+    estimator of angle: P[bit differs] = θ/π per hyperplane — here the
+    hyperplanes are the coordinate axes, i.e. the code is sign(v)
+    itself, the "binary quantization" of the embedding.
+
+    Packing is a Horner fold per 32-bit word (acc·2 + bit over an
+    array slice) — exact integers < 2^32 in a long, identical algebra
+    on both engines (the oracle writes the same sum as Σ bit_i·2^w−i).
+    For d > 64 the code generalizes to an array of words (slice per
+    32 dims); the two-column form keeps the gate corpus's d=64 flat.
+
+    Phase 1 scores every (query, corpus) pair on codes only — the
+    16-byte rows are all that rides the candidate stage; floats never
+    enter until phase 2 re-ranks the k·rerank_factor survivors (ties
+    in 64-bit Hamming are dense, so the factor is 8, not SQ8's 4 —
+    recall measured in pytest vs brute force; the oracle reproduces
+    the pipeline exactly, so the gate checks implementation, not
+    recall).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def word(start: int) -> Column:
+        # Horner over one 32-dim slice: Σ bit_p · 2^(32-p), exact long
+        return F.aggregate(
+            F.slice(F.col("bits"), start, 32),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + x,
+        )
+
+    coded = (
+        emb.withColumn(
+            "bits", F.transform(F.col("v"), lambda x: (x > 0).cast("long"))
+        )
+        .select("vec_id", "v", word(1).alias("w0"), word(33).alias("w1"))
+        .localCheckpoint()  # feeds candidates, queries, and the rerank
+    )
+    queries = coded.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0"))) + F.bit_count(
+        F.col("w1").bitwiseXOR(F.col("qw1"))
+    )
+    cand = (
+        coded.select("vec_id", "w0", "w1")
+        .join(
+            F.broadcast(queries.select("query_id", "qw0", "qw1")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
+    )
+    survivors = per_key_topk(
+        cand,
+        "query_id",
+        [F.asc("hamming"), F.asc("neighbor_id")],
+        k * rerank_factor,
+        rank_name="crank",
+    ).select("query_id", "neighbor_id")
+    rerank = (
+        coded.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(queries.select("query_id", "q")), "query_id")
+        .select("query_id", "neighbor_id", _cosine(F.col("q"), F.col("v")).alias("cos"))
+        .where(F.col("cos").isNotNull())
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _binary_sql(n_queries: int = 10, k: int = 10, rerank_factor: int = 8) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), bitsv AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+  FROM e
+), coded AS (
+  -- length-aware Horner (matches the Spark fold over the ACTUAL
+  -- slice, so short/degenerate vectors agree: empty slice -> 0)
+  SELECT vec_id, v,
+         COALESCE(CAST(list_sum(list_transform(range(1, least(32, len(bits))+1),
+                  i -> bits[i] * CAST(2**(least(32, len(bits))-i) AS BIGINT))) AS BIGINT), 0) AS w0,
+         COALESCE(CAST(list_sum(list_transform(range(33, len(bits)+1),
+                  i -> bits[i] * CAST(2**(len(bits)-i) AS BIGINT))) AS BIGINT), 0) AS w1
+  FROM bitsv
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, w0 AS qw0, w1 AS qw1 FROM coded WHERE vec_id < {n_queries}
+), cand AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(c.w0, q.qw0)) + bit_count(xor(c.w1, q.qw1)) AS hamming,
+         qv, v
+  FROM coded c, q WHERE c.vec_id <> q.query_id
+), survivors AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id) AS crank
+    FROM cand
+  ) WHERE crank <= {k * rerank_factor}
+), rerank AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * v[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))
+              * sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])))) AS cos
+  FROM survivors
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rerank
+) WHERE rank <= {k}
+"""
+
+
+COSINE_BINARY_SQL = _binary_sql()
+
+
+# --- rank-biased overlap: ANN serving quality beyond recall ------------
+
+RBO_P = 0.9  # persistence: top-weighted, ~"expected viewing depth 10"
+
+
+def _rbo_contrib(k: int, p: float) -> list[float]:
+    """Per-matched-item RBO contribution lookup: an item first present
+    in BOTH top-d lists at depth e = max(rank_a, rank_b) contributes
+    Σ_{d=e..k} (1−p)·p^(d−1)/d. Python-computed doubles interpolated
+    into BOTH engines' plans, so parity is by construction."""
+    out = []
+    for e in range(1, k + 1):
+        out.append(sum((1.0 - p) * p ** (d - 1) / d for d in range(e, k + 1)))
+    return out
+
+
+def ann_rbo_report(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    p: float = RBO_P,
+) -> DataFrame:
+    """Rank-Biased Overlap of the binary-quantized tier's ranking vs
+    exact brute force, per query (Webber, Moffat & Zobel TOIS'10) —
+    the serving-quality metric recall@k cannot see: recall counts SET
+    membership, RBO weights agreement by DEPTH with geometric decay
+    (1−p)p^(d−1), so a tier that nails ranks 1-3 but scrambles 8-10
+    scores near 1 while an equal-recall tier that misses the head
+    scores low — exactly how serving quality is experienced. The
+    truncated RBO_MIN convention (no extrapolation residual;
+    documented, weights sum to 1−p^k ≈ 0.651 at k=10, p=0.9) keeps
+    the statistic a finite sum both engines reproduce bit-for-bit:
+    each matched item's contribution is a k-entry lookup of
+    Python-precomputed doubles (same literals in both plans), summed
+    9dp-decimal order-free.
+
+    Scale shape: both legs are the audited tiers (each never more
+    than |Q|·k output rows); the comparison is a |Q|·k equi-join +
+    a |Q|-row rollup — nothing corpus-sized. The ANN family's
+    third measurement surface: recall (set), RBO (rank), nprobe/
+    ablation curves (cost).
+    """
+    exact = cosine_topk_bruteforce(spark, sf_dir, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_e")
+    )
+    approx = cosine_topk_binary(spark, sf_dir, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_a")
+    )
+    contrib = _rbo_contrib(k, p)
+    lut = F.array(*[F.lit(c) for c in contrib])
+    matched = exact.join(approx, ["query_id", "neighbor_id"]).select(
+        "query_id",
+        F.round(
+            F.element_at(lut, F.greatest("r_e", "r_a").cast("int")), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("c"),
+    )
+    agg = matched.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.sum("c").cast("double"), 6).alias("rbo"),
+    )
+    qids = exact.select("query_id").distinct()
+    return (
+        qids.join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce("rbo", F.lit(0.0)).alias("rbo"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _rbo_sql(n_queries: int = 10, k: int = 10, p: float = RBO_P) -> str:
+    """Composed twin: the brute-force chain and the full binary-tier
+    chain as namespaced CTEs, then the same lookup-join-rollup."""
+    contrib = _rbo_contrib(k, p)
+    lut = "[" + ", ".join(repr(c) for c in contrib) + "]"
+    cos = (
+        "list_sum(list_transform(range(1, len({q})+1), i -> {q}[i] * {v}[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, len({q})+1), i -> {q}[i]*{q}[i])))"
+        " * sqrt(list_sum(list_transform(range(1, len({v})+1), i -> {v}[i]*{v}[i]))))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), xq AS (
+  SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < {n_queries}
+), xscored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {cos.format(q='xq.q', v='e.v')} AS cos
+  FROM e JOIN xq ON e.vec_id <> xq.query_id
+), exact AS (
+  SELECT query_id, neighbor_id, rank AS r_e FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM xscored
+  ) WHERE rank <= {k}
+), bitsv AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+  FROM e
+), coded AS (
+  SELECT vec_id, v,
+         COALESCE(CAST(list_sum(list_transform(range(1, least(32, len(bits))+1),
+                  i -> bits[i] * CAST(2**(least(32, len(bits))-i) AS BIGINT))) AS BIGINT), 0) AS w0,
+         COALESCE(CAST(list_sum(list_transform(range(33, len(bits)+1),
+                  i -> bits[i] * CAST(2**(len(bits)-i) AS BIGINT))) AS BIGINT), 0) AS w1
+  FROM bitsv
+), bq AS (
+  SELECT vec_id AS query_id, v AS qv, w0 AS qw0, w1 AS qw1 FROM coded WHERE vec_id < {n_queries}
+), bcand AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(c.w0, bq.qw0)) + bit_count(xor(c.w1, bq.qw1)) AS hamming,
+         qv, v
+  FROM coded c, bq WHERE c.vec_id <> bq.query_id
+), bsurv AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id) AS crank
+    FROM bcand
+  ) WHERE crank <= {k * 8}
+), brerank AS (
+  SELECT query_id, neighbor_id,
+         {cos.format(q='qv', v='v')} AS cos
+  FROM bsurv
+), approx AS (
+  SELECT query_id, neighbor_id, rank AS r_a FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM brerank
+  ) WHERE rank <= {k}
+), matched AS (
+  SELECT exact.query_id,
+         CAST(ROUND(({lut})[GREATEST(r_e, r_a)], 9) AS DECIMAL(18,9)) AS c
+  FROM exact JOIN approx
+    ON exact.query_id = approx.query_id AND exact.neighbor_id = approx.neighbor_id
+), agg AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+         ROUND(CAST(SUM(c) AS DOUBLE), 6) AS rbo
+  FROM matched GROUP BY query_id
+)
+SELECT q.query_id,
+       COALESCE(a.n_overlap, 0) AS n_overlap,
+       COALESCE(a.rbo, 0.0) AS rbo
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN agg a USING (query_id)
+ORDER BY q.query_id
+"""
+
+
+ANN_RBO_SQL = _rbo_sql()
+
+
 # --- SemDeDup: semantic dedup via k-means + intra-cluster cosine ------
 
 

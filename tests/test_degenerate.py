@@ -211,6 +211,10 @@ DOC_OPS = [
     # densification fills every slot from the nearest occupied bin;
     # zero candidate pairs -> zero rows, not a crash
     "minhash_oph_report",
+    # r12 session 2: edit-distance verify on a corpus whose LSH chain
+    # yields zero candidates (no shingles on empty/1-char docs) ->
+    # zero rows; the mx=0 CASE guards empty-vs-empty pairs
+    "dedup_edit_distance",
 ]
 EMB_OPS = [
     "quantize_embeddings",
@@ -265,6 +269,10 @@ EMB_OPS = [
     # the previous vector and later eigenvalues go ~0, identically in
     # the driver iteration and the unrolled SQL
     "pca_projection_report",
+    # r12 session 2: binary quantization on 8-dim degen vectors — the
+    # second word's slice is empty (fold -> 0, oracle COALESCE 0);
+    # the zero vector's cosine NULLs out via try_divide and drops
+    "ann_cosine_topk_binary",
 ]
 
 

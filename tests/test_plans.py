@@ -712,6 +712,14 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # r12: stupid backoff — gram-keyed model joins (broadcast-
         # eligible type tables), never a Cartesian, no Python
         ("text", "stupid_backoff_ppl", ()),
+        # r12 session 2: edit-distance verify — banded candidates +
+        # doc join + JVM levenshtein; all hash joins, no windows
+        ("dedup", "dedup_edit_distance",
+         ("BroadcastNestedLoopJoin", "Window")),
+        # r12 session 2: binary ANN — 16-byte code rows ride the
+        # candidate broadcast join; the only window is the bounded
+        # per-query rerank (same shape as the SQ8 tier)
+        ("similarity", "cosine_topk_binary", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
