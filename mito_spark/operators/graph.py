@@ -1113,3 +1113,132 @@ FROM assigned GROUP BY split ORDER BY split
 
 
 SPLIT_BY_CLUSTER_SQL = _split_by_cluster_sql()
+
+
+# --- degree assortativity (Newman 2002) -----------------------------------
+
+
+def graph_assortativity(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Degree assortativity of the (symmetrized) kNN graph — Newman
+    (PRL 2002): the Pearson correlation of end-point degrees over the
+    directed symmetrized edge set. The one-number summary of the
+    graph's HUB STRUCTURE that the per-node clustering report can't
+    give: r < 0 is hub-and-spoke (a few attractor documents — shared
+    boilerplate — collect edges from low-degree satellites; prime
+    canonical-pick / boilerplate-filter targets), r > 0 is
+    degree-stratified clumps (dense near-dup communities, the
+    semdedup case), r ≈ 0 is the unstructured background.
+
+    Parity discipline is lineitem_correlations': all six moments
+    (n, Σdx, Σdy, Σdxdy, Σdx², Σdy²) are EXACT integer sums; the
+    correlation assembles in double arithmetic on those exact
+    operands (products taken after the cast, so nothing overflows
+    int64 at scale), try_divide NULLs a zero-variance (regular)
+    graph identically on both engines.
+
+    Scale shape: work is bounded by the edge list (|V|·k rows, never
+    the corpus): symmetrize → degree rollup → two broadcast-eligible
+    degree joins → one 1-row moment aggregate, every stage map-side
+    combinable. Accepts a precomputed ``edges`` frame like the other
+    graph consumers (build the graph once, feed every analysis).
+    """
+    from mito_spark.operators.similarity import knn_graph
+
+    if edges is None:
+        edges = knn_graph(spark, sf_dir, k=k)
+    e = edges.select(
+        F.col("vec_id").cast("long").alias("u"),
+        F.col("neighbor_id").cast("long").alias("v"),
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()  # feeds the degree rollup and both joins
+    )
+    deg = sym.groupBy(F.col("u").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    de = sym.join(
+        deg.select(F.col("vec_id").alias("u"), F.col("degree").alias("dx")), "u"
+    ).join(
+        deg.select(F.col("vec_id").alias("v"), F.col("degree").alias("dy")), "v"
+    )
+    m = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("degree").alias("degsum")
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - sx * sx)
+        * (n * F.col("syy").cast("double") - sy * sy)
+    )
+    return m.crossJoin(F.broadcast(nodes)).select(
+        F.col("n_nodes"),
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.col("degsum").cast("double") / F.col("n_nodes").cast("double"), 6
+        ).alias("mean_degree"),
+        F.round(F.try_divide(num, den), 6).alias("assortativity"),
+    )
+
+
+def _assortativity_sql(k: int = 5) -> str:
+    from mito_spark.operators.similarity import _knn_graph_sql
+
+    return f"""
+WITH knn AS ({_knn_graph_sql(k=k)}),
+asym AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT vec_id AS u, neighbor_id AS v FROM knn
+    UNION ALL
+    SELECT neighbor_id AS u, vec_id AS v FROM knn
+  ) WHERE u <> v
+),
+adeg AS MATERIALIZED (
+  SELECT u AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree FROM asym GROUP BY u
+),
+de AS (
+  SELECT du.degree AS dx, dv.degree AS dy
+  FROM asym JOIN adeg du ON asym.u = du.vec_id
+            JOIN adeg dv ON asym.v = dv.vec_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM de
+),
+nodes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, CAST(SUM(degree) AS BIGINT) AS degsum
+  FROM adeg
+)
+SELECT n_nodes,
+       CAST(n / 2 AS BIGINT) AS n_edges,
+       ROUND(CAST(degsum AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6) AS mean_degree,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS assortativity
+FROM m CROSS JOIN nodes
+"""
+
+
+GRAPH_ASSORTATIVITY_SQL = _assortativity_sql()

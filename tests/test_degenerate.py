@@ -215,6 +215,11 @@ DOC_OPS = [
     # yields zero candidates (no shingles on empty/1-char docs) ->
     # zero rows; the mx=0 CASE guards empty-vs-empty pairs
     "dedup_edit_distance",
+    # r12 session 2: burstiness on a 4-doc corpus — nothing reaches
+    # the df >= 5 floor, zero rows, not a crash; subsampling on a
+    # tiny vocab — every p_keep clips to 1 via LEAST
+    "term_burstiness_report",
+    "subsample_frequent_words",
 ]
 EMB_OPS = [
     "quantize_embeddings",
@@ -273,6 +278,12 @@ EMB_OPS = [
     # second word's slice is empty (fold -> 0, oracle COALESCE 0);
     # the zero vector's cosine NULLs out via try_divide and drops
     "ann_cosine_topk_binary",
+    # r12 session 2: RBO on the degen frame (every vector is a query;
+    # zero-vector rankings drop, the left join backfills 0 rows) and
+    # assortativity on the tiny kNN graph (a regular/symmetric case
+    # zero-variances the denominator -> NULL r on both engines)
+    "ann_rbo_report",
+    "graph_assortativity",
 ]
 
 

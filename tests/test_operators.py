@@ -1162,3 +1162,88 @@ def test_binary_ann_recall_floor_and_exact_scores(spark, sf_dir):
     for r in bin_rows:
         if (r.query_id, r.neighbor_id) in scores:
             assert abs(scores[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_burstiness_planted_bursty_vs_flat(spark, tmp_path):
+    """'burst' concentrates (10 occurrences in one doc + 1 in five
+    others); 'flat' appears exactly once in each doc. Fano must rank
+    burst far above flat; adaptation is the exact cf/df ratio."""
+    from mito_spark.operators.quality import term_burstiness_report
+
+    d = str(tmp_path / "burst")
+    docs = [(0, "flat " + " ".join(["burst"] * 10))]
+    docs += [(i, "flat burst pad") for i in range(1, 6)]
+    docs += [(i, "flat pad pad") for i in range(6, 12)]
+    _write_docs(spark, d, docs)
+    rows = {r.term: r for r in term_burstiness_report(spark, d).collect()}
+    assert rows["burst"].df == 6 and rows["burst"].cf == 15
+    assert abs(rows["burst"].adaptation - 2.5) < 1e-9
+    assert abs(rows["flat"].adaptation - 1.0) < 1e-9
+    assert rows["burst"].fano > rows["flat"].fano
+
+
+def test_table_profile_matches_direct_aggregates(spark, sf_dir):
+    from mito_spark.operators.relational2 import table_profile
+    from mito_spark.engine import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    prof = {r.column_name: r for r in table_profile(spark, sf_dir).collect()}
+    assert len(prof) == 11
+    assert all(r.n_rows == n for r in prof.values())
+    assert prof["l_returnflag"].n_distinct == li.select("l_returnflag").distinct().count()
+    assert prof["l_returnflag"].min_value == "A" and prof["l_returnflag"].max_value == "R"
+    assert prof["l_orderkey"].n_nulls == 0
+    import decimal
+
+    direct_max = li.agg(F.max("l_extendedprice")).collect()[0][0]
+    assert prof["l_extendedprice"].max_value == str(
+        decimal.Decimal(repr(direct_max)).quantize(decimal.Decimal("0.01"))
+    )
+
+
+def test_subsample_keep_prob_monotone_and_bounded(spark, sf_dir):
+    """p_keep must be <= 1, and monotone non-increasing in corpus
+    frequency (the point of subsampling: frequent words get dropped)."""
+    from mito_spark.operators.sampling import subsample_frequent_words
+
+    rows = subsample_frequent_words(spark, sf_dir).collect()
+    assert rows
+    by_cnt = sorted(rows, key=lambda r: (-r.cnt, r.token))
+    assert all(0.0 < r.p_keep <= 1.0 for r in rows)
+    for a, b in zip(by_cnt, by_cnt[1:]):
+        if a.cnt > b.cnt:
+            assert a.p_keep <= b.p_keep + 1e-12
+
+
+def test_rbo_contrib_identity_and_report_bounds(spark, sf_dir):
+    """Identical rankings must score exactly the truncated weight mass
+    1 - p^k (every item matched at e = rank); the report's per-query
+    rbo stays inside [0, 1 - p^k]."""
+    from mito_spark.operators.similarity import RBO_P, _rbo_contrib, ann_rbo_report
+
+    k = 10
+    lut = _rbo_contrib(k, RBO_P)
+    assert abs(sum(lut) - (1.0 - RBO_P**k)) < 1e-12
+    rows = ann_rbo_report(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # rbo ships 6dp-rounded, so the bound carries display slack
+        assert 0.0 <= r.rbo <= (1.0 - RBO_P**k) + 5e-7
+        assert 0 <= r.n_overlap <= k
+
+
+def test_assortativity_star_graph_is_minus_one(spark, sf_dir):
+    """A star K_{1,n} is the textbook maximally DISassortative graph:
+    every edge joins the hub (degree n) to a leaf (degree 1), so the
+    endpoint-degree correlation is exactly -1."""
+    from mito_spark.operators.graph import graph_assortativity
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "vec_id long, neighbor_id long"
+    )
+    row = graph_assortativity(spark, sf_dir, edges=edges).collect()[0]
+    assert row.n_nodes == 5 and row.n_edges == 4
+    assert abs(row.assortativity - (-1.0)) < 1e-9
+    got = graph_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 - 1e-9 <= got.assortativity <= 1.0 + 1e-9

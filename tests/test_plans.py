@@ -720,6 +720,26 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # candidate broadcast join; the only window is the bounded
         # per-query rerank (same shape as the SQ8 tier)
         ("similarity", "cosine_topk_binary", ()),
+        # r12 session 2: burstiness — explode + two map-side rollups
+        # + 1-row broadcast; top-k via TakeOrdered, never a window
+        ("quality", "term_burstiness_report",
+         ("SortMergeJoin", "ShuffledHashJoin", "Window")),
+        # r12 session 2: table profile — ONE aggregate pass (Expand
+        # for the exact multi-distinct) + an 11-row unpivot; no joins
+        # or windows of any kind
+        ("relational2", "table_profile",
+         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin", "Window")),
+        # r12 session 2: subsampling — vocab rollup + 1-row broadcast
+        # total; TakeOrdered cut
+        ("sampling", "subsample_frequent_words",
+         ("SortMergeJoin", "ShuffledHashJoin", "Window")),
+        # r12 session 2: RBO — two audited tier legs + a |Q|k join +
+        # |Q|-row rollup (windows are the legs' bounded reranks)
+        ("similarity", "ann_rbo_report", ()),
+        # r12 session 2: assortativity — edge-bounded degree joins +
+        # one 1-row moment aggregate; no windows
+        ("graph", "graph_assortativity", ("Window",)),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
