@@ -327,6 +327,18 @@ HEADLINE = [
     # pca_projection_report excluded by the composition rule: its
     # corpus-sized work IS embedding_correlation_report's benched
     # moment pass; the d x d iteration is corpus-independent.
+    # r12 session 2 — additive, no swaps:
+    "ann_cosine_topk_binary",  # sign-packing pass + XOR/popcount Hamming
+    # candidate join: a genuinely new integer kernel over the corpus.
+    "table_profile",  # the exact multi-distinct Expand aggregate — the
+    # one plan shape (|cols|+1-way input replication) nothing else benches.
+    "term_burstiness_report",  # per-(doc,term) tf shuffle + vocab moment
+    # rollup with the Σtf² second moment (new vs the tfidf/diversity shapes).
+    # Excluded by the composition rule: dedup_edit_distance (candidate-
+    # bounded DP verify on the benched LSH chain), subsample_frequent_words
+    # (the benched negative_sampling vocab shape), ann_rbo_report (a
+    # |Q|k join over two benched tiers), graph_assortativity (edge-
+    # bounded moments on the benched kNN graph).
 ]
 
 

@@ -760,6 +760,99 @@ FROM ranked WHERE rank <= {k}"""
 COSINE_IVF_SQL = _ivf_sql()
 
 
+# --- IVF cell-balance monitor ------------------------------------------
+
+
+def ivf_balance_report(
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+) -> DataFrame:
+    """MEASURED IVF cell-population balance — the ANN sibling of
+    ``lsh_bucket_skew_report``: a probe's cost is the population of
+    the cells it routes to, so per-query latency variance IS cell
+    imbalance (a 10× hot cell makes every query probing it 10× the
+    mean — p99 amplification the mean-recall curves never show; Faiss
+    documents the same pathology as "imbalance factor"). Per cell:
+    population, corpus share, imbalance vs the uniform ideal
+    (n_vecs·n_cells/n — 1.0 is perfectly balanced, the Faiss metric
+    per cell), and the cumulative share of the hottest-first ordering
+    (how much of the corpus the top cells hold). Empty cells simply
+    have no row — their count is n_cells minus the rows, and every
+    empty cell means some other cell is hot.
+
+    Scale shape: the audited IVF tagging chain (broadcast centroids,
+    one scan) + a |cells|-bounded count; the running-share window
+    orders ≤ n_cells rows, never the corpus. Shares sum as exact
+    6dp decimals so the cumulative column is order-free-exact on both
+    engines. ``n_cells=None`` derives via ``auto_n_cells`` (floors to
+    16 at gate SFs — the static oracle's constant, same contract as
+    the IVF tier itself).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if n_cells is None:
+        n_cells = auto_n_cells(emb.count())
+    centroids = _kmeans_centroids(_ivf_train_sample(emb), n_cells)
+    tagged = emb.withColumn("cell", _nearest_cell_expr(centroids))
+    sizes = tagged.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = sizes.agg(F.sum("n_vecs").alias("n"))
+    w = (
+        Window.orderBy(F.desc("n_vecs"), F.asc("cell"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share6 = F.round(
+        F.col("n_vecs").cast("double") / F.col("n").cast("double"), 6
+    ).cast("decimal(18,6)")
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            share6.alias("sh"),
+            F.round(
+                F.col("n_vecs").cast("double")
+                * float(n_cells)
+                / F.col("n").cast("double"),
+                6,
+            ).alias("imbalance"),
+        )
+        .withColumn("cum_share", F.round(F.sum("sh").over(w).cast("double"), 6))
+        .select(
+            "cell",
+            "n_vecs",
+            F.col("sh").cast("double").alias("share"),
+            "imbalance",
+            "cum_share",
+        )
+        .orderBy(F.desc("n_vecs"), F.asc("cell"))
+    )
+
+
+def _ivf_balance_sql(n_cells: int = 16, iters: int = 3, dim: int = 64) -> str:
+    return (
+        _kmeans_tagged_sql(n_cells, iters, dim)
+        + f""", sizes AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM tagged GROUP BY cell
+), tot AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS n FROM sizes
+), sh AS (
+  SELECT cell, n_vecs,
+         CAST(ROUND(CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS sh,
+         ROUND(CAST(n_vecs AS DOUBLE) * {float(n_cells)!r} / CAST(n AS DOUBLE), 6) AS imbalance
+  FROM sizes CROSS JOIN tot
+)
+SELECT cell, n_vecs, CAST(sh AS DOUBLE) AS share, imbalance,
+       ROUND(CAST(SUM(sh) OVER (ORDER BY n_vecs DESC, cell ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS cum_share
+FROM sh
+ORDER BY n_vecs DESC, cell ASC
+"""
+    )
+
+
+IVF_BALANCE_SQL = _ivf_balance_sql()
+
+
 def cosine_topk_sq8(
     spark: SparkSession,
     sf_dir: str,

@@ -1174,3 +1174,207 @@ ORDER BY e.event_type
 
 
 QUANTILE_SKETCH_SQL = _qs_sql()
+
+
+# --- KMV (k-minimum-values) cross-source overlap -------------------------
+
+KMV_K = 128  # sketch size per source (bottom-k of the 60-bit hash space)
+_KMV_SPACE = float(1 << 60)  # hash range: _hash60 is uniform on [0, 2^60)
+
+
+def kmv_overlap_report(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K, shingle: int = 3
+) -> DataFrame:
+    """MEASURED K-minimum-values sketch accuracy for CROSS-SOURCE
+    set overlap (Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07
+    unbiased (K−1)/θ estimator) — the mergeable-summary answer to
+    "which sources share content shingles?", priced against the exact
+    joins. HLL (the sibling report) answers per-domain cardinality
+    but cannot intersect; KMV sketches compose: union = bottom-k of
+    the sketch union, intersection via the Jaccard share of common
+    hashes INSIDE the union sketch — so source-pair overlap at 100 TB
+    costs |sources|·K rows after one scan, not a vocabulary
+    self-join. This report runs both paths on this corpus and emits
+    the error table per source pair: the decision surface for
+    replacing source_overlap-style exact joins with sketches at
+    scale.
+
+    Estimators (all on exact integer/hash operands, so the whole
+    measurement is hash-oracled): per pair, U = distinct union of the
+    two bottom-k sketches re-cut to bottom-k; if |U| < k the union
+    sketch IS the union (exact branch, the standard KMV small-set
+    degeneracy); else est_union = (k−1)·2^60/θ with θ = U's k-th
+    smallest hash. est_jaccard = |U ∩ A_sk ∩ B_sk| / |U| (common
+    hashes in the union sketch). The exact yardstick joins the
+    distinct (source, h) frames — vocabulary-sized here; at 100 TB
+    the yardstick is what you hash-sample (the _hll_yard_rate
+    discipline), the sketch path is what ships.
+
+    Scale shape: ONE tokenize+shingle scan → distinct (source, h)
+    (map-side combinable) feeds sketches AND the yardstick; sketches
+    are |sources|·k rows (bounded joins thereafter, pair table is
+    |sources|² — a dimension, broadcast); the only corpus-shaped work
+    is the one distinct.
+    """
+    from mito_spark.engine import spread
+    from mito_spark.operators.dedup import _hash60, _staged_shingles
+    from mito_spark.operators.topk import per_key_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    items = (
+        _staged_shingles(docs, shingle, id_col="source")
+        .select("source", F.explode("sh").alias("s"))
+        .select("source", _hash60(F.col("s"), F.lit("kmv")).alias("h"))
+        .distinct()
+        .localCheckpoint()  # feeds sketches, memberships, and the yardstick
+    )
+    sk = per_key_topk(items, "source", [F.asc("h")], k, rank_name="r").drop("r")
+    sk = sk.localCheckpoint()  # bounded: |sources| * k rows
+    n_exact = items.groupBy("source").agg(F.countDistinct("h").alias("nx"))
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    uni = (
+        pairs.join(sk.select(F.col("source").alias("sa"), "h"), "sa")
+        .select("sa", "sb", "h")
+        .union(
+            pairs.join(sk.select(F.col("source").alias("sb"), "h"), "sb").select(
+                "sa", "sb", "h"
+            )
+        )
+        .distinct()
+        .withColumn("pk", F.concat_ws("|", "sa", "sb"))
+    )
+    usk = per_key_topk(uni, "pk", [F.asc("h")], k, rank_name="ur")
+    amem = sk.select(F.col("source").alias("sa"), "h", F.lit(1).alias("ina"))
+    bmem = sk.select(F.col("source").alias("sb"), "h", F.lit(1).alias("inb"))
+    flagged = usk.join(amem, ["sa", "h"], "left").join(bmem, ["sb", "h"], "left")
+    per_pair = flagged.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max("h").alias("theta"),
+        F.sum(
+            (F.col("ina").isNotNull() & F.col("inb").isNotNull()).cast("long")
+        ).alias("common"),
+    )
+    inter_exact = (
+        items.select(F.col("source").alias("sa"), "h")
+        .join(items.select(F.col("source").alias("sb"), "h"), "h")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    ex = (
+        pairs.join(n_exact.select(F.col("source").alias("sa"), F.col("nx").alias("nxa")), "sa")
+        .join(n_exact.select(F.col("source").alias("sb"), F.col("nx").alias("nxb")), "sb")
+        .join(inter_exact, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            (F.col("nxa") + F.col("nxb") - F.coalesce("ix", F.lit(0))).alias("ux"),
+            F.coalesce("ix", F.lit(0)).alias("ix"),
+        )
+    )
+    est_union = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("theta").cast("double")
+    )
+    est_j = F.col("common").cast("double") / F.col("n_u").cast("double")
+    exact_j = F.col("ix").cast("double") / F.col("ux").cast("double")
+    return (
+        per_pair.join(ex, ["sa", "sb"])
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("ux").alias("exact_union"),
+            F.round(est_union, 6).alias("est_union"),
+            F.round(
+                (est_union - F.col("ux").cast("double"))
+                / F.col("ux").cast("double")
+                * 100.0,
+                6,
+            ).alias("union_err_pct"),
+            F.round(exact_j, 6).alias("exact_jaccard"),
+            F.round(est_j, 6).alias("est_jaccard"),
+            F.round(F.abs(est_j - exact_j), 6).alias("jaccard_abs_err"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _kmv_sql(k: int = KMV_K, shingle: int = 3) -> str:
+    h60 = "CAST('0x' || substr(md5('kmv:' || s), 1, 15) AS BIGINT)"
+    return rf"""
+WITH rawtok AS (
+  SELECT source, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), shd AS (
+  SELECT source,
+         unnest(list_distinct(list_transform(range(1, greatest(len(toks) - {shingle - 1}, 1) + 1),
+           i -> array_to_string(toks[i:i+{shingle - 1}], ' ')))) AS s
+  FROM rawtok
+), items AS MATERIALIZED (
+  SELECT DISTINCT source, {h60} AS h FROM shd
+), sk AS MATERIALIZED (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS r
+    FROM items
+  ) WHERE r <= {k}
+), srcs AS (
+  SELECT DISTINCT source FROM sk
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb FROM srcs a JOIN srcs b ON a.source < b.source
+), uni AS (
+  SELECT DISTINCT sa, sb, h FROM (
+    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sb
+  )
+), usk AS (
+  SELECT sa, sb, h FROM (
+    SELECT sa, sb, h, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h ASC) AS ur
+    FROM uni
+  ) WHERE ur <= {k}
+), per_pair AS (
+  SELECT u.sa, u.sb,
+         CAST(COUNT(*) AS BIGINT) AS n_u,
+         MAX(u.h) AS theta,
+         CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS common
+  FROM usk u
+  LEFT JOIN sk a ON a.source = u.sa AND a.h = u.h
+  LEFT JOIN sk b ON b.source = u.sb AND b.h = u.h
+  GROUP BY u.sa, u.sb
+), nx AS (
+  SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS nx FROM items GROUP BY source
+), ixt AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS ix
+  FROM items a JOIN items b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+), ex AS (
+  SELECT p.sa, p.sb,
+         na.nx + nb.nx - COALESCE(i.ix, 0) AS ux,
+         COALESCE(i.ix, 0) AS ix
+  FROM pairs p
+  JOIN nx na ON na.source = p.sa
+  JOIN nx nb ON nb.source = p.sb
+  LEFT JOIN ixt i ON i.sa = p.sa AND i.sb = p.sb
+)
+SELECT pp.sa AS source_a, pp.sb AS source_b,
+       ex.ux AS exact_union,
+       ROUND(CASE WHEN pp.n_u < {k} THEN CAST(pp.n_u AS DOUBLE)
+                  ELSE {float(k - 1)!r} * {_KMV_SPACE!r} / CAST(pp.theta AS DOUBLE) END, 6) AS est_union,
+       ROUND((CASE WHEN pp.n_u < {k} THEN CAST(pp.n_u AS DOUBLE)
+                   ELSE {float(k - 1)!r} * {_KMV_SPACE!r} / CAST(pp.theta AS DOUBLE) END
+              - CAST(ex.ux AS DOUBLE)) / CAST(ex.ux AS DOUBLE) * 100.0, 6) AS union_err_pct,
+       ROUND(CAST(ex.ix AS DOUBLE) / CAST(ex.ux AS DOUBLE), 6) AS exact_jaccard,
+       ROUND(CAST(pp.common AS DOUBLE) / CAST(pp.n_u AS DOUBLE), 6) AS est_jaccard,
+       ROUND(abs(CAST(pp.common AS DOUBLE) / CAST(pp.n_u AS DOUBLE)
+                 - CAST(ex.ix AS DOUBLE) / CAST(ex.ux AS DOUBLE)), 6) AS jaccard_abs_err
+FROM per_pair pp JOIN ex ON ex.sa = pp.sa AND ex.sb = pp.sb
+ORDER BY source_a, source_b
+"""
+
+
+KMV_OVERLAP_SQL = _kmv_sql()

@@ -1159,3 +1159,109 @@ def streaming_isotropy(embs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- live per-term burstiness monitor (additive integer moments) ----
+
+BURST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("df", LongType()),
+        StructField("cf", LongType()),
+        StructField("s2", LongType()),
+        StructField("adaptation", DoubleType()),
+    ]
+)
+BURST_STATE_SCHEMA = StructType(
+    [
+        StructField("df", LongType()),
+        StructField("cf", LongType()),
+        StructField("s2", LongType()),
+    ]
+)
+
+
+def burstiness_stream_rows(docs: DataFrame) -> DataFrame:
+    """Stream-side upstream of ``streaming_burstiness``: per arriving
+    document, its (term, tf) pairs computed IN-ROW with JVM
+    expressions (distinct terms via array_distinct; tf per term as a
+    filter-count inside a transform) — integer-equal to the batch
+    op's groupBy(doc_id, term) counts, so the twin's state update
+    sees exactly the batch tf values."""
+    from pyspark.sql import functions as F
+
+    from mito_spark.operators.text import _tokens
+
+    base = docs.select(_tokens(F.lower(F.col("text"))).alias("toks"))
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda w: F.struct(
+                    w.alias("term"),
+                    F.size(F.filter("toks", lambda t: t == w)).cast("long").alias("tf"),
+                ),
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.term", "p.tf")
+
+
+def _burst_step_factory():
+    def step(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        df_, cf, s2 = (
+            (state.get[0], state.get[1], state.get[2]) if state.exists else (0, 0, 0)
+        )
+        for pdf in batches:
+            for tf in pdf["tf"]:
+                tf = int(tf)
+                df_ += 1
+                cf += tf
+                s2 += tf * tf
+        state.update((df_, cf, s2))
+        if df_ == 0:
+            return
+        adapt = float(
+            Decimal(repr(cf / df_)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+        yield pd.DataFrame(
+            [(key[0], df_, cf, s2, adapt)],
+            columns=["term", "df", "cf", "s2", "adaptation"],
+        )
+
+    return step
+
+
+def streaming_burstiness(rows: DataFrame) -> DataFrame:
+    """Streaming twin of ``quality.term_burstiness_report``'s per-term
+    moment core — a LIVE burstiness monitor: a term whose adaptation
+    (cf/df) climbs as a crawl arrives is concentrating in document
+    clumps (template/boilerplate flood) long before a batch report
+    would run.
+
+    State per term is the ADDITIVE integer moment tuple (df, cf,
+    Σtf²): integer addition is exact, associative, and commutative,
+    so batch-vs-stream equality holds under ANY arrival order and ANY
+    micro-batch split (the isotropy twin's contract) — the emitted
+    moments equal the batch op's groupBy sums bit-for-bit, and
+    adaptation applies the identical 6dp half-up round. The Fano
+    factor needs the stream-wide doc count N (key-independent, so it
+    cannot live in per-key state): fano = s2/cf − cf/N assembles
+    downstream from the emitted moments plus any trivial doc counter
+    — the per-term moments ARE the hard (keyed, mergeable) part.
+
+    State is 3 integers per term regardless of stream length; feed
+    with ``burstiness_stream_rows`` so the arriving tf values are the
+    batch ones; update mode.
+    """
+    return rows.groupBy("term").applyInPandasWithState(
+        _burst_step_factory(),
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

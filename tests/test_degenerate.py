@@ -220,6 +220,10 @@ DOC_OPS = [
     # tiny vocab — every p_keep clips to 1 via LEAST
     "term_burstiness_report",
     "subsample_frequent_words",
+    # r12 session 2: KMV on the 2-source degen corpus — both sketches
+    # far under K, the exact small-set branch fires; empty/whitespace
+    # docs contribute no shingles
+    "kmv_overlap_report",
 ]
 EMB_OPS = [
     "quantize_embeddings",
@@ -284,6 +288,10 @@ EMB_OPS = [
     # zero-variances the denominator -> NULL r on both engines)
     "ann_rbo_report",
     "graph_assortativity",
+    # r12 session 2: IVF balance on 4 degen vectors — the k-means
+    # chain's empty-train-sample guard holds; most cells empty (no
+    # rows), the occupied handful carry the whole share mass
+    "ivf_balance_report",
 ]
 
 

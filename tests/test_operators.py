@@ -1247,3 +1247,22 @@ def test_assortativity_star_graph_is_minus_one(spark, sf_dir):
     assert abs(row.assortativity - (-1.0)) < 1e-9
     got = graph_assortativity(spark, sf_dir).collect()[0]
     assert -1.0 - 1e-9 <= got.assortativity <= 1.0 + 1e-9
+
+
+def test_ivf_balance_accounts_for_whole_corpus(spark, sf_dir):
+    """Cell populations must partition the corpus exactly: Σ n_vecs =
+    |embeddings|, the hottest-first cumulative share ends at 1, and
+    per-cell imbalance is population/(n/n_cells) by definition."""
+    from mito_spark.engine import load_table
+    from mito_spark.operators.similarity import ivf_balance_report
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    rows = ivf_balance_report(spark, sf_dir).collect()
+    assert sum(r.n_vecs for r in rows) == n
+    assert abs(rows[-1].cum_share - 1.0) < 1e-5
+    for r in rows:
+        assert r.imbalance > 0
+        assert abs(r.share - r.n_vecs / n) < 1e-6
+    # hottest-first ordering is monotone
+    pops = [r.n_vecs for r in rows]
+    assert pops == sorted(pops, reverse=True)

@@ -740,6 +740,14 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # r12 session 2: assortativity — edge-bounded degree joins +
         # one 1-row moment aggregate; no windows
         ("graph", "graph_assortativity", ("Window",)),
+        # r12 session 2: KMV — one corpus distinct, then sketch-
+        # bounded joins; windows only over the |sources|*k frames
+        ("sketches", "kmv_overlap_report", ()),
+        # r12 session 2: IVF balance — tagging scan + |cells| count;
+        # the only window runs over the <= n_cells rollup; no joins
+        # beyond the 1-row broadcast total
+        ("similarity", "ivf_balance_report",
+         ("SortMergeJoin", "ShuffledHashJoin")),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

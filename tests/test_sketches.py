@@ -638,3 +638,31 @@ def test_negative_sampling_smoothing_ratio(spark, tmp_path):
     assert abs(rows["aa"]["prob"] - 8 / 9) < 1e-6
     total_slots = sum(r["n_slots"] for r in rows.values())
     assert NS_TABLE_SIZE - len(rows) < total_slots <= NS_TABLE_SIZE
+
+
+def test_kmv_exact_branch_on_small_sets(spark, tmp_path):
+    """When every source holds fewer than K distinct shingle hashes,
+    the bottom-k sketch IS the set: est_union must equal exact_union
+    and est_jaccard must equal exact_jaccard exactly (the documented
+    KMV small-set degeneracy)."""
+    import pyspark.sql.functions as F
+
+    from mito_spark.operators.sketches import kmv_overlap_report
+
+    d = str(tmp_path / "kmv")
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "sA"),
+        (1, "alpha beta gamma other words here", "sA"),
+        (2, "alpha beta gamma delta epsilon zeta", "sB"),
+        (3, "totally different tokens in this one", "sB"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(d + "/documents.parquet")
+    out = kmv_overlap_report(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.est_union == float(r.exact_union)
+    assert abs(r.est_jaccard - r.exact_jaccard) < 1e-12
+    assert r.union_err_pct == 0.0 and r.jaccard_abs_err == 0.0
+    assert r.exact_jaccard > 0  # the planted shared shingles overlap

@@ -1043,3 +1043,75 @@ def test_streaming_isotropy_matches_batch_any_order(spark, sf_dir, tmp_path):
     sink.close()
     assert set(latest) == set(want) and len(want) >= 2
     assert latest == want
+
+
+def test_streaming_burstiness_matches_batch_any_order(spark, sf_dir, tmp_path):
+    """The live burstiness monitor's final per-term emission must
+    equal the batch groupBy moments bit-for-bit under a
+    non-chronological (doc_id mod 3) split — integer addition state,
+    so arrival order and batch boundaries cannot matter; adaptation
+    must also match term_burstiness_report's column on its rows."""
+    import os
+    import time
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.text import _tokens
+    from mito_spark.operators.quality import term_burstiness_report
+    from mito_spark.streaming.stateful import (
+        burstiness_stream_rows,
+        streaming_burstiness,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        r.w: (r.df, r.cf, r.s2)
+        for r in docs.select(
+            "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.sum(F.col("tf") * F.col("tf")).alias("s2"),
+        )
+        .collect()
+    }
+
+    d = str(tmp_path / "burststream")
+    dest = d + "/docs.parquet"
+    base_t = time.time()
+    seen: set = set()
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(dest)
+        for f in os.listdir(dest):
+            if f in seen:
+                continue
+            seen.add(f)
+            os.utime(os.path.join(dest, f), (base_t + 100 * i, base_t + 100 * i))
+    schema = spark.read.parquet(dest).schema
+    stream = burstiness_stream_rows(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    latest: dict = {}
+
+    def on_batch(b, _i):
+        for r in b.collect():
+            latest[r.term] = (r.df, r.cf, r.s2, r.adaptation)
+
+    sink = ChannelSink("burststream", on_batch)
+    q = sink.send_to(
+        streaming_burstiness(stream), output_mode="update", availableNow=True
+    )
+    q.awaitTermination(180)
+    sink.close()
+    assert set(latest) == set(want) and len(want) > 5
+    for t, (df, cf, s2) in want.items():
+        got = latest[t]
+        assert got[:3] == (df, cf, s2), t
+    report = {r.term: r.adaptation for r in term_burstiness_report(spark, sf_dir).collect()}
+    for t, a in report.items():
+        assert abs(latest[t][3] - a) < 1e-12, t
