@@ -2418,13 +2418,16 @@ PCA_ITERS = 24
 
 def _pca_cov_rows(spark: SparkSession, sf_dir: str):
     """Collect the BOUNDED covariance matrix of the embedding columns
-    as {(i, j): cov} — d <= 64 so this is <= 4096 values regardless of
-    corpus size. The corpus-sized work (moment sums) runs in Spark
-    with ``embedding_correlation_report``'s exact decimal-sum recipe
-    (9dp-rounded DECIMAL(28,9) moments -> identical doubles on both
-    engines); every matrix entry is 9dp-rounded so the driver-side
-    iteration and the oracle's unrolled SQL iteration start from
-    identical bit patterns."""
+    as ({(i, j): cov}, {i: mean}) — d <= 64 so this is <= 4096 values
+    regardless of corpus size. The corpus-sized work (moment sums)
+    runs in Spark with ``embedding_correlation_report``'s exact
+    decimal-sum recipe (9dp-rounded DECIMAL(28,9) moments -> identical
+    doubles on both engines); every matrix entry is 9dp-rounded so the
+    driver-side iteration and the oracle's unrolled SQL iteration
+    start from identical bit patterns. The mean vector (sx/n as plain
+    correctly-rounded double division of the exact decimal sum — the
+    arithmetic the oracle's ``muv`` CTE repeats) rides along for the
+    All-but-the-Top centering step in the whitening report."""
     emb = load_table(spark, sf_dir, "embeddings")
     x = (
         emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
@@ -2447,6 +2450,7 @@ def _pca_cov_rows(spark: SparkSession, sf_dir: str):
         F.round(
             F.greatest(F.col("sxx").cast("double") / nd - mi * mi, F.lit(0.0)), 9
         ).alias("c"),
+        mi.alias("mu"),
     ).collect()
     xa = x.select("vec_id", F.col("dim").alias("i"), F.col("x").alias("xi"))
     xb = x.select("vec_id", F.col("dim").alias("j"), F.col("x").alias("xj"))
@@ -2474,12 +2478,14 @@ def _pca_cov_rows(spark: SparkSession, sf_dir: str):
         .collect()
     )
     cov: dict = {}
+    mu: dict = {}
     for r in diag:
         cov[(r["i"], r["i"])] = float(r["c"])
+        mu[r["i"]] = float(r["mu"])
     for r in upper:
         cov[(r["i"], r["j"])] = float(r["c"])
         cov[(r["j"], r["i"])] = float(r["c"])
-    return cov
+    return cov, mu
 
 
 def pca_projection_report(
@@ -2526,11 +2532,7 @@ def pca_projection_report(
     (that loop iterates a CORPUS-sized frame, which must stay
     distributed; this one does not).
     """
-    import math
     from decimal import ROUND_HALF_UP, Decimal
-
-    def r9(v: float) -> float:
-        return float(Decimal(repr(v)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
 
     def r6(v: float) -> float:
         return float(Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
@@ -2538,7 +2540,7 @@ def pca_projection_report(
     def dsum(terms) -> float:
         return float(sum(Decimal(repr(t)) for t in terms) or 0)
 
-    cov = _pca_cov_rows(spark, sf_dir)
+    cov, _mu = _pca_cov_rows(spark, sf_dir)
     schema = (
         "component int, eigenvalue double, var_ratio double, "
         "cum_var_ratio double, top_dim int, top_loading double"
@@ -2548,25 +2550,9 @@ def pca_projection_report(
         return spark.createDataFrame([], schema)
     trace = dsum(cov[(i, i)] for i in dims)
 
-    def matvec(c: dict, v: dict) -> dict:
-        return {
-            i: dsum(r9(c[(i, j)] * v[j]) for j in dims if (i, j) in c)
-            for i in dims
-        }
-
     rows = []
     cum = 0.0
-    cur = dict(cov)
-    for comp in range(1, k + 1):
-        m = min(dims, key=lambda i: (-cur.get((i, i), 0.0), i))
-        v = {i: 1.0 if i == m else 0.0 for i in dims}
-        for _ in range(iters):
-            w = matvec(cur, v)
-            nrm = math.sqrt(dsum(r9(w[i] * w[i]) for i in dims))
-            if nrm > 0:
-                v = {i: r9(w[i] / nrm) for i in dims}
-        wf = matvec(cur, v)
-        lam = dsum(r9(v[i] * wf[i]) for i in dims)
+    for comp, (lam, v) in enumerate(_power_components(cov, k, iters), 1):
         top = min(dims, key=lambda i: (-abs(v[i]), i))
         cum = cum + lam
         rows.append(
@@ -2579,17 +2565,59 @@ def pca_projection_report(
                 r6(abs(v[top])),
             )
         )
+    return spark.createDataFrame(rows, schema)
+
+
+def _power_components(cov: dict, k: int, iters: int) -> list:
+    """The deflated power-iteration core shared by
+    ``pca_projection_report`` and ``whitening_isotropy_report``:
+    returns [(eigenvalue, {dim: loading}), ...] for the top-k
+    components, with the exact 9dp/decimal arithmetic the unrolled
+    SQL twins reproduce step for step (extracted verbatim — a second
+    pasted copy is how twins drift)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    def dsum(terms) -> float:
+        return float(sum(Decimal(repr(t)) for t in terms) or 0)
+
+    dims = sorted({i for i, _ in cov})
+
+    def matvec(c: dict, v: dict) -> dict:
+        return {
+            i: dsum(r9(c[(i, j)] * v[j]) for j in dims if (i, j) in c)
+            for i in dims
+        }
+
+    out = []
+    cur = dict(cov)
+    for _comp in range(1, k + 1):
+        m = min(dims, key=lambda i: (-cur.get((i, i), 0.0), i))
+        v = {i: 1.0 if i == m else 0.0 for i in dims}
+        for _ in range(iters):
+            w = matvec(cur, v)
+            nrm = math.sqrt(dsum(r9(w[i] * w[i]) for i in dims))
+            if nrm > 0:
+                v = {i: r9(w[i] / nrm) for i in dims}
+        wf = matvec(cur, v)
+        lam = dsum(r9(v[i] * wf[i]) for i in dims)
+        out.append((lam, v))
         cur = {
             (i, j): r9(cur[(i, j)] - lam * v[i] * v[j])
             for (i, j) in cur
         }
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
-def _pca_sql(k: int = PCA_COMPONENTS, iters: int = PCA_ITERS) -> str:
-    """Unrolled power-iteration twin: the same moment CTEs as
-    CORRELATION_REPORT_SQL build mat1, then k x iters matvec+normalize
-    CTE pairs with the identical 9dp/decimal discipline."""
+def _pca_chain(k: int = PCA_COMPONENTS, iters: int = PCA_ITERS) -> str:
+    """The unrolled power-iteration CTE chain (moments → mat1 → per
+    component init/matvec/normalize/deflate) shared by the PCA report
+    twin and the whitening twin — ends open after mat{k+1}, with
+    ``x``/``stats``/``dims``/``tr``/``lam{c}``/``top{c}``/
+    ``v{c}_{iters}`` all addressable."""
     parts = [
         """WITH x AS MATERIALIZED (
   SELECT vec_id,
@@ -2661,6 +2689,13 @@ def _pca_sql(k: int = PCA_COMPONENTS, iters: int = PCA_ITERS) -> str:
   JOIN v{c}_{iters} vi ON vi.i = m.i
   JOIN v{c}_{iters} vj ON vj.i = m.j, lam{c} l
 )""")
+    return "".join(parts)
+
+
+def _pca_sql(k: int = PCA_COMPONENTS, iters: int = PCA_ITERS) -> str:
+    """Unrolled power-iteration twin: the same moment CTEs as
+    CORRELATION_REPORT_SQL build mat1, then k x iters matvec+normalize
+    CTE pairs with the identical 9dp/decimal discipline."""
     sel = []
     for c in range(1, k + 1):
         cumsum = " + ".join(f"(SELECT lam FROM lam{j})" for j in range(1, c + 1))
@@ -2671,7 +2706,7 @@ def _pca_sql(k: int = PCA_COMPONENTS, iters: int = PCA_ITERS) -> str:
        CAST(tp.i AS INT) AS top_dim,
        ROUND(tp.a, 6) AS top_loading
 FROM lam{c} l, tr t, top{c} tp""")
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY component\n"
+    return _pca_chain(k, iters) + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY component\n"
 
 
 PCA_PROJECTION_SQL = _pca_sql()
@@ -2710,11 +2745,20 @@ def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries more than d rows.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    return _iso_scalar_row(
+        emb.select(F.col("embedding").cast("array<double>").alias("x"))
+    )
+
+
+def _iso_scalar_row(xs: DataFrame) -> DataFrame:
+    """The one-scan isotropy rollup over a frame with column ``x``
+    (array<double>) — shared by ``embedding_isotropy_report`` (raw
+    space) and ``whitening_isotropy_report`` (raw AND All-but-the-Top
+    space; a pasted second copy is how twins drift)."""
 
     def dec(c: Column) -> Column:
         return F.round(c, 9).cast("decimal(38,9)")
 
-    xs = emb.select(F.col("embedding").cast("array<double>").alias("x"))
     base = xs.select("x", _norm(F.col("x")).alias("nm")).where(F.col("nm") > 0)
     staged = base.select(
         "nm", F.transform("x", lambda v: v / F.col("nm")).alias("u")
@@ -2749,6 +2793,161 @@ def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sqrt(ssqd) / n, 6).alias("centroid_norm"),
     )
+
+
+# --- All-but-the-Top whitening, measured by the isotropy yardstick ----
+
+WHITEN_COMPONENTS = 2
+
+
+def whitening_isotropy_report(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = WHITEN_COMPONENTS,
+    iters: int = PCA_ITERS,
+) -> DataFrame:
+    """All-but-the-Top embedding post-processing (Mu & Viswanath
+    ICLR'18) APPLIED and MEASURED: subtract the mean vector, project
+    out the top-m principal components (x' = (x−μ) − Σ_c ((x−μ)·v_c)
+    v_c), and report the isotropy datasheet row BEFORE and AFTER —
+    the closing step of the embedding-hygiene family: the correlation
+    report finds the redundancy, the PCA report prices its
+    eigenvalue mass, the isotropy report flags the anisotropy, and
+    this one performs the standard fix and proves (or disproves) on
+    THIS corpus that mean_pairwise_cosine and centroid_norm collapse
+    toward 0 (ABTT's whole claim — retrieval cosines regain dynamic
+    range). m = 2 follows the paper's d/100 rule-of-thumb rounded up
+    for d = 64.
+
+    Parity discipline: μ and the v_c come from the audited PCA
+    machinery (shared ``_power_components`` core — 9dp-rounded
+    loadings, exact-decimal moment sums), enter the plan as literal
+    arrays, and the oracle re-derives them in the SAME unrolled CTE
+    chain; per-vector dots/projections are left-to-right folds
+    (the module's cosine convention, = list_sum); both stages' stats
+    are the shared ``_iso_scalar_row`` rollup.
+
+    Scale shape: corpus-sized work is the moment pass (priced by the
+    correlation report) + TWO isotropy scans (raw, projected); the
+    projection itself is a per-row d-length map against broadcast
+    literals — no shuffle. The d×d iteration is corpus-independent
+    driver work, exactly as in ``pca_projection_report``.
+    """
+    cov, mu = _pca_cov_rows(spark, sf_dir)
+    schema = (
+        "stage string, n_vectors bigint, mean_norm double, norm_cv double, "
+        "mean_pairwise_cosine double, centroid_norm double"
+    )
+    if not cov:
+        return spark.createDataFrame([], schema)
+    dims = sorted({i for i, _ in cov})
+    comps = _power_components(cov, m, iters)
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = emb.select(F.col("embedding").cast("array<double>").alias("x"))
+    raw = _iso_scalar_row(xs).select(F.lit("raw").alias("stage"), "*")
+    mu_lit = F.array(*[F.lit(mu[i]) for i in dims])
+    vlits = [F.array(*[F.lit(v[i]) for i in dims]) for (_lam, v) in comps]
+    y = xs.select(F.zip_with("x", mu_lit, lambda a, b: a - b).alias("y"))
+    dotted = y.select(
+        "y",
+        *[
+            F.aggregate(
+                F.zip_with("y", vlits[c], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias(f"d{c + 1}")
+            for c in range(len(comps))
+        ],
+    )
+    zcol = F.col("y")
+    for c in range(len(comps)):
+        vl = vlits[c]
+        dc = F.col(f"d{c + 1}")
+        zcol = F.zip_with(zcol, vl, lambda a, b: a - dc * b)
+    z = dotted.select(zcol.alias("x"))
+    ab = _iso_scalar_row(z).select(F.lit("abtt").alias("stage"), "*")
+    return ab.unionByName(raw).orderBy("stage")
+
+
+def _iso_sql_ctes(p: str, src: str, xcol: str) -> str:
+    """Namespaced isotropy-rollup CTEs over ``{src}.{xcol}`` (a
+    DOUBLE[] column) — the SQL mirror of ``_iso_scalar_row``, shared
+    by the whitening twin's raw and projected stages."""
+    return f""", {p}base AS MATERIALIZED (
+  SELECT {xcol} AS x, sqrt(list_sum(list_transform({xcol}, e -> e * e))) AS nm
+  FROM {src}
+), {p}staged AS MATERIALIZED (
+  SELECT nm, list_transform(x, v -> v / nm) AS u FROM {p}base WHERE nm > 0
+), {p}scalars AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ROUND(nm, 9) AS DECIMAL(38,9))) AS sn,
+         SUM(CAST(ROUND(nm * nm, 9) AS DECIMAL(38,9))) AS snn
+  FROM {p}staged
+), {p}dimsums AS (
+  SELECT dim, SUM(CAST(ROUND(v, 9) AS DECIMAL(38,9))) AS su
+  FROM (SELECT generate_subscripts(u, 1) - 1 AS dim, unnest(u) AS v FROM {p}staged)
+  GROUP BY dim
+), {p}sq AS (
+  SELECT SUM(CAST(ROUND(CAST(su AS DOUBLE) * CAST(su AS DOUBLE), 9) AS DECIMAL(38,9))) AS ssq
+  FROM {p}dimsums
+)"""
+
+
+def _iso_sql_select(p: str, stage: str) -> str:
+    return f"""SELECT '{stage}' AS stage,
+       CAST(n AS BIGINT) AS n_vectors,
+       ROUND(CAST(sn AS DOUBLE) / n, 6) AS mean_norm,
+       ROUND(sqrt(GREATEST(CAST(snn AS DOUBLE) / n
+                 - (CAST(sn AS DOUBLE) / n) * (CAST(sn AS DOUBLE) / n), 0.0))
+             / nullif(CAST(sn AS DOUBLE) / n, 0), 6) AS norm_cv,
+       ROUND((CAST(ssq AS DOUBLE) - n) / nullif(n * (n - 1.0), 0), 6) AS mean_pairwise_cosine,
+       ROUND(sqrt(CAST(ssq AS DOUBLE)) / n, 6) AS centroid_norm
+FROM {p}scalars, {p}sq"""
+
+
+def _whitening_sql(m: int = WHITEN_COMPONENTS, iters: int = PCA_ITERS) -> str:
+    comp_lists = "".join(
+        f""", c{c} AS MATERIALIZED (
+  SELECT list(v ORDER BY i) AS c FROM v{c}_{iters}
+)"""
+        for c in range(1, m + 1)
+    )
+    cross = " CROSS JOIN ".join(f"c{c}" for c in range(1, m + 1))
+    dot_exprs = ",\n         ".join(
+        f"list_sum(list_transform(range(1, len(y)+1), i -> y[i] * c{c}.c[i])) AS d{c}"
+        for c in range(1, m + 1)
+    )
+    sub = " - ".join(f"d{c} * c{c}.c[i]" for c in range(1, m + 1))
+    return (
+        _pca_chain(m, iters)
+        + f""", muv AS MATERIALIZED (
+  SELECT dim AS i, CAST(sx AS DOUBLE) / n AS mu FROM stats
+), mul AS MATERIALIZED (
+  SELECT list(mu ORDER BY i) AS mu FROM muv
+){comp_lists}, vecs AS MATERIALIZED (
+  SELECT vec_id, list(x ORDER BY dim) AS xv FROM x GROUP BY vec_id
+), yv AS MATERIALIZED (
+  SELECT vec_id, list_transform(range(1, len(xv)+1), i -> xv[i] - mul.mu[i]) AS y
+  FROM vecs CROSS JOIN mul
+), dots AS MATERIALIZED (
+  SELECT vec_id, y,
+         {dot_exprs}
+  FROM yv CROSS JOIN {cross}
+), proj AS MATERIALIZED (
+  SELECT vec_id, list_transform(range(1, len(y)+1), i -> y[i] - {sub}) AS z
+  FROM dots CROSS JOIN {cross}
+)"""
+        + _iso_sql_ctes("r", "vecs", "xv")
+        + _iso_sql_ctes("a", "proj", "z")
+        + "\n"
+        + _iso_sql_select("a", "abtt")
+        + "\nUNION ALL\n"
+        + _iso_sql_select("r", "raw")
+        + "\nORDER BY stage\n"
+    )
+
+
+WHITENING_ISOTROPY_SQL = _whitening_sql()
 
 
 ISOTROPY_SQL = """

@@ -292,6 +292,11 @@ EMB_OPS = [
     # chain's empty-train-sample guard holds; most cells empty (no
     # rows), the occupied handful carry the whole share mass
     "ivf_balance_report",
+    # r12 session 2: whitening on 4 degen 8-dim vectors — rank-
+    # deficient covariance deflates to ~0 eigenvalues (norm<=0 guard
+    # keeps the previous vector); projected zero vectors drop via
+    # the nm > 0 filter on both engines
+    "whitening_isotropy_report",
 ]
 
 

@@ -1266,3 +1266,31 @@ def test_ivf_balance_accounts_for_whole_corpus(spark, sf_dir):
     # hottest-first ordering is monotone
     pops = [r.n_vecs for r in rows]
     assert pops == sorted(pops, reverse=True)
+
+
+def test_whitening_collapses_planted_common_direction(spark, tmp_path):
+    """Vectors = strong shared direction + small per-vector noise:
+    raw anisotropy reads high (Ethayarajh), and the All-but-the-Top
+    projection must collapse mean_pairwise_cosine and centroid_norm
+    toward 0 — the paper's claim, demonstrated on the planted case.
+    The oracle must reproduce both rows bit-for-bit."""
+    import duckdb
+
+    rows = []
+    for k in range(40):
+        base = [1.0] * 4
+        noise = [0.05 * ((k * 7 + j) % 5 - 2) for j in range(4)]
+        rows.append((k, [b + n for b, n in zip(base, noise)], k % 2))
+    d = str(tmp_path / "whiten")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    got = {r.stage: r for r in similarity.whitening_isotropy_report(spark, d).collect()}
+    assert got["raw"].mean_pairwise_cosine > 0.9
+    assert got["abtt"].mean_pairwise_cosine < 0.2
+    assert got["abtt"].centroid_norm < 0.1 < got["raw"].centroid_norm
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'")
+    want = {r[0]: tuple(r) for r in con.execute(similarity.WHITENING_ISOTROPY_SQL).fetchall()}
+    for stage, r in got.items():
+        assert tuple(r) == want[stage], stage

@@ -748,6 +748,10 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # beyond the 1-row broadcast total
         ("similarity", "ivf_balance_report",
          ("SortMergeJoin", "ShuffledHashJoin")),
+        # r12 session 2: whitening — moment pass + two isotropy scans
+        # with the projection as a per-row map against literals; no
+        # windows anywhere
+        ("similarity", "whitening_isotropy_report", ("Window",)),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
