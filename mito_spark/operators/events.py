@@ -804,3 +804,156 @@ SELECT event_type, week, p50, p95, n,
        ROUND(p95 - lag(p95) OVER (PARTITION BY event_type ORDER BY week), 6) AS d_p95
 FROM agg ORDER BY 1, 2
 """
+
+
+# --- weekday seasonality (one-way ANOVA on the day-of-week factor) -----
+
+_DOW_NAMES = ["mon", "tue", "wed", "thu", "fri", "sat", "sun"]
+
+
+def events_seasonality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week SEASONALITY per event type — the telemetry
+    decomposition a capacity planner or anomaly-threshold tuner needs
+    before trusting any flat baseline: per type, the weekday
+    amplitude (max − min of weekday means) and the share of value
+    variance the weekday factor explains — one-way ANOVA eta² =
+    between-group SS / total SS, the exact "how much of the signal is
+    just the weekly cycle" number (an anomaly detector that ignores a
+    high eta² type alarms every Saturday; cf. events_value_anomalies,
+    whose z-scores assume a flat mean).
+
+    Engine-parity notes recorded: day-of-week numbering DIVERGES
+    between engines (Spark dayofweek is 1=Sunday, DuckDB's is
+    0=Sunday), so dow derives arithmetically — (days-since-epoch + 3)
+    mod 7, Monday = 0 (1970-01-01 was a Thursday) — identical integer
+    arithmetic on both. All SS terms assemble from exact decimal sums
+    (Σv, Σv², per-dow Σv) with double ops on the exact operands:
+    TSS = Σv² − (Σv)²/n, BSS = Σ_d S_d²/n_d − (Σv)²/n. Peak/trough
+    picked by windows over the ≤ 7-row per-type frame (never event
+    rows), ties → smallest dow.
+
+    Scale shape: ONE scan → (type, dow) decimal rollup (map-side
+    combinable, ≤ |types|·7 groups) + a (type) rollup; windows and
+    joins touch only the bounded group frames.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dow = (
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) + F.lit(3)
+    ) % 7
+
+    def dec(c):
+        return F.round(c, 9).cast("decimal(38,9)")
+
+    base = ev.select("event_type", dow.alias("dow"), F.col("value").alias("v"))
+    per_dow = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_d"), F.sum(dec(F.col("v"))).alias("s_d")
+    )
+    per_type = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("v"))).alias("s"),
+        F.sum(dec(F.col("v") * F.col("v"))).alias("ss"),
+    )
+    md = (F.col("s_d").cast("double") / F.col("n_d").cast("double")).alias("m_d")
+    dowm = per_dow.select("event_type", "dow", "n_d", "s_d", md)
+    from pyspark.sql import Window
+
+    # windows over the <= 7-rows-per-type frame, never event rows
+    wp = Window.partitionBy("event_type").orderBy(F.desc("m_d"), F.asc("dow"))
+    wt = Window.partitionBy("event_type").orderBy(F.asc("m_d"), F.asc("dow"))
+    names = F.array(*[F.lit(x) for x in _DOW_NAMES])
+    picks = (
+        dowm.withColumn("rp", F.row_number().over(wp))
+        .withColumn("rt", F.row_number().over(wt))
+        .withColumn(
+            "bs",
+            dec(
+                F.col("s_d").cast("double")
+                * F.col("s_d").cast("double")
+                / F.col("n_d").cast("double")
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("m_d").alias("max_m"),
+            F.min("m_d").alias("min_m"),
+            F.sum("bs").alias("bss_raw"),
+            F.max(F.when(F.col("rp") == 1, F.element_at(names, F.col("dow") + 1))).alias(
+                "peak_dow"
+            ),
+            F.max(F.when(F.col("rt") == 1, F.element_at(names, F.col("dow") + 1))).alias(
+                "trough_dow"
+            ),
+        )
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    tss = F.col("ss").cast("double") - s * s / n
+    bss = F.col("bss_raw").cast("double") - s * s / n
+    return (
+        per_type.join(picks, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round(s / n, 6).alias("mean_value"),
+            F.round(F.col("max_m") - F.col("min_m"), 6).alias("amplitude"),
+            F.round(
+                F.when(
+                    tss > 0,
+                    F.greatest(F.least(bss / tss, F.lit(1.0)), F.lit(0.0)),
+                ),
+                6,
+            ).alias("seasonal_share"),
+            "peak_dow",
+            "trough_dow",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _seasonality_sql() -> str:
+    names = "[" + ", ".join(f"'{x}'" for x in _DOW_NAMES) + "]"
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT event_type,
+         (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 AS dow,
+         value AS v
+  FROM events WHERE value IS NOT NULL
+), per_dow AS MATERIALIZED (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_d,
+         SUM(CAST(ROUND(v, 9) AS DECIMAL(38,9))) AS s_d
+  FROM base GROUP BY event_type, dow
+), per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(v, 9) AS DECIMAL(38,9))) AS s,
+         SUM(CAST(ROUND(v * v, 9) AS DECIMAL(38,9))) AS ss
+  FROM base GROUP BY event_type
+), dowm AS (
+  SELECT event_type, dow, n_d, s_d,
+         CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE) AS m_d,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE) DESC, dow ASC) AS rp,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE) ASC, dow ASC) AS rt
+  FROM per_dow
+), picks AS (
+  SELECT event_type,
+         MAX(m_d) AS max_m, MIN(m_d) AS min_m,
+         SUM(CAST(ROUND(CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE), 9) AS DECIMAL(38,9))) AS bss_raw,
+         MAX(CASE WHEN rp = 1 THEN ({names})[dow + 1] END) AS peak_dow,
+         MAX(CASE WHEN rt = 1 THEN ({names})[dow + 1] END) AS trough_dow
+  FROM dowm GROUP BY event_type
+)
+SELECT t.event_type,
+       t.n AS n_events,
+       ROUND(CAST(t.s AS DOUBLE) / t.n, 6) AS mean_value,
+       ROUND(p.max_m - p.min_m, 6) AS amplitude,
+       ROUND(CASE WHEN CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n > 0
+                  THEN GREATEST(LEAST(
+                    (CAST(p.bss_raw AS DOUBLE) - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n)
+                    / (CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n), 1.0), 0.0)
+             END, 6) AS seasonal_share,
+       p.peak_dow, p.trough_dow
+FROM per_type t JOIN picks p USING (event_type)
+ORDER BY t.event_type
+"""
+
+
+SEASONALITY_SQL = _seasonality_sql()

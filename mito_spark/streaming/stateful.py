@@ -1265,3 +1265,93 @@ def streaming_burstiness(rows: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- live per-source KMV distinct sketch (idempotent bottom-k state) ----
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("n_sketch", LongType()),
+        StructField("theta", LongType()),
+        StructField("est_distinct", DoubleType()),
+    ]
+)
+KMV_STATE_SCHEMA = StructType([StructField("hs", ArrayType(LongType()))])
+
+
+def kmv_stream_rows(docs: DataFrame) -> DataFrame:
+    """Stream-side upstream of ``streaming_kmv_distinct``: per arriving
+    document its (source, h) shingle-hash rows, with the SAME JVM
+    tokenize→shingle→salted-md5 chain as the batch
+    ``sketches.kmv_overlap_report`` — so the stream sketch sees the
+    identical 60-bit hash population. No distinct needed upstream:
+    the bottom-k state is idempotent under duplicates."""
+    from pyspark.sql import functions as F
+
+    from mito_spark.operators.dedup import _hash60, _staged_shingles
+
+    return (
+        _staged_shingles(docs, 3, id_col="source")
+        .select("source", F.explode("sh").alias("s"))
+        .select("source", _hash60(F.col("s"), F.lit("kmv")).alias("h"))
+    )
+
+
+def _kmv_step_factory(k: int = 128):
+    space = float(1 << 60)
+
+    def step(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        hs = set(state.get[0]) if state.exists else set()
+        for pdf in batches:
+            hs.update(int(h) for h in pdf["h"])
+            if len(hs) > 4 * k:  # bound the working set inside a batch
+                hs = set(sorted(hs)[:k])
+        sk = sorted(hs)[:k]
+        state.update((sk,))
+        if not sk:
+            return
+        n = len(sk)
+        theta = sk[-1]
+        if n < k:
+            est = float(n)
+        else:
+            est = float(
+                Decimal(repr(float(k - 1) * space / float(theta))).quantize(
+                    Decimal("1e-6"), ROUND_HALF_UP
+                )
+            )
+        yield pd.DataFrame(
+            [(key[0], n, theta, est)],
+            columns=["source", "n_sketch", "theta", "est_distinct"],
+        )
+
+    return step
+
+
+def streaming_kmv_distinct(rows: DataFrame, k: int = 128) -> DataFrame:
+    """Streaming twin of the KMV sketch core in
+    ``sketches.kmv_overlap_report`` — a LIVE per-source distinct-
+    shingle gauge with a state contract the counter twins cannot
+    offer: bottom-k min-union is commutative, associative, AND
+    IDEMPOTENT, so the final state is invariant not only to arrival
+    order and micro-batch splits but to REPLAYED data — an
+    at-least-once source needs no dedup in front of this monitor
+    (pytest pins all three: order, split, replay). State is ≤ k
+    hashes per source regardless of stream length; est_distinct
+    applies the batch report's exact (k−1)·2^60/θ arithmetic
+    (6dp half-up), with the < k small-set branch.
+
+    Update mode; feed with ``kmv_stream_rows`` so the hash population
+    is bit-identical to the batch chain."""
+    return rows.groupBy("source").applyInPandasWithState(
+        _kmv_step_factory(k),
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1294,3 +1294,33 @@ def test_whitening_collapses_planted_common_direction(spark, tmp_path):
     want = {r[0]: tuple(r) for r in con.execute(similarity.WHITENING_ISOTROPY_SQL).fetchall()}
     for stage, r in got.items():
         assert tuple(r) == want[stage], stage
+
+
+def test_seasonality_planted_weekend_spike(spark, tmp_path):
+    """Events whose value doubles on the planted spike day must show a
+    high seasonal share and the right peak; a flat type reads ~0."""
+    import datetime
+
+    from mito_spark.operators.events import events_seasonality_report
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    for day in range(28):
+        ts = base + datetime.timedelta(days=day)
+        dow = day % 7
+        for j in range(3):
+            rows.append((eid, ts, 1, "spiky", 10.0 if dow == 5 else 1.0, "{}"))
+            eid += 1
+            rows.append((eid, ts, 1, "flat", 2.0, "{}"))
+            eid += 1
+    d = str(tmp_path / "season")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    got = {r.event_type: r for r in events_seasonality_report(spark, d).collect()}
+    assert got["spiky"].peak_dow == "sat"
+    assert got["spiky"].seasonal_share > 0.99
+    assert got["spiky"].amplitude == 9.0
+    assert got["flat"].seasonal_share is None or got["flat"].seasonal_share == 0.0

@@ -752,6 +752,9 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # with the projection as a per-row map against literals; no
         # windows anywhere
         ("similarity", "whitening_isotropy_report", ("Window",)),
+        # r12 session 2: seasonality — one scan, two map-side decimal
+        # rollups; windows run over the <= 7-rows-per-type frame
+        ("events", "events_seasonality_report", ()),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):

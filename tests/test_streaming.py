@@ -1115,3 +1115,77 @@ def test_streaming_burstiness_matches_batch_any_order(spark, sf_dir, tmp_path):
     report = {r.term: r.adaptation for r in term_burstiness_report(spark, sf_dir).collect()}
     for t, a in report.items():
         assert abs(latest[t][3] - a) < 1e-12, t
+
+
+def test_streaming_kmv_matches_batch_and_replay_idempotent(spark, sf_dir, tmp_path):
+    """The KMV twin's final per-source sketch must equal the batch
+    bottom-k under a non-chronological split — AND under a REPLAYED
+    slice (file 0 delivered twice): bottom-k min-union is idempotent,
+    the state contract the additive-counter twins cannot make."""
+    import os
+    import time
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mito_spark.engine import load_table
+    from mito_spark.operators.dedup import _hash60, _staged_shingles
+    from mito_spark.operators.topk import per_key_topk
+    from mito_spark.streaming.stateful import kmv_stream_rows, streaming_kmv_distinct
+
+    k = 128
+    docs = load_table(spark, sf_dir, "documents")
+    items = (
+        _staged_shingles(docs, 3, id_col="source")
+        .select("source", F.explode("sh").alias("s"))
+        .select("source", _hash60(F.col("s"), F.lit("kmv")).alias("h"))
+        .distinct()
+    )
+    sk = per_key_topk(items, "source", [F.asc("h")], k, rank_name="r")
+    want: dict = {}
+    for r in sk.collect():
+        want.setdefault(r.source, []).append(r.h)
+    for s in want:
+        want[s] = sorted(want[s])
+
+    d = str(tmp_path / "kmvstream")
+    dest = d + "/docs.parquet"
+    base_t = time.time()
+    seen: set = set()
+    for i, sl in enumerate([0, 1, 2, 0]):  # slice 0 REPLAYED last
+        docs.where(F.col("doc_id") % 3 == sl).coalesce(1).write.mode(
+            "append"
+        ).parquet(dest)
+        for f in os.listdir(dest):
+            if f in seen:
+                continue
+            seen.add(f)
+            os.utime(os.path.join(dest, f), (base_t + 100 * i, base_t + 100 * i))
+    schema = spark.read.parquet(dest).schema
+    stream = kmv_stream_rows(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    latest: dict = {}
+
+    def on_batch(b, _i):
+        for r in b.collect():
+            latest[r.source] = (r.n_sketch, r.theta, r.est_distinct)
+
+    sink = ChannelSink("kmvstream", on_batch)
+    q = sink.send_to(
+        streaming_kmv_distinct(stream, k=k), output_mode="update", availableNow=True
+    )
+    q.awaitTermination(180)
+    sink.close()
+    assert set(latest) == set(want) and len(want) >= 2
+    space = float(1 << 60)
+    for s, hs in want.items():
+        n, theta, est = latest[s]
+        assert n == len(hs) and theta == hs[-1], s
+        if n < k:
+            assert est == float(n), s
+        else:
+            expect = float(
+                Decimal(repr(float(k - 1) * space / float(theta))).quantize(
+                    Decimal("1e-6"), ROUND_HALF_UP
+                )
+            )
+            assert est == expect, s
