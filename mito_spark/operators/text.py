@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mito_spark.engine import load_table
+from mito_spark.engine import load_table, spread
 
 
 def _tokens(col: Column) -> Column:
@@ -3802,3 +3802,198 @@ ORDER BY t.doc_id
 
 
 STUPID_BACKOFF_SQL = _sb_sql()
+
+
+# --- TextRank keyword extraction (weighted PageRank over co-occurrence) --
+
+TR_MIN_COUNT = 5  # vocabulary floor for graph nodes
+TR_ROUNDS = 4
+TR_DAMPING = 0.85
+TR_TOP = 20
+
+
+def textrank_keywords(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = TR_ROUNDS,
+    d: float = TR_DAMPING,
+    top: int = TR_TOP,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04):
+    weighted PageRank over the token CO-OCCURRENCE graph — the
+    iterative, graph-centrality counterpart to ``rake_keywords``'s
+    one-pass degree/frequency score: a token ranks high when it
+    co-occurs with tokens that themselves rank high, which surfaces
+    the corpus's structural vocabulary rather than its merely
+    frequent one.
+
+    Graph: nodes are tokens with corpus count ≥ TR_MIN_COUNT (bounds
+    the graph to the real vocabulary); edges are ADJACENT token pairs
+    (window 2, the paper's default), both directions, weighted by
+    occurrence count. Update per round (the knn_pagerank discipline,
+    word for word): contributions rank(u)·w_uv/wdeg(u) rounded 12dp
+    and summed as DECIMAL(38,12); dangling mass (nodes whose every
+    neighbor fell under the floor) redistributed uniformly; ranks
+    re-rounded 12dp so each round's inputs are bit-identical on both
+    engines. Output: top-`top` tokens by final rank (ties → token).
+
+    Scale shape: one tokenize scan → adjacency rollup (map-side
+    combinable, |vocab|²-bounded but Zipf-sparse in practice); per
+    round one edge join + one dst rollup + a 1-row dangling
+    aggregate, per-round localCheckpoint (the MMR plan-growth
+    lesson). Everything after the scan is vocabulary-, not corpus-,
+    sized.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
+    vocab = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= TR_MIN_COUNT)
+        .localCheckpoint()
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0)))
+    adj = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("a"),
+                        F.element_at("toks", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .where(F.col("a") != F.col("b"))
+    )
+    both = adj.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        adj.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    edges = (
+        both.join(vocab.select(F.col("w").alias("u")), "u")
+        .join(vocab.select(F.col("w").alias("v")), "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .localCheckpoint()
+    )
+    wdeg = edges.groupBy("u").agg(F.sum("wt").alias("wdeg"))
+    n_row = vocab.agg(F.count(F.lit(1)).alias("n_nodes"))
+    nodes = vocab.crossJoin(F.broadcast(n_row))
+    cur = nodes.select(
+        "w", "cnt", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(rounds):
+        contribs = (
+            cur.join(wdeg, cur["w"] == wdeg["u"])
+            .join(edges, "u")
+            .select(
+                F.col("v").alias("dst"),
+                F.round(
+                    F.col("rank") * F.col("wt") / F.col("wdeg").cast("double"), 12
+                )
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        dang = cur.join(
+            wdeg, cur["w"] == wdeg["u"], "left_anti"
+        ).agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast("decimal(38,12)")),
+                F.lit(0).cast("decimal(38,12)"),
+            ).alias("dm")
+        )
+        cur = (
+            nodes.join(sums, nodes["w"] == sums["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                nodes["w"],
+                nodes["cnt"],
+                "n_nodes",
+                F.round(
+                    F.lit(1.0 - d) / F.col("n_nodes")
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                        + F.col("dm").cast("double") / F.col("n_nodes")
+                    ),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        cur.select("w", "cnt", F.round("rank", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("w"))
+        .limit(top)
+        .withColumnRenamed("w", "token")
+    )
+
+
+def _textrank_sql(
+    rounds: int = TR_ROUNDS, d: float = TR_DAMPING, top: int = TR_TOP
+) -> str:
+    parts = [
+        rf"""
+WITH rawtok AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), vocab AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(toks) AS w FROM rawtok)
+  GROUP BY w HAVING COUNT(*) >= {TR_MIN_COUNT}
+), adj AS (
+  SELECT p[1] AS a, p[2] AS b
+  FROM (SELECT unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS p
+        FROM rawtok WHERE len(toks) >= 2)
+  WHERE p[1] <> p[2]
+), both_dir AS (
+  SELECT a AS u, b AS v FROM adj
+  UNION ALL
+  SELECT b AS u, a AS v FROM adj
+), edges AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS wt
+  FROM both_dir
+  WHERE u IN (SELECT w FROM vocab) AND v IN (SELECT w FROM vocab)
+  GROUP BY u, v
+), wdeg AS MATERIALIZED (
+  SELECT u, CAST(SUM(wt) AS BIGINT) AS wdeg FROM edges GROUP BY u
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM vocab
+), r0 AS MATERIALIZED (
+  SELECT w, cnt, 1.0 / n_nodes AS rank FROM vocab CROSS JOIN nn
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        prev = f"r{t - 1}"
+        parts.append(f""", c{t} AS (
+  SELECT e.v AS dst,
+         CAST(ROUND(r.rank * e.wt / CAST(d.wdeg AS DOUBLE), 12) AS DECIMAL(38,12)) AS c
+  FROM {prev} r JOIN wdeg d ON d.u = r.w JOIN edges e ON e.u = r.w
+), s{t} AS (
+  SELECT dst, SUM(c) AS s FROM c{t} GROUP BY dst
+), dg{t} AS (
+  SELECT COALESCE(SUM(CAST(r.rank AS DECIMAL(38,12))), CAST(0 AS DECIMAL(38,12))) AS dm
+  FROM {prev} r WHERE r.w NOT IN (SELECT u FROM wdeg)
+), r{t} AS MATERIALIZED (
+  SELECT n.w, n.cnt,
+         ROUND({1.0 - d!r} / nn.n_nodes
+               + {d!r} * (COALESCE(CAST(s.s AS DOUBLE), 0.0)
+                          + CAST(dg{t}.dm AS DOUBLE) / nn.n_nodes), 12) AS rank
+  FROM vocab n LEFT JOIN s{t} s ON s.dst = n.w CROSS JOIN nn CROSS JOIN dg{t}
+)""")
+    parts.append(f"""
+SELECT w AS token, cnt, ROUND(rank, 6) AS score
+FROM r{rounds}
+ORDER BY score DESC, token ASC
+LIMIT {top}
+""")
+    return "".join(parts)
+
+
+TEXTRANK_SQL = _textrank_sql()

@@ -224,6 +224,9 @@ DOC_OPS = [
     # far under K, the exact small-set branch fires; empty/whitespace
     # docs contribute no shingles
     "kmv_overlap_report",
+    # r12 session 2: TextRank on a corpus where no token reaches the
+    # vocabulary floor — empty node set, zero rows, not a crash
+    "textrank_keywords",
 ]
 EMB_OPS = [
     "quantize_embeddings",

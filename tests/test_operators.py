@@ -1324,3 +1324,25 @@ def test_seasonality_planted_weekend_spike(spark, tmp_path):
     assert got["spiky"].seasonal_share > 0.99
     assert got["spiky"].amplitude == 9.0
     assert got["flat"].seasonal_share is None or got["flat"].seasonal_share == 0.0
+
+
+def test_textrank_hub_beats_dangling_and_mass_conserved(spark, tmp_path):
+    """'hub' co-occurs with two distinct vocab tokens (structural
+    centrality); 'loop' has the same count but only self-adjacency
+    (filtered -> dangling). TextRank must rank hub first and loop
+    last, and total rank mass must stay ~1 (dangling redistribution —
+    without it the loop node's mass would leak every round)."""
+    from mito_spark.operators.text import textrank_keywords
+
+    d = str(tmp_path / "tr")
+    docs = [(i, "hub aaa") for i in range(6)]
+    docs += [(6 + i, "hub bbb") for i in range(6)]
+    docs += [(12, "loop loop loop loop loop loop")]
+    _write_docs(spark, d, docs)
+    rows = textrank_keywords(spark, d).collect()
+    by = {r.token: r.score for r in rows}
+    assert set(by) == {"hub", "aaa", "bbb", "loop"}
+    assert by["hub"] == max(by.values())
+    assert by["loop"] == min(by.values())
+    assert abs(sum(by.values()) - 1.0) < 1e-4
+    assert by["aaa"] == by["bbb"]  # symmetric structure, exact tie

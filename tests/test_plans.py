@@ -755,6 +755,9 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # r12 session 2: seasonality — one scan, two map-side decimal
         # rollups; windows run over the <= 7-rows-per-type frame
         ("events", "events_seasonality_report", ()),
+        # r12 session 2: TextRank — tokenize scan + vocab-bounded
+        # edge joins per unrolled round; TakeOrdered cut, no windows
+        ("text", "textrank_keywords", ("Window",)),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
