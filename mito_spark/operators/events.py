@@ -957,3 +957,97 @@ ORDER BY t.event_type
 
 
 SEASONALITY_SQL = _seasonality_sql()
+
+
+# --- interarrival-time burstiness (the temporal Fano sibling) ----------
+
+
+def events_interarrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interarrival-time profile per event type — the TEMPORAL
+    sibling of ``quality.term_burstiness_report``: for a Poisson
+    arrival process the interarrival gaps are exponential with
+    CV = 1, so cv_gap >> 1 means bursty arrivals (batch jobs, retry
+    storms, thundering herds) and cv_gap << 1 means a metronome
+    (schedulers, heartbeats) — exactly the classification a
+    rate-limiter or capacity planner needs before sizing for the
+    MEAN rate (a bursty type's p99 concurrency is far above it; cf.
+    the reference's rate-limit policies, lib/limit.go, which exist
+    because arrivals are not uniform).
+
+    Per type: gap count, mean gap, CV (population moments from exact
+    decimal sums), and the max gap (outage/quiet-period indicator).
+    Gaps derive from INTEGER microsecond timestamps (unix_micros /
+    epoch_us — identical int64 arithmetic on both engines; float
+    epoch seconds would round), converted to seconds only at the
+    double division.
+
+    Scale shape: the lag window is partitioned by event_type over
+    event rows — inherent to "consecutive events per type" (the
+    sessionize shape) and uniform across types; everything after is
+    a |types|-row rollup of decimal moments. Ordering ties break on
+    event_id, so duplicate timestamps cannot reorder between engines.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # the integer microsecond key orders identically to ts, so the
+    # window sorts on it directly
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    # timestampdiff, not unix_micros: ts is TIMESTAMP_NTZ and
+    # unix_micros rejects NTZ (the rolling-window precedent)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    gaps = (
+        ev.select("event_type", "event_id", us.alias("us"))
+        .withColumn("prev", F.lag("us").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            ((F.col("us") - F.col("prev")).cast("double") / F.lit(1e6)).alias("g"),
+        )
+    )
+
+    def dec(c):
+        return F.round(c, 9).cast("decimal(38,9)")
+
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(dec(F.col("g"))).alias("s"),
+        F.sum(dec(F.col("g") * F.col("g"))).alias("ss"),
+        F.max("g").alias("mx"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.greatest(F.col("ss").cast("double") / n - mean * mean, F.lit(0.0))
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(F.try_divide(F.sqrt(var), mean), 6).alias("cv_gap"),
+        F.round("mx", 6).alias("max_gap_s"),
+    ).orderBy("event_type")
+
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(us - LAG(us) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS DOUBLE) / 1e6 AS g
+  FROM (SELECT event_type, event_id, ts, epoch_us(ts) AS us FROM events)
+), agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         SUM(CAST(ROUND(g, 9) AS DECIMAL(38,9))) AS s,
+         SUM(CAST(ROUND(g * g, 9) AS DECIMAL(38,9))) AS ss,
+         MAX(g) AS mx
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       ROUND(CAST(s AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+       ROUND(sqrt(GREATEST(CAST(ss AS DOUBLE) / n_gaps
+                 - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps), 0.0))
+             / nullif(CAST(s AS DOUBLE) / n_gaps, 0), 6) AS cv_gap,
+       ROUND(mx, 6) AS max_gap_s
+FROM agg ORDER BY event_type
+"""

@@ -1346,3 +1346,33 @@ def test_textrank_hub_beats_dangling_and_mass_conserved(spark, tmp_path):
     assert by["loop"] == min(by.values())
     assert abs(sum(by.values()) - 1.0) < 1e-4
     assert by["aaa"] == by["bbb"]  # symmetric structure, exact tie
+
+
+def test_interarrival_metronome_vs_bursty(spark, tmp_path):
+    """A metronome type (exact 60 s gaps) must read cv_gap = 0; a
+    bursty type (three 1 s gaps then a 297 s quiet period) must read
+    cv_gap >> 1 with the quiet period as max_gap_s."""
+    import datetime
+
+    from mito_spark.operators.events import events_interarrival_report
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(10):
+        rows.append((eid, base + datetime.timedelta(seconds=60 * i), 1, "tick", 1.0, "{}"))
+        eid += 1
+    offs = [0, 1, 2, 3, 300, 301, 302, 303, 600, 601]
+    for o in offs:
+        rows.append((eid, base + datetime.timedelta(seconds=o), 2, "burst", 1.0, "{}"))
+        eid += 1
+    d = str(tmp_path / "inter")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    got = {r.event_type: r for r in events_interarrival_report(spark, d).collect()}
+    assert got["tick"].n_gaps == 9
+    assert got["tick"].cv_gap == 0.0 and got["tick"].mean_gap_s == 60.0
+    assert got["burst"].cv_gap > 1.5
+    assert got["burst"].max_gap_s == 297.0

@@ -758,6 +758,11 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # r12 session 2: TextRank — tokenize scan + vocab-bounded
         # edge joins per unrolled round; TakeOrdered cut, no windows
         ("text", "textrank_keywords", ("Window",)),
+        # r12 session 2: interarrival — the per-type lag window is
+        # the op's definition (sessionize shape); no joins at all
+        ("events", "events_interarrival_report",
+         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin")),
     ],
 )
 def test_r10_ops_stay_jvm_and_never_cartesian(spark, sf_dir, modname, fnname, extra_forbidden):
