@@ -1026,30 +1026,33 @@ def cosine_topk_binary(
             lambda acc, x: acc * 2 + x,
         )
 
+    # checkpoint the SLIM code frame only — (vec_id, w0, w1) is the
+    # 16-byte representation binary quantization exists to ship; the
+    # float vectors stay on the scan and enter only the phase-2
+    # rerank join (checkpointing them alongside would materialize the
+    # exact footprint the tier is built to avoid)
     coded = (
         emb.withColumn(
             "bits", F.transform(F.col("v"), lambda x: (x > 0).cast("long"))
         )
-        .select("vec_id", "v", word(1).alias("w0"), word(33).alias("w1"))
-        .localCheckpoint()  # feeds candidates, queries, and the rerank
+        .select("vec_id", word(1).alias("w0"), word(33).alias("w1"))
+        .localCheckpoint()  # feeds the candidate join's both sides
     )
     queries = coded.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("v").alias("q"),
         F.col("w0").alias("qw0"),
         F.col("w1").alias("qw1"),
+    )
+    qvecs = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )
     ham = F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0"))) + F.bit_count(
         F.col("w1").bitwiseXOR(F.col("qw1"))
     )
-    cand = (
-        coded.select("vec_id", "w0", "w1")
-        .join(
-            F.broadcast(queries.select("query_id", "qw0", "qw1")),
-            F.col("vec_id") != F.col("query_id"),
-        )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
-    )
+    cand = coded.join(
+        F.broadcast(queries),
+        F.col("vec_id") != F.col("query_id"),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
     survivors = per_key_topk(
         cand,
         "query_id",
@@ -1058,9 +1061,9 @@ def cosine_topk_binary(
         rank_name="crank",
     ).select("query_id", "neighbor_id")
     rerank = (
-        coded.select(F.col("vec_id").alias("neighbor_id"), "v")
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v")
         .join(F.broadcast(survivors), "neighbor_id")
-        .join(F.broadcast(queries.select("query_id", "q")), "query_id")
+        .join(F.broadcast(qvecs), "query_id")
         .select("query_id", "neighbor_id", _cosine(F.col("q"), F.col("v")).alias("cos"))
         .where(F.col("cos").isNotNull())
     )
