@@ -724,12 +724,15 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # + 1-row broadcast; top-k via TakeOrdered, never a window
         ("quality", "term_burstiness_report",
          ("SortMergeJoin", "ShuffledHashJoin", "Window")),
-        # r12 session 2: table profile — ONE aggregate pass (Expand
-        # for the exact multi-distinct) + an 11-row unpivot; no joins
-        # or windows of any kind
+        # r12 optimization: table profile — one simple stats pass +
+        # eleven single-column distinct aggregates glued by 1-row
+        # broadcast nested-loop joins + an 11-row unpivot. Expand is
+        # FORBIDDEN: the all-distincts-in-one-aggregate form planned
+        # a 12x input replication into a corpus-sized multi-key
+        # SortAggregate (measured 23.6 s -> 1.9 s at sf0.1).
         ("relational2", "table_profile",
          ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-          "BroadcastNestedLoopJoin", "Window")),
+          "Window", "Expand")),
         # r12 session 2: subsampling — vocab rollup + 1-row broadcast
         # total; TakeOrdered cut
         ("sampling", "subsample_frequent_words",
