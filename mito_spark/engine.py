@@ -11,8 +11,16 @@ defaults differ.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Resolved-table memo: session -> {(sf_dir, table): lazy DataFrame}.
+# Holds LOGICAL PLANS only (never data); weak-keyed so a stopped
+# session's entries are collectable. See load_table's docstring.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 TABLES = (
     "region",
@@ -71,11 +79,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; parquet scan gets column pruning and
     predicate pushdown from Catalyst automatically.
 
+    The resolved DataFrame (a LAZY logical plan — no data, no
+    ``.cache()``) is memoized per (session, sf_dir, table): resolving
+    a parquet table costs ~0.3-0.5 s of driver work (py4j round
+    trips, file listing, footer/schema read) and a query touching six
+    tables paid it six times per invocation — ~25% of the whole bench
+    at gate SF was table re-resolution (r12 optimization round). At
+    100 TB the same cost is the §6 file-listing problem, and reusing
+    the resolved handle is exactly what a catalog does. Every action
+    on the returned frame still scans parquet afresh; nothing
+    materialized is reused. The cache dies with the session (weak
+    key), so a restarted session re-resolves.
+
     events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; we read nanos as long (session conf, settable at
     runtime so it works under any driver-provided session) and truncate
     to microseconds — the same truncation DuckDB applies, keeping the
     oracle comparable."""
+    per = _TABLE_CACHE.get(spark)
+    if per is None:
+        per = {}
+        _TABLE_CACHE[spark] = per
+    key = (sf_dir, name)
+    df = per.get(key)
+    if df is None:
+        df = _load_table_uncached(spark, sf_dir, name)
+        per[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

@@ -2311,35 +2311,38 @@ def embedding_correlation_report(
     variance collapses to <= 0 clamp to 0 and NULL out of the ranking
     via try_divide on both engines.
 
-    Scale shape: the exploded (vec, dim, x) frame is scan-sized; the
-    pair join costs O(n·d²/2) rows SHUFFLED ON vec_id — at 64 dims
-    that is 2016 products per vector, the honest price of a full
-    covariance pass (production samples vectors first: the moments
-    are mergeable, so a sampled run is the same plan on a FILTER'd
-    scan); the rollup is d²/2 rows, driver-bounded output is top_k.
+    Scale shape (r12 optimization round): the O(n·d²/2) pair products
+    are generated IN-ROW — posexplode dim i while carrying the vector,
+    then posexplode the carried vector again for j > i — so every
+    product is born in the scan stage and the partial aggregate
+    collapses it map-side to d²/2 keys per task; the only exchange
+    carries tasks × d²/2 rows. The r12-build form materialized the
+    (vec, dim, x) frame (localCheckpoint) and SELF-JOINED it on
+    vec_id: a corpus-sized checkpoint write, a broadcast of n·d rows,
+    and n·d²/2 join outputs born AFTER the join — measured 7.1 s at
+    sf0.1 vs 2.0 s for the in-row form, and at 100 TB the broadcast
+    build side would not even fit (the moments stay mergeable, so a
+    sampled run remains the same plan on a FILTER'd scan).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    x = (
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
-        .select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
-        .localCheckpoint()  # feeds the stats rollup AND the pair join
-    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
 
     def dec(c):
         return F.round(c, 9).cast("decimal(28,9)")
 
+    x = emb.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
     stats = x.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col("x"))).alias("sx"),
         F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
     )
-    xa = x.select("vec_id", F.col("dim").alias("i"), F.col("x").alias("xi"))
-    xb = x.select("vec_id", F.col("dim").alias("j"), F.col("x").alias("xj"))
     pxy = (
-        xa.join(xb, "vec_id")
-        .where(F.col("i") < F.col("j"))
+        emb.select(F.col("embedding").alias("e"), F.posexplode("embedding").alias("i", "xfi"))
+        .select("i", F.col("xfi").cast("double").alias("xi"), F.posexplode("e").alias("j", "xfj"))
+        .where(F.col("j") > F.col("i"))
         .groupBy("i", "j")
-        .agg(F.sum(dec(F.col("xi") * F.col("xj"))).alias("sxy"))
+        .agg(F.sum(dec(F.col("xi") * F.col("xfj").cast("double"))).alias("sxy"))
     )
     si = stats.select(
         F.col("dim").alias("i"),
@@ -2431,16 +2434,18 @@ def _pca_cov_rows(spark: SparkSession, sf_dir: str):
     correctly-rounded double division of the exact decimal sum — the
     arithmetic the oracle's ``muv`` CTE repeats) rides along for the
     All-but-the-Top centering step in the whitening report."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    x = (
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
-        .select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
-        .localCheckpoint()
-    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
 
     def dec(c):
         return F.round(c, 9).cast("decimal(28,9)")
 
+    # r12 optimization: same in-row pair-product shape as
+    # embedding_correlation_report — no checkpoint, no vec_id join;
+    # the pair products are born in the scan stage and collapse
+    # map-side to d²/2 keys.
+    x = emb.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
     stats = x.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col("x"))).alias("sx"),
@@ -2455,13 +2460,12 @@ def _pca_cov_rows(spark: SparkSession, sf_dir: str):
         ).alias("c"),
         mi.alias("mu"),
     ).collect()
-    xa = x.select("vec_id", F.col("dim").alias("i"), F.col("x").alias("xi"))
-    xb = x.select("vec_id", F.col("dim").alias("j"), F.col("x").alias("xj"))
     pxy = (
-        xa.join(xb, "vec_id")
-        .where(F.col("i") < F.col("j"))
+        emb.select(F.col("embedding").alias("e"), F.posexplode("embedding").alias("i", "xfi"))
+        .select("i", F.col("xfi").cast("double").alias("xi"), F.posexplode("e").alias("j", "xfj"))
+        .where(F.col("j") > F.col("i"))
         .groupBy("i", "j")
-        .agg(F.sum(dec(F.col("xi") * F.col("xj"))).alias("sxy"))
+        .agg(F.sum(dec(F.col("xi") * F.col("xfj").cast("double"))).alias("sxy"))
     )
     si = stats.select(
         F.col("dim").alias("i"), "n", F.col("sx").alias("sx_i")
