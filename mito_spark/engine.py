@@ -91,6 +91,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     materialized is reused. The cache dies with the session (weak
     key), so a restarted session re-resolves.
 
+    The memo key carries the table directory's mtime_ns: a rewrite of
+    the same path (tests; any overwrite-in-place flow) changes the
+    stamp and forces a fresh resolve, so the handle can never serve a
+    stale file index (the r12 memoization's first form did exactly
+    that — FileNotFoundException on the rewritten table). One os.stat
+    per call vs ~0.3-0.5 s of py4j resolution.
+
     events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; we read nanos as long (session conf, settable at
     runtime so it works under any driver-provided session) and truncate
@@ -100,7 +107,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if per is None:
         per = {}
         _TABLE_CACHE[spark] = per
-    key = (sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        stamp = os.stat(path).st_mtime_ns
+    except OSError:
+        stamp = None
+    key = (sf_dir, name, stamp)
     df = per.get(key)
     if df is None:
         df = _load_table_uncached(spark, sf_dir, name)
