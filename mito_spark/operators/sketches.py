@@ -876,7 +876,8 @@ def hll_calibration_report(
     # Deriving both from the same distinct frame halves the plan —
     # before, each leg re-ran the whole 5-branch union + 3 explodes
     # over the staged checkpoint (10 scans, 6 Generates; measured
-    # 4.4 s -> ~2.6 s at sf0.1). The checkpoint is yardstick-bounded:
+    # 3.9-4.5 s -> ~3.3 s warm at sf0.1). The checkpoint is
+    # yardstick-bounded:
     # the guard above caps the frame at <= ~2x yardstick_max rows, the
     # same bound the exact leg's distinct shuffle already carried.
     dist = (
