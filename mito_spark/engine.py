@@ -91,12 +91,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     materialized is reused. The cache dies with the session (weak
     key), so a restarted session re-resolves.
 
-    The memo key carries the table directory's mtime_ns: a rewrite of
-    the same path (tests; any overwrite-in-place flow) changes the
-    stamp and forces a fresh resolve, so the handle can never serve a
-    stale file index (the r12 memoization's first form did exactly
-    that — FileNotFoundException on the rewritten table). One os.stat
-    per call vs ~0.3-0.5 s of py4j resolution.
+    The memo key carries a freshness stamp: max mtime_ns over the
+    table path and its direct children (ADVICE r12: the directory's
+    own mtime does not change when an existing part file is modified
+    in place, only when entries are added/removed). A rewrite of the
+    same path (tests; any overwrite-in-place flow) changes the stamp
+    and forces a fresh resolve, so the handle can never serve a stale
+    file index (the r12 memoization's first form did exactly that —
+    FileNotFoundException on the rewritten table). Superseded stamps
+    for the same (sf_dir, name) are evicted so the per-session dict
+    stays bounded under repeated rewrites. A few os.stat calls per
+    load_table vs ~0.3-0.5 s of py4j resolution.
 
     events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; we read nanos as long (session conf, settable at
@@ -108,16 +113,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         per = {}
         _TABLE_CACHE[spark] = per
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        stamp = os.stat(path).st_mtime_ns
-    except OSError:
-        stamp = None
+    stamp = _freshness_stamp(path)
     key = (sf_dir, name, stamp)
     df = per.get(key)
     if df is None:
+        for old in [k for k in per if k[:2] == (sf_dir, name)]:
+            del per[old]
         df = _load_table_uncached(spark, sf_dir, name)
         per[key] = df
     return df
+
+
+def _freshness_stamp(path: str):
+    """max mtime_ns over the dataset path and its direct children —
+    catches in-place part-file rewrites that leave the directory's own
+    mtime unchanged. None (always-miss) when the path is unreadable."""
+    try:
+        stamp = os.stat(path).st_mtime_ns
+    except OSError:
+        return None
+    try:
+        with os.scandir(path) as it:
+            for entry in it:
+                try:
+                    m = entry.stat().st_mtime_ns
+                except OSError:
+                    continue
+                if m > stamp:
+                    stamp = m
+    except (NotADirectoryError, OSError):
+        pass
+    return stamp
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

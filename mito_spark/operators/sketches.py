@@ -880,6 +880,13 @@ def hll_calibration_report(
     # yardstick-bounded:
     # the guard above caps the frame at <= ~2x yardstick_max rows, the
     # same bound the exact leg's distinct shuffle already carried.
+    # PRECONDITION (ADVICE r12): the isNotNull filter below must be a
+    # no-op for the register leg's equivalence claim to hold — every
+    # domain above emits non-null items by construction (explode skips
+    # nulls inside arrays built from non-null tokens; doc_id/source are
+    # non-null table columns). A future domain that can emit NULL items
+    # would change n_hll relative to a hash-every-row register pass;
+    # tests/test_sketches.py pins the no-null-items invariant.
     dist = (
         items.where(F.col("item").isNotNull())
         .select("domain", "item")

@@ -399,6 +399,28 @@ def test_hll_yard_rate_floor_and_doubling():
     assert _hll_yard_rate(4 * HLL_YARDSTICK_MAX + 1) == 8
 
 
+def test_hll_domains_emit_no_null_items(spark, sf_dir):
+    """PRECONDITION pin (ADVICE r12): the shared distinct pass filters
+    NULL items, which must be a no-op for the register leg to equal a
+    hash-every-row register pass. All five calibration domains derive
+    from non-null columns: doc_id/source are non-null table columns and
+    the token/bigram/gram5 arrays are built from non-null tokens (an
+    explode over them can never emit NULL). Pin the data-side half of
+    that invariant on the gate corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    nulls = docs.where(
+        F.col("doc_id").isNull() | F.col("source").isNull() | F.col("text").isNull()
+    ).count()
+    assert nulls == 0
+    from mito_spark.operators.text import _tokens
+
+    toks = docs.select(_tokens(F.lower(F.col("text"))).alias("toks"))
+    null_toks = toks.where(
+        F.exists("toks", lambda t: t.isNull()) | F.col("toks").isNull()
+    ).count()
+    assert null_toks == 0
+
+
 def test_hll_gate_corpus_floors_to_unrestricted_yardstick(spark, sf_dir):
     """The gate corpus must derive yard_rate == 1 (auto-knob floor
     discipline: the derived value must equal the constant in the
