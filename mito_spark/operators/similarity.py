@@ -1619,13 +1619,29 @@ def knn_graph(
     and uniform (no skew). O(n²) never materializes — per-node
     candidate count is bounded by bucket population × n_tables, held
     constant at scale via auto_lsh_bits. Deterministic rank tie-break
-    on neighbor id keeps the graph engine-portable."""
+    on neighbor id keeps the graph engine-portable.
+
+    r13 optimization round (guide §2.3/§3): (1) bucket ids — the
+    bits·d-FMA interpreted fold, the query's dominant per-row compute —
+    are computed ONCE per (vector, table) into a 16-byte/row ids+bucket
+    frame, checkpointed so the candidate self-join's two sides read it
+    instead of each re-hashing the corpus; the before-plan also
+    BROADCAST the vector-carrying side of that join (corpus vectors in
+    a broadcast — a scale non-starter). (2) Vector norms are computed
+    per VECTOR, not per candidate pair (two of the three 64-step folds
+    in ``_cosine`` were per-pair norm recomputation). (3) The null-cos
+    filter is the algebraic ``na*nb != 0`` pre/post-filter instead of
+    ``cos IS NOT NULL``, which Catalyst pushed into the join condition
+    and thereby evaluated the whole cosine fold TWICE per pair (§4.4's
+    duplicated-expression trap, HOF edition). Same rows out: cos is
+    NULL iff its denominator is 0 or an input is NULL (try_divide), and
+    Spark orders NaN like the old plan did (NaN != 0.0 is true, so NaN
+    norms pass both forms)."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     keyed = emb.select(
         "vec_id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -1637,7 +1653,7 @@ def knn_graph(
                 ]
             )
         ).alias("tb"),
-    )
+    ).localCheckpoint()  # n·n_tables rows × ~16 bytes: ids + bucket only
     ids = (
         keyed.alias("a")
         .join(keyed.alias("b"), "tb")
@@ -1647,15 +1663,38 @@ def knn_graph(
             F.col("b.vec_id").alias("neighbor_id"),
         )
         .distinct()  # collides-in-any-table: dedup on the 2-id key ONLY
-        # — shuffling the two 64-dim vectors through the distinct would
-        # widen its exchange ~16x; they rejoin below (as the SQL twin does)
+        # — the vectors never enter the pair-generation join; they
+        # rejoin below (as the SQL twin does)
+    )
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nv", _norm(F.col("v")))
+        # zero/null-norm vectors can never yield a non-null cosine —
+        # prune them before the joins (NaN norms pass, as before)
+        .where(F.col("nv").isNotNull() & (F.col("nv") != 0.0))
     )
     cand = (
-        ids.join(emb.withColumnRenamed("vec_id", "nb_").withColumnRenamed("v", "vb"),
-                 F.col("neighbor_id") == F.col("nb_"))
-        .join(emb.withColumnRenamed("v", "va"), "vec_id")
-        .select("vec_id", "neighbor_id", _cosine(F.col("va"), F.col("vb")).alias("cos"))
-        .where(F.col("cos").isNotNull())
+        ids.join(
+            vecs.select(
+                F.col("vec_id").alias("nb_"),
+                F.col("v").alias("vb"),
+                F.col("nv").alias("nb"),
+            ),
+            F.col("neighbor_id") == F.col("nb_"),
+        )
+        .join(
+            vecs.select("vec_id", F.col("v").alias("va"), F.col("nv").alias("na")),
+            "vec_id",
+        )
+        .where(F.col("na") * F.col("nb") != F.lit(0.0))  # underflow guard ≡ cos NOT NULL
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.try_divide(
+                _dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -2007,65 +2046,105 @@ def embedding_dim_ablation_report(
     SQ8/PQ tiers quantize precision instead of dimension. Together
     the four reports are the compression decision table.
 
-    Scale shape: ONE embedding scan (checkpointed) feeds every rung;
-    each rung is the brute-force scorer on a PREFIX slice (the dot
-    folds run d steps, so cheaper rungs cost proportionally less)
-    with the two-stage per_key_topk; queries are the bounded
-    standing set (production subsets queries, the standard
-    recall-report posture). The intersection joins are k·n_queries
-    rows. Integer-exact counts; recall is one 6dp try_divide.
+    Scale shape (r13 optimization round, guide §2.2/§4.4): ONE
+    brute-force scoring pass computes every rung's prefix cosine in
+    the same row — the before-plan ran |MRL_DIMS| separate
+    corpus×queries passes (4 scans, 4 two-stage topks, 12 HOF folds
+    per pair; norms were re-folded per PAIR per rung). Now norms fold
+    once per VECTOR per rung, each pair pays only the 4 prefix dot
+    folds, the (dim, cos) ladder explodes in-row, and a single
+    composite-key two-stage ``per_key_topk`` over (dim, query_id)
+    ranks all rungs at once. Each rung's cosine is the identical
+    expression tree (dot over zip_with of prefix slices; try_divide by
+    the norm product), so scores — and the selected top-k — are
+    bit-identical to the per-rung form. The intersection join is
+    k·n_queries·|dims| rows. Integer-exact counts; recall is one 6dp
+    try_divide.
     """
+
+    def _prefix_norms(col: str, prefix: str):
+        return [
+            F.sqrt(
+                _dot(F.slice(F.col(col), 1, d), F.slice(F.col(col), 1, d))
+            ).alias(f"{prefix}{d}")
+            for d in MRL_DIMS
+        ]
+
     emb = (
         spread(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", "v", *_prefix_norms("v", "nv"))
         .localCheckpoint()
     )
     queries = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        *[F.col(f"nv{d}").alias(f"nq{d}") for d in MRL_DIMS],
     )
-
-    def topk_at(d: int) -> DataFrame:
-        joined = (
-            emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                _cosine(
-                    F.slice(F.col("q"), 1, d), F.slice(F.col("v"), 1, d)
-                ).alias("cos"),
-            )
-            .where(F.col("cos").isNotNull())
+    # explode a LITERAL dim array (free to re-evaluate — the
+    # interpreted-HOF Generate rule) and compute each emitted row's
+    # cosine afterwards via a CASE whose matching branch is the exact
+    # per-rung expression: one d-length fold per (pair, dim) row.
+    cos_case = F.when(
+        F.col("dim") == MRL_DIMS[0],
+        F.try_divide(
+            _dot(
+                F.slice(F.col("q"), 1, MRL_DIMS[0]), F.slice(F.col("v"), 1, MRL_DIMS[0])
+            ),
+            F.col(f"nq{MRL_DIMS[0]}") * F.col(f"nv{MRL_DIMS[0]}"),
+        ),
+    )
+    for d in MRL_DIMS[1:]:
+        cos_case = cos_case.when(
+            F.col("dim") == d,
+            F.try_divide(
+                _dot(F.slice(F.col("q"), 1, d), F.slice(F.col("v"), 1, d)),
+                F.col(f"nq{d}") * F.col(f"nv{d}"),
+            ),
         )
-        return per_key_topk(
-            joined, "query_id", [F.desc("cos"), F.asc("neighbor_id")], k
-        ).select("query_id", "neighbor_id")
-
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "q",
+            "v",
+            *[F.col(f"nq{d}") for d in MRL_DIMS],
+            *[F.col(f"nv{d}") for d in MRL_DIMS],
+            F.explode(F.array(*[F.lit(d) for d in MRL_DIMS])).alias("dim"),
+        )
+        .select("query_id", "neighbor_id", "dim", cos_case.alias("cos"))
+        .where(F.col("cos").isNotNull())
+    )
+    tk = per_key_topk(
+        scored, ["dim", "query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select("dim", "query_id", "neighbor_id")
     full_dim = max(MRL_DIMS)
-    truth = topk_at(full_dim).localCheckpoint()
+    tk = tk.localCheckpoint()  # ≤ |dims|·n_queries·k rows — bounded
+    truth = tk.where(F.col("dim") == full_dim).select("query_id", "neighbor_id")
     n_truth = truth.count()
-    outs = []
-    for d in MRL_DIMS:
-        tk = truth if d == full_dim else topk_at(d)
-        caught = tk.join(truth, ["query_id", "neighbor_id"]).agg(
-            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_caught")
+    caught = (
+        tk.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n_caught"))
+    )
+    dims = spark.createDataFrame([(d,) for d in MRL_DIMS], "dim int")
+    return (
+        dims.join(caught, "dim", "left")
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.lit(n_truth).cast("bigint").alias("n_truth"),
+            F.coalesce(F.col("n_caught"), F.lit(0)).cast("bigint").alias("n_caught"),
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("n_caught"), F.lit(0)).cast("double"),
+                    F.lit(float(n_truth)),
+                ),
+                6,
+            ).alias("recall"),
         )
-        outs.append(
-            caught.select(
-                F.lit(d).cast("bigint").alias("dim"),
-                F.lit(n_truth).cast("bigint").alias("n_truth"),
-                F.col("n_caught").cast("bigint").alias("n_caught"),
-                F.round(
-                    F.try_divide(
-                        F.col("n_caught").cast("double"), F.lit(float(n_truth))
-                    ),
-                    6,
-                ).alias("recall"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out.orderBy("dim")
+        .orderBy("dim")
+    )
 
 
 def _dim_ablation_sql(n_queries: int = 10, k: int = 10) -> str:

@@ -34,18 +34,20 @@ from pyspark.sql import functions as F
 
 def per_key_topk(
     df: DataFrame,
-    key: str,
+    key: str | list[str],
     order: list[Column],
     n: int,
     rank_name: str = "rank",
 ) -> DataFrame:
     """Exact per-``key`` top-``n`` under ``order`` (a deterministic
     total order — include a unique tie-break column), computed as a
-    partition-local pre-rank + a bounded global rank. Adds
-    ``rank_name`` (1-based) to the output; all other columns pass
-    through unchanged."""
-    local_w = Window.partitionBy(key, "_tk_part").orderBy(*order)
-    global_w = Window.partitionBy(key).orderBy(*order)
+    partition-local pre-rank + a bounded global rank. ``key`` may be a
+    single column name or a list (composite key). Adds ``rank_name``
+    (1-based) to the output; all other columns pass through
+    unchanged."""
+    keys = [key] if isinstance(key, str) else list(key)
+    local_w = Window.partitionBy(*keys, "_tk_part").orderBy(*order)
+    global_w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_tk_part", F.spark_partition_id())
         .withColumn("_tk_lrank", F.row_number().over(local_w))
