@@ -991,34 +991,39 @@ def ngram_entropy_report(
     surprisal recipe. Conditional rows subtract the PRE-ROUNDED H
     values so both engines subtract identical doubles.
 
-    Scale shape: ONE tokenize scan staged, then per n one
-    explode→groupBy over n-gram TYPES (the vocabulary shuffle —
-    collocation_pmi's cost class; the ladder reuses the staged token
-    arrays, never re-tokenizes) and a 1-row rollup; output max_n
-    rows. Per-doc n-grams are in-row transform slices over the
-    staged token array.
+    Scale shape (r13 optimization round, guide §2.2/§2.4): ONE
+    tokenize scan stages a single combined (n, gram) struct array —
+    materialized in the checkpoint, so the one explode is a free
+    attribute fan-out (the winnow Generate rule) — and ONE
+    groupBy(n, gram) type shuffle + one per-n rollup replace the
+    before-plan's per-n explode→groupBy legs (3 Generates and 6
+    Exchanges down to 1 and 2; same total gram volume through the one
+    shuffle, keyed (n, gram) so the three ladders' types never
+    collide). Per-doc n-grams are in-row transform slices over the
+    token array; output max_n rows via a left join against the
+    literal rung list (an absent rung — no doc long enough — yields
+    the same NULL row the old empty-aggregate produced).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
 
     def slicer(width: int):
         # closure factory: the HOF lambda must take exactly ONE
         # parameter — a second (even defaulted) binds the array index
-        return lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(width)))
+        return lambda i: F.struct(
+            F.lit(width).alias("n"),
+            F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(width))).alias("g"),
+        )
 
     def gram_col(n: int):
         return F.when(
             F.size("toks") >= n,
             F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)), slicer(n)),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
 
-    # ALL gram arrays materialize in ONE checkpointed frame (the
-    # hll_calibration pattern) — exploding an interpreted-HOF
-    # expression directly would re-evaluate the generator input per
-    # emitted row (the winnow lesson)
     staged = (
         docs.select(_tokens(F.lower(F.col("text"))).alias("toks"))
         .select(
-            "toks", *[gram_col(n).alias(f"g{n}") for n in range(2, max_n + 1)]
+            F.concat(*[gram_col(n) for n in range(1, max_n + 1)]).alias("grams")
         )
         .localCheckpoint()
     )
@@ -1026,40 +1031,36 @@ def ngram_entropy_report(
     def dec(c):
         return F.round(c, 9).cast("decimal(28,9)")
 
-    rows = []
-    for n in range(1, max_n + 1):
-        src = "toks" if n == 1 else f"g{n}"
-        grams = staged.select(F.explode(src).alias("g"))
-        cnts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
-        agg = cnts.agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_types"),
-            F.sum(
-                dec(
-                    F.col("c").cast("double")
-                    * F.round(F.log(F.col("c").cast("double")), 9)
-                )
-            ).alias("s"),
-        )
-        rows.append(
-            agg.select(
-                F.lit(n).alias("n"),
-                F.col("n_tokens").cast("bigint").alias("n_tokens"),
-                F.col("n_types").cast("bigint").alias("n_types"),
-                F.round(
-                    (
-                        F.round(F.log(F.col("n_tokens").cast("double")), 9)
-                        - F.col("s").cast("double")
-                        / F.col("n_tokens").cast("double")
-                    )
-                    / F.lit(_LN2),
-                    6,
-                ).alias("entropy_bits"),
+    cnts = (
+        staged.select(F.explode("grams").alias("ng"))
+        .select(F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+        .groupBy("n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_n = cnts.groupBy("n").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            dec(
+                F.col("c").cast("double")
+                * F.round(F.log(F.col("c").cast("double")), 9)
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
+        ).alias("s"),
+    )
+    rungs = spark.createDataFrame([(n,) for n in range(1, max_n + 1)], "n int")
+    out = rungs.join(per_n, "n", "left").select(
+        "n",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_types"), F.lit(0)).cast("bigint").alias("n_types"),
+        F.round(
+            (
+                F.round(F.log(F.col("n_tokens").cast("double")), 9)
+                - F.col("s").cast("double") / F.col("n_tokens").cast("double")
+            )
+            / F.lit(_LN2),
+            6,
+        ).alias("entropy_bits"),
+    )
     from pyspark.sql import Window
 
     # conditional ladder over the <= max_n-row frame (bounded window)
