@@ -6,27 +6,33 @@ returning k near-copies of the best hit. The standard post-processing
 step after ANN retrieval in RAG/search pipelines, and the natural
 consumer of this repo's ANN tiers.
 
-Spark-first shape: the greedy loop is UNROLLED into k deterministic
-DataFrame stages (argmax = row_number over (score desc, id asc)) —
-per-stage work is per-query candidate rescoring against the selected
-set via the precomputed pairwise-sim table, all shuffles keyed on
-query_id. Every float is a fold-left cosine or an order-free MAX, so
-the DuckDB oracle re-derives the selection bit-for-bit; no Python in
-the row path. k is a small constant (results-page size), so the
-unrolled plan depth is bounded.
-
-Scale notes: candidates and pairwise sims are checkpointed once
-(m·|Q| and m²·|Q| rows — bounded by the retrieval fan-out, not the
-corpus); each greedy stage is one bounded shuffle on query_id.
+Spark-first shape (r13 optimization round, guide §2.1/§2.4): the
+candidate cut is the two-stage ``per_key_topk`` over a SLIM
+(query_id, cand_id, rel) frame — the r10-r12 form ranked the
+corpus-sized candidate frame with a plain per-query window (10
+partitions, the §2.1 parallelism collapse) and carried the 64-dim
+vectors through it. Vectors rejoin AFTER the cut (m·|Q| rows). The
+greedy loop itself — previously k unrolled DataFrame stages, each a
+localCheckpoint job plus anti-join/max-sim/argmax shuffles — is now a
+single in-row ``aggregate`` fold over each query's collected candidate
+array: per query the state is the ≤ m candidate structs (retrieval
+fan-out, bounded by construction), the fold runs k−1 steps, and each
+step's argmax is an ``array_sort`` under exactly the old window's
+(mmr DESC, cand_id ASC) order. One shuffle (the groupBy(query_id) of
+m·|Q| rows) replaces ~8 jobs. Every float op is unchanged: rel and
+pairwise sims are the same ``_cosine`` fold, mmr the same
+λ·rel − (1−λ)·max-sim expression, so the selection is bit-identical
+and the DuckDB oracle re-derives it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mito_spark.engine import load_table, spread
-from mito_spark.operators.similarity import _cosine
+from mito_spark.operators.similarity import _cosine, _dot, _norm
+from mito_spark.operators.topk import per_key_topk
 
 
 def mmr_rerank(
@@ -40,77 +46,119 @@ def mmr_rerank(
     """Top-m exact-cosine candidates per query → MMR-greedy top-k.
     Output: (query_id, neighbor_id, rank, score) where rank 1's score
     is its relevance and later ranks carry their MMR score."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nv", _norm(F.col("v")))
+        # zero/null-norm vectors can never yield a non-null cosine
+        # (old form: rel IS NOT NULL dropped the same rows)
+        .where(F.col("nv").isNotNull() & (F.col("nv") != 0.0))
     )
     queries = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("nv").alias("nq"),
     )
-    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
-    cand = (
+    scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .where(F.col("nq") * F.col("nv") != F.lit(0.0))  # underflow ≡ rel NOT NULL
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            "v",
-            _cosine(F.col("q"), F.col("v")).alias("rel"),
+            F.try_divide(
+                _dot(F.col("q"), F.col("v")), F.col("nq") * F.col("nv")
+            ).alias("rel"),
         )
-        .where(F.col("rel").isNotNull())
-        .withColumn("rr", F.row_number().over(w_rel))
-        .where(F.col("rr") <= m)
-        .drop("rr")
-        .localCheckpoint()
     )
-    psim = (
-        cand.alias("a")
-        .join(cand.alias("b"), "query_id")
-        .where(F.col("a.cand_id") != F.col("b.cand_id"))
+    cand = per_key_topk(
+        scored, "query_id", [F.desc("rel"), F.asc("cand_id")], m, rank_name="rr"
+    ).drop("rr")
+    # payload vectors rejoin AFTER the cut (m·|Q| rows; topk.py rule)
+    cand = cand.join(
+        emb.select(F.col("vec_id").alias("cand_id"), "v"), "cand_id"
+    )
+    cs = cand.groupBy("query_id").agg(
+        F.collect_list(F.struct("cand_id", "rel", "v")).alias("cs")
+    )
+
+    def argmax(arr):
+        # old order: ROW_NUMBER over (key DESC, cand_id ASC) = 1 —
+        # negation is exact for doubles, so struct-asc sort matches
+        return F.element_at(F.array_sort(arr), 1)
+
+    pick1 = argmax(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                (-c["rel"]).alias("negkey"),
+                c["cand_id"].alias("cand_id"),
+                c["rel"].alias("score"),
+                c["v"].alias("v"),
+            ),
+        )
+    )
+    init = F.array(
+        F.struct(
+            F.lit(1).alias("rank"),
+            pick1["cand_id"].alias("cand_id"),
+            pick1["score"].alias("score"),
+            pick1["v"].alias("v"),
+        )
+    )
+
+    def step(acc, i):
+        rem = F.filter(
+            F.col("cs"),
+            lambda c: ~F.exists(acc, lambda s: s["cand_id"] == c["cand_id"]),
+        )
+        best = argmax(
+            F.transform(
+                rem,
+                lambda c: F.struct(
+                    (
+                        -(
+                            F.lit(lam) * c["rel"]
+                            - F.lit(1 - lam)
+                            * F.array_max(
+                                F.transform(acc, lambda s: _cosine(c["v"], s["v"]))
+                            )
+                        )
+                    ).alias("negkey"),
+                    c["cand_id"].alias("cand_id"),
+                    (
+                        F.lit(lam) * c["rel"]
+                        - F.lit(1 - lam)
+                        * F.array_max(
+                            F.transform(acc, lambda s: _cosine(c["v"], s["v"]))
+                        )
+                    ).alias("score"),
+                    c["v"].alias("v"),
+                ),
+            )
+        )
+        appended = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    i.cast("int").alias("rank"),
+                    best["cand_id"].alias("cand_id"),
+                    best["score"].alias("score"),
+                    best["v"].alias("v"),
+                )
+            ),
+        )
+        # degenerate guard: fewer than k candidates → stop appending
+        # (the old per-stage join simply produced no pick row)
+        return F.when(F.size(rem) > 0, appended).otherwise(acc)
+
+    sel = F.aggregate(F.sequence(F.lit(2), F.lit(k)), init, step)
+    return (
+        cs.select("query_id", F.explode(sel).alias("s"))
         .select(
             "query_id",
-            F.col("a.cand_id").alias("c1"),
-            F.col("b.cand_id").alias("c2"),
-            _cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
-        )
-        .localCheckpoint()
-    )
-    rels = cand.select("query_id", "cand_id", "rel")
-    pick1 = (
-        rels.withColumn("rn", F.row_number().over(w_rel.orderBy(F.desc("rel"), F.asc("cand_id"))))
-        .where(F.col("rn") == 1)
-        .select("query_id", F.lit(1).alias("rank"), "cand_id", F.col("rel").alias("score"))
-    )
-    sel = pick1
-    for i in range(2, k + 1):
-        remaining = rels.join(
-            sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
-        )
-        maxsim = (
-            psim.join(
-                sel.select("query_id", F.col("cand_id").alias("c2")), ["query_id", "c2"]
-            )
-            .groupBy("query_id", F.col("c1").alias("cand_id"))
-            .agg(F.max("sim").alias("ms"))
-        )
-        w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
-        pick = (
-            remaining.join(maxsim, ["query_id", "cand_id"])
-            .withColumn("mmr", lam * F.col("rel") - (1 - lam) * F.col("ms"))
-            .withColumn("rn", F.row_number().over(w_mmr))
-            .where(F.col("rn") == 1)
-            .select("query_id", F.lit(i).alias("rank"), "cand_id", F.col("mmr").alias("score"))
-        )
-        # localCheckpoint per stage: sel feeds BOTH the next stage's
-        # anti-join and max-sim join, and without materialization the
-        # stage-i plan re-embeds every earlier stage's DAG (planning
-        # cost grows superlinearly in k; measured 13.8 s -> ~3 s at
-        # sf0.1 for k=5). |sel| <= k·|Q| rows — the checkpoint is free.
-        sel = sel.unionByName(pick).localCheckpoint()
-    return (
-        sel.select(
-            "query_id",
-            F.col("cand_id").alias("neighbor_id"),
-            "rank",
-            F.round("score", 6).alias("score"),
+            F.col("s.cand_id").alias("neighbor_id"),
+            F.col("s.rank").alias("rank"),
+            F.round(F.col("s.score"), 6).alias("score"),
         )
         .orderBy("query_id", "rank")
     )
