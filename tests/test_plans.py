@@ -703,11 +703,14 @@ def test_dedup_threshold_sweep_reuses_verified_pairs(spark, sf_dir):
         # join; no hash/merge joins of any kind, no windows
         ("similarity", "embedding_isotropy_report",
          ("SortMergeJoin", "ShuffledHashJoin", "Window")),
-        # r12: entropy ladder — 3 gram groupBys off one checkpointed
-        # scan + 1-row rollups; the conditional window runs over the
-        # <= 3-row ladder, never gram rows; no joins of any kind
+        # r13: entropy ladder — ONE combined (n, gram) shuffle off one
+        # checkpointed scan + per-n rollup; the only join is the
+        # <= max_n-row rung list broadcast-left-joined against the
+        # <= 3-row rollup, and the conditional window runs over that
+        # ladder, never gram rows; no merge/shuffled-hash/nested-loop
+        # joins
         ("quality", "ngram_entropy_report",
-         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+         ("SortMergeJoin", "ShuffledHashJoin",
           "BroadcastNestedLoopJoin")),
         # r12: stupid backoff — gram-keyed model joins (broadcast-
         # eligible type tables), never a Cartesian, no Python
