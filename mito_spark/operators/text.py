@@ -591,20 +591,26 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     p̂(b|a) = (c(a,b)+1) / (c(a·)+V) with c(a·) the corpus count of
     bigrams starting at ``a`` and V the full unigram vocabulary size.
 
-    Plan: ONE corpus scan+tokenize (checkpointed; the vocab aggregate
-    and the pair stage both read it — a second raw scan would double
-    the dominant cost at 100 TB), pair arrays checkpointed BEFORE the
-    explode (the interpreted-HOF Generate rule), and the corpus pair
-    counts derived FROM the per-doc rollup (sum of n — partial
-    aggregation over the already-reduced table, mirroring the SQL
-    twin's cb-from-pd), never broadcast: the distinct-bigram table
-    grows with the corpus, so the (a, b) join is a shuffle join the
-    optimizer may downgrade to broadcast only when sizes allow.
-    Context totals join on ``a``; only the 1-row vocab aggregate is
-    broadcast unconditionally. The per-doc reduction sums
-    DECIMAL(28,9)-rounded contributions — exact arithmetic, so the
-    sum is order-free and the DuckDB twin matches bit-for-bit (the
-    repo's decimal-sum convention).
+    Plan (r13, guide §2.2/§3.4 — model-first): ONE corpus
+    scan+tokenize (checkpointed; the vocab aggregate and the pair
+    stage both read it — a second raw scan would double the dominant
+    cost at 100 TB), pair arrays checkpointed BEFORE the explode (the
+    interpreted-HOF Generate rule), then the per-doc rollup ``pd``
+    checkpointed ONCE — the r12 shape re-ran the explode + (doc_id,
+    a, b) shuffle for every corpus-count consumer (3 Generate
+    subtrees in the final job). The MODEL is assembled first on the
+    type table (cb ⋈ ctx + the 1-row vocab broadcast, with −ln p̂
+    precomputed per type), so the big per-doc frame is probed by ONE
+    gram-keyed join instead of being dragged through the whole join
+    chain — at scale that is one shuffle of the corpus-sized side by
+    (a, b) instead of three by (a, b)/(a)/(doc_id-again). Nothing
+    corpus-sized is ever broadcast unconditionally: the model join is
+    a shuffle join the optimizer may downgrade to broadcast only when
+    sizes allow. The per-doc reduction sums DECIMAL(28,9)-rounded
+    contributions — exact arithmetic, so the sum is order-free and
+    the DuckDB twin matches bit-for-bit (the repo's decimal-sum
+    convention); the precomputed −ln p̂ is the same double the inline
+    expression produced, so every rounded contribution is identical.
 
     Documents with fewer than two tokens have no bigrams: they are
     reported with n_bigrams=0 and NULL surprisal (absent evidence is
@@ -633,25 +639,39 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = staged.select(
         "doc_id", F.explode("pairs").alias("p")
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    per_doc_bg = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("n"))
+    # the per-doc rollup is the probe side AND the source of every
+    # corpus count — materialize it once (the r12 shape re-ran the
+    # explode + this shuffle per consumer; A/B 3.36 -> 2.73 s at
+    # sf0.1 under load)
+    per_doc_bg = (
+        bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     # corpus counts from the PER-DOC rollup (sum of n), not a second
-    # pass over bg — strictly less data into the (a, b) shuffle
-    corpus_bg = per_doc_bg.groupBy("a", "b").agg(F.sum("n").alias("cab"))
+    # pass over bg — strictly less data into the (a, b) shuffle; the
+    # type table is bounded by the distinct-bigram count, so its
+    # checkpoint is too (two consumers: ctx and the model join)
+    corpus_bg = (
+        per_doc_bg.groupBy("a", "b").agg(F.sum("n").alias("cab")).localCheckpoint()
+    )
     ctx = corpus_bg.groupBy("a").agg(F.sum("cab").alias("ca"))
     vocab = staged.select(F.explode("toks").alias("t")).agg(
         F.count_distinct("t").alias("vocab")
     )
-    contrib = F.col("n") * -F.log(
+    lp = -F.log(
         (F.col("cab") + 1).cast("double") / (F.col("ca") + F.col("vocab")).cast("double")
     )
-    scored = (
-        per_doc_bg.join(corpus_bg, ["a", "b"])
-        .join(ctx, "a")
+    model = (
+        corpus_bg.join(ctx, "a")
         .crossJoin(F.broadcast(vocab))
+        .select("a", "b", lp.alias("lp"))
+    )
+    scored = (
+        per_doc_bg.join(model, ["a", "b"])
         .select(
             "doc_id",
             "n",
-            F.round(contrib, 9).cast("decimal(28,9)").alias("contrib"),
+            F.round(F.col("n") * F.col("lp"), 9).cast("decimal(28,9)").alias("contrib"),
         )
         .groupBy("doc_id")
         .agg(
@@ -724,15 +744,19 @@ def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("Francisco") get low continuation mass, so boilerplate and
     keyword-stuffed documents score as the anomalies they are.
 
-    Plan (the bigram_surprisal shape + three TYPE-table aggregates):
-    ONE corpus scan+tokenize (checkpointed), pair arrays checkpointed
-    before the explode (Generate rule), per-doc rollup → bigram TYPE
-    table ``cb`` — checkpointed, because five consumers read it (the
-    scoring join, c(a·), N1+(a·), N1+(·b), counts-of-counts) and each
-    would otherwise re-run the explode and both shuffles. All model
-    tables key on a word (shuffle joins, broadcast-eligible when
-    small); only the 1-row (N1+(··), D) frame broadcasts
-    unconditionally. Contributions round to 9dp and sum as
+    Plan (r13, guide §2.2/§3.4 — the bigram_surprisal model-first
+    shape): ONE corpus scan+tokenize (checkpointed), pair arrays
+    checkpointed before the explode (Generate rule), per-doc rollup
+    ``pd`` checkpointed ONCE (the r12 shape re-ran the explode + its
+    shuffle for the cb build AND the probe), bigram TYPE table ``cb``
+    checkpointed (four aggregate consumers + the model join). The
+    MODEL — c(a·) and N1+(a·) folded into ONE groupBy(a), N1+(·b),
+    the 1-row (N1+(··), D) broadcast — is assembled on the type table
+    with −ln p precomputed per (a, b), then ``pd`` is probed by ONE
+    gram-keyed join instead of riding a four-join chain (at scale:
+    one corpus-sized shuffle by (a, b) instead of three by
+    (a, b)/(a)/(b)). Model tables stay shuffle joins the optimizer
+    may downgrade to broadcast. Contributions round to 9dp and sum as
     DECIMAL(28,9) — order-free, so the DuckDB twin matches
     bit-for-bit; perplexity is exp() of the 6dp-ROUNDED cross-entropy
     (both engines exponentiate the identical double; the 1-ulp
@@ -765,16 +789,21 @@ def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     staged = toked.select("doc_id", pairs_col.alias("pairs")).localCheckpoint()
+    # per-doc rollup: probe side AND the cb source — materialize once
+    # (the r12 shape re-ran the explode + this shuffle for both)
     pd = (
         staged.select("doc_id", F.explode("pairs").alias("p"))
         .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("doc_id", "a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     # the bigram TYPE table: five consumers below — materialize once
     cb = pd.groupBy("a", "b").agg(F.sum("n").alias("cab")).localCheckpoint()
-    ctx = cb.groupBy("a").agg(F.sum("cab").alias("ca"))
-    n1a = cb.groupBy("a").agg(F.count(F.lit(1)).alias("n1a"))
+    # c(a.) and N1+(a.) are aggregates over the SAME groups — one pass
+    ctxn1a = cb.groupBy("a").agg(
+        F.sum("cab").alias("ca"), F.count(F.lit(1)).alias("n1a")
+    )
     n1b = cb.groupBy("b").agg(F.count(F.lit(1)).alias("n1b"))
     coc = cb.agg(
         F.count(F.lit(1)).alias("tot"),
@@ -793,16 +822,18 @@ def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("n1a").cast("double") / F.col("ca").cast("double") * (
         F.col("n1b").cast("double") / F.col("tot").cast("double")
     )
-    scored = (
-        pd.join(cb, ["a", "b"])
-        .join(ctx, "a")
-        .join(n1a, "a")
+    model = (
+        cb.join(ctxn1a, "a")
         .join(n1b, "b")
         .crossJoin(F.broadcast(konst))
+        .select("a", "b", (-F.log(p)).alias("lp"))
+    )
+    scored = (
+        pd.join(model, ["a", "b"])
         .select(
             "doc_id",
             "n",
-            F.round(F.col("n") * -F.log(p), 9).cast("decimal(28,9)").alias("contrib"),
+            F.round(F.col("n") * F.col("lp"), 9).cast("decimal(28,9)").alias("contrib"),
         )
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("total"), F.sum("n").alias("n_bigrams"))
@@ -1648,13 +1679,20 @@ def rake_keywords(
     summaries, index keys for search over a training corpus — run at
     document granularity, so it distributes perfectly.
 
-    Scale shape: tokenize + cumulative-stop phrase ids are one
-    posexplode and ONE per-doc window (partitioned by doc_id — state
-    bounded by the document's own length); the member table is
-    localCheckpointed once and feeds phrase-length, word-stat, and
-    phrase-score aggregates, each a doc_id-keyed shuffle; the final
-    rank window is per-doc. Nothing corpus-global anywhere: at 100 TB
-    every stage keys on doc_id and a document never crosses executors.
+    Scale shape (r13, guide §2.1/§2.2 — in-row phrase derivation):
+    candidate phrases are built ENTIRELY in-row from the canonical
+    single-space token string — stopword tokens are deleted between
+    zero-width boundary assertions (adjacent stopwords both match,
+    unlike a space-consuming pattern) and the leftover multi-space
+    runs are the phrase separators — so the former corpus-wide
+    posexplode + cumulative-sum window (an Exchange+Sort of every
+    token row, re-shuffled by every downstream aggregate because a
+    checkpoint does not carry partitioning) is gone. The phrase array
+    is checkpointed once (Generate rule), phrase length and text ride
+    the member rows in-row, and the only shuffles left are the
+    word-stat rollup, the degree/freq probe join, and the per-doc
+    rank window. Nothing corpus-global anywhere: at 100 TB every
+    stage keys on doc_id and a document never crosses executors.
 
     Parity: word scores round to 9dp before the decimal phrase sum
     (order-free); identical phrase TEXT within a doc collapses to one
@@ -1668,52 +1706,48 @@ def rake_keywords(
     from mito_spark.engine import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    w = docs.select(
-        "doc_id", F.posexplode(_tokens(F.lower(F.col("text")))).alias("pos0", "word")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
-    f = w.withColumn("stop", F.col("word").isin(*_RAKE_STOPWORDS).cast("int"))
-    cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # canonical single-space token string; stopword TOKENS deleted
+    # between zero-width boundary assertions (lookbehind/lookahead do
+    # not consume the shared space, so adjacent stopwords both match);
+    # the >= 2-space runs they leave are exactly the phrase breaks
+    canon = F.concat(
+        F.lit(" "), F.array_join(_tokens(F.lower(F.col("text"))), " "), F.lit(" ")
     )
-    members = (
-        f.withColumn("phrase_id", F.sum("stop").over(cum))
-        .where(F.col("stop") == 0)
-        .select("doc_id", "phrase_id", "pos", "word")
-        .localCheckpoint()  # three consumers below share one tokenize+window pass
+    pat = "(?<= )(" + "|".join(_RAKE_STOPWORDS) + ")(?= )"
+    phrases = F.filter(
+        F.transform(
+            F.split(F.regexp_replace(canon, pat, ""), " {2,}"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != F.lit(""),
     )
-    plen = members.groupBy("doc_id", "phrase_id").agg(
-        F.count(F.lit(1)).alias("phrase_len"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda s: s.getField("word"),
-            ),
-            " ",
-        ).alias("phrase"),
+    staged = docs.select("doc_id", phrases.alias("phrases")).localCheckpoint()
+    ph = (
+        staged.select("doc_id", F.posexplode("phrases").alias("pid", "phrase"))
+        .withColumn("words", F.split(F.col("phrase"), " "))
+        .withColumn("phrase_len", F.size("words"))
     )
-    wstat = (
-        members.join(plen.select("doc_id", "phrase_id", "phrase_len"), ["doc_id", "phrase_id"])
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("freq"), F.sum("phrase_len").alias("degree"))
+    # phrase text and length ride every member row in-row — no
+    # phrase-length join, no second phrase-table computation
+    members = ph.select(
+        "doc_id", "pid", "phrase", "phrase_len", F.explode("words").alias("word")
+    )
+    wstat = members.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("phrase_len").alias("degree")
     )
     scored = (
         members.join(wstat, ["doc_id", "word"])
-        .groupBy("doc_id", "phrase_id")
+        .groupBy("doc_id", "pid")
         .agg(
+            F.max("phrase").alias("phrase"),
             F.sum(
                 F.round(
                     F.col("degree").cast("double") / F.col("freq").cast("double"), 9
                 ).cast("decimal(28,9)")
-            ).alias("s")
+            ).alias("s"),
         )
     )
-    phr = (
-        plen.join(scored, ["doc_id", "phrase_id"])
-        .groupBy("doc_id", "phrase")
-        .agg(F.max("s").alias("score"))
-    )
+    phr = scored.groupBy("doc_id", "phrase").agg(F.max("s").alias("score"))
     rw = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
     return (
         phr.withColumn("rank", F.row_number().over(rw))
@@ -3579,15 +3613,23 @@ def stupid_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     double). Per-position −ln S terms are 9dp-rounded and summed as
     DECIMAL(28,9) — order-free across the shuffle.
 
-    Scale shape: ONE tokenize scan staged with trigram/bigram struct
-    arrays as materialized columns (the Generate rule); the model is
-    three TYPE tables (reductions of the corpus — the Brants
-    architecture: counts sharded by gram key); scoring is four
-    gram-keyed joins of held-out positions against those tables
-    (broadcast-eligible when small, plain shuffle joins at scale —
-    never corpus-sized broadcasts) plus the 1-row N broadcast; then
-    one per-doc rollup. OOV/zero-count branches never evaluate ln
-    (lazy CASE on both engines — the DuckDB ln(0)-errors gotcha).
+    Scale shape (r13, guide §2.2 — the ngram_entropy ladder fold):
+    ONE tokenize scan staged with a single combined (lvl, g1, g2, g3)
+    struct array as a materialized column (the Generate rule) — train
+    docs carry their trigrams, bigrams AND unigrams in that one
+    array, held-out docs their trigrams only — so ALL THREE model
+    type tables come out of ONE explode + ONE groupBy(lvl, g1, g2,
+    g3) shuffle (map-side partial aggregation collapses the gram
+    stream to the type count before the wire), checkpointed once and
+    filtered by lvl, instead of the r12 shape's three separate
+    explode→groupBy jobs. The model stays three TYPE tables
+    (reductions of the corpus — the Brants architecture: counts
+    sharded by gram key); scoring is four gram-keyed joins of
+    held-out positions against those tables (broadcast-eligible when
+    small, plain shuffle joins at scale — never corpus-sized
+    broadcasts) plus the 1-row N broadcast; then one per-doc rollup.
+    OOV/zero-count branches never evaluate ln (lazy CASE on both
+    engines — the DuckDB ln(0)-errors gotcha).
     """
     from mito_spark.engine import spread
     from mito_spark.operators.classify import _split_bucket
@@ -3600,59 +3642,70 @@ def stupid_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _tokens(F.lower(F.col("text"))).alias("toks"),
     )
-    tri_col = F.when(
-        F.size("toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.struct(
-                F.element_at(F.col("toks"), i).alias("w1"),
-                F.element_at(F.col("toks"), i + 1).alias("w2"),
-                F.element_at(F.col("toks"), i + 2).alias("w3"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
-    pair_col = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.struct(
-                F.element_at(F.col("toks"), i).alias("a"),
-                F.element_at(F.col("toks"), i + 1).alias("b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    nullstr = F.lit(None).cast("string")
+    gram_t = "array<struct<lvl:int,g1:string,g2:string,g3:string>>"
+
+    def _lvl_col(width: int):
+        # closure factory: HOF lambdas must take exactly ONE param
+        def mk(i):
+            return F.struct(
+                F.lit(width).alias("lvl"),
+                F.element_at(F.col("toks"), i).alias("g1"),
+                (
+                    F.element_at(F.col("toks"), i + 1) if width >= 2 else nullstr
+                ).alias("g2"),
+                (
+                    F.element_at(F.col("toks"), i + 2) if width >= 3 else nullstr
+                ).alias("g3"),
+            )
+
+        return F.when(
+            F.size("toks") >= width,
+            F.transform(F.sequence(F.lit(1), F.size("toks") - (width - 1)), mk),
+        ).otherwise(F.array().cast(gram_t))
+
+    # train docs stage every ladder rung in ONE array; held-out docs
+    # stage only the trigram positions they are scored on
+    grams_col = F.when(
+        F.col("is_train"), F.concat(_lvl_col(3), _lvl_col(2), _lvl_col(1))
+    ).otherwise(_lvl_col(3))
     staged = toked.select(
-        "doc_id", "is_train", "toks", tri_col.alias("tris"), pair_col.alias("pairs")
+        "doc_id", "is_train", grams_col.alias("grams")
     ).localCheckpoint()
-    train = staged.where(F.col("is_train"))
-    c3 = (
-        train.select(F.explode("tris").alias("t"))
+    # ONE combined shuffle builds all three count tables (keyed by
+    # lvl, the ladders' types never collide); checkpointed because
+    # five consumers below filter it by lvl
+    cnts = (
+        staged.where(F.col("is_train"))
+        .select(F.explode("grams").alias("g"))
         .groupBy(
-            F.col("t.w1").alias("t1"), F.col("t.w2").alias("t2"), F.col("t.w3").alias("t3")
+            F.col("g.lvl").alias("lvl"),
+            F.col("g.g1").alias("g1"),
+            F.col("g.g2").alias("g2"),
+            F.col("g.g3").alias("g3"),
         )
-        .agg(F.count(F.lit(1)).alias("c3n"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .localCheckpoint()
     )
-    c2 = (
-        train.select(F.explode("pairs").alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c2n"))
-        .localCheckpoint()  # two consumers: the context join and the backoff join
+    c3 = cnts.where(F.col("lvl") == 3).select(
+        F.col("g1").alias("t1"), F.col("g2").alias("t2"), F.col("g3").alias("t3"),
+        F.col("cn").alias("c3n"),
     )
-    c1 = (
-        train.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c1n"))
-        .localCheckpoint()  # two consumers: c(w2) and c(w3)
+    c2 = cnts.where(F.col("lvl") == 2).select(
+        F.col("g1").alias("a"), F.col("g2").alias("b"), F.col("cn").alias("c2n")
+    )
+    c1 = cnts.where(F.col("lvl") == 1).select(
+        F.col("g1").alias("w"), F.col("cn").alias("c1n")
     )
     ntot = c1.agg(F.sum("c1n").alias("n_train"))
     pos = staged.where(~F.col("is_train")).select(
         "doc_id",
-        F.explode("tris").alias("t"),
+        F.explode("grams").alias("t"),
     ).select(
         "doc_id",
-        F.col("t.w1").alias("w1"),
-        F.col("t.w2").alias("w2"),
-        F.col("t.w3").alias("w3"),
+        F.col("t.g1").alias("w1"),
+        F.col("t.g2").alias("w2"),
+        F.col("t.g3").alias("w3"),
     )
     ctx = c2.select(F.col("a").alias("w1"), F.col("b").alias("w2"), F.col("c2n").alias("ctxn"))
     bo = c2.select(F.col("a").alias("w2"), F.col("b").alias("w3"), F.col("c2n").alias("bon"))
