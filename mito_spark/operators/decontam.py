@@ -363,20 +363,27 @@ def bloom_decontaminate_report(
     exact verify restricted to flagged docs) is the same
     candidates-then-verify pattern as heavy_hitters, and this report
     measures the quarantine rate that prefilter would pay. Membership
-    is expressed as a K-position semi-join against the <= M-row
-    bit-position set (broadcast; identical plan shape to packing the
-    same set into a bitset broadcast variable, but fully declarative
-    and hash-oracled on both engines).
+    is an ACTUAL bitset test: the M bits live in one broadcast row of
+    M/64 longs and every shingle's K positions are checked in-row
+    (element_at + shift/AND), fully declarative and hash-oracled on
+    both engines.
 
-    Scale shape: probe positions are benchmark-bounded (<= M rows
-    broadcast); the corpus side explodes each doc's distinct shingles
-    x K positions map-side and rolls up per doc — no shuffle beyond
-    the per-doc counts; the FP leg samples shingle TYPES with an
+    Scale shape (r13, guide §4-adjacent in spirit but fully JVM): the
+    filter is materialized as ONE dense bitset row — M/64 longs built
+    by a bit_or rollup over the probe positions — broadcast and
+    probed IN-ROW (array element_at + shift/AND per position), so the
+    corpus side never multiplies rows by K: the old explode x K →
+    position semi-join → (doc, shingle) re-aggregation is now a
+    per-row forall over the K positions, and the whole per-doc report
+    (n_grams / n_exact / n_bloom) collapses into ONE broadcast probe
+    join + ONE groupBy(doc_id) instead of three doc-keyed aggregates
+    glued by two left joins. The FP leg samples shingle TYPES with an
     integer threshold derived from the exact (doc, shingle) pair
     count (E|types| <= BLOOM_SAMPLE_TARGET at any corpus size; the
-    oracle derives the SAME rule from COUNT(*)). Every count in the
-    report is integer-exact; the one division guards its zero
-    denominator identically on both engines.
+    oracle derives the SAME rule from COUNT(*)) and probes the same
+    bitset in-row. Every count in the report is integer-exact; the
+    one division guards its zero denominator identically on both
+    engines.
 
     False negatives are structurally impossible (a probe shingle's
     own K positions are always set); the report COMPUTES the count
@@ -401,38 +408,81 @@ def bloom_decontaminate_report(
     # count and the target FP (plan-time constants — the count is the
     # benchmark-bounded probe set, one bounded job)
     m_bits, k_hashes = _bloom_size(probe.count())
+    n_words = m_bits // 64
     posarr = F.array(*[_bloom_pos(F.col("gh"), k, m_bits) for k in range(k_hashes)])
-    bloomset = probe.select(F.explode(posarr).alias("pos")).distinct()  # <= M rows
-    kin = (
-        pairs.select("doc_id", "gh", F.explode(posarr).alias("pos"))
-        .join(F.broadcast(bloomset), "pos")
-        .groupBy("doc_id", "gh")
-        .agg(F.count(F.lit(1)).alias("kin"))
-    )
-    nb = (
-        kin.where(F.col("kin") == k_hashes)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bloom"))
-    )
-    ne = (
-        pairs.join(F.broadcast(probe), "gh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-    )
-    tot = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    nexact = F.coalesce(F.col("n_exact"), F.lit(0))
-    nbloom = F.coalesce(F.col("n_bloom"), F.lit(0))
-    fe = (nexact * CONTAM_DEN >= F.col("n_grams") * CONTAM_NUM).cast("int")
-    fb = (nbloom * CONTAM_DEN >= F.col("n_grams") * CONTAM_NUM).cast("int")
-    dagg = (
-        tot.join(ne, "doc_id", "left")
-        .join(nb, "doc_id", "left")
+    # ONE dense bitset row (M/64 longs): bit_or rollup over the probe
+    # positions, gaps zero-filled — duplicates need no distinct pass.
+    # call_function passes the COLUMN shift amount the F.shiftleft
+    # wrapper refuses (it only takes literal ints).
+    one = F.lit(1).cast("bigint")
+    sparse = (
+        probe.select(F.explode(posarr).alias("pos"))
+        .groupBy(F.shiftright(F.col("pos"), 6).alias("w"))
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(fe).alias("contam_docs_exact"),
-            F.sum(fb).alias("contam_docs_bloom"),
-            F.sum(((fb == 1) & (fe == 0)).cast("int")).alias("extra_flagged_docs"),
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", one, F.col("pos").bitwiseAND(F.lit(63)).cast("int")
+                )
+            ).alias("bits")
         )
+    )
+    bitmap = (
+        sparse.agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bmm")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("bmm"), i.cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                ),
+            ).alias("bm")
+        )
+        .localCheckpoint()  # 1 row; two consumers (doc report + FP leg)
+    )
+
+    def _one_pos_set(p):
+        # element_at index is 1-based; the bitset array is dense
+        return (
+            F.element_at(F.col("bm"), (F.shiftright(p, 6) + 1).cast("int"))
+            .bitwiseAND(
+                F.call_function(
+                    "shiftleft", one, p.bitwiseAND(F.lit(63)).cast("int")
+                )
+            )
+            != 0
+        )
+
+    def _bloom_hit():
+        # all K positions set <=> the shingle passes the filter. K is
+        # a plan-time constant, so the conjunction is UNROLLED into
+        # plain codegen-able expressions — a forall() over posarr
+        # computes the same thing but runs the interpreted-HOF path
+        # (measured 2.0 s vs 1.2 s for this leg at sf0.1)
+        out = _one_pos_set(_bloom_pos(F.col("gh"), 0, m_bits))
+        for k in range(1, k_hashes):
+            out = out & _one_pos_set(_bloom_pos(F.col("gh"), k, m_bits))
+        return out
+
+    probe_inp = F.broadcast(probe.withColumn("inp", F.lit(1)))
+    stats = (
+        pairs.join(probe_inp, "gh", "left")
+        .crossJoin(F.broadcast(bitmap))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("inp"), F.lit(0))).alias("n_exact"),
+            F.sum(_bloom_hit().cast("int")).alias("n_bloom"),
+        )
+    )
+    fe = (F.col("n_exact") * CONTAM_DEN >= F.col("n_grams") * CONTAM_NUM).cast("int")
+    fb = (F.col("n_bloom") * CONTAM_DEN >= F.col("n_grams") * CONTAM_NUM).cast("int")
+    dagg = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(fe).alias("contam_docs_exact"),
+        F.sum(fb).alias("contam_docs_bloom"),
+        F.sum(((fb == 1) & (fe == 0)).cast("int")).alias("extra_flagged_docs"),
     )
     np_ = probe.agg(F.count(F.lit(1)).alias("n_probe_shingles"))
     # FP leg: hash-sampled shingle types; integer threshold from the
@@ -447,18 +497,13 @@ def bloom_decontaminate_report(
         .select("gh")
         .distinct()
     )
-    skin = (
-        stypes.select("gh", F.explode(posarr).alias("pos"))
-        .join(F.broadcast(bloomset), "pos")
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("kin"))
-    )
-    bloom_in = (F.coalesce(F.col("kin"), F.lit(0)) == k_hashes).cast("int")
-    exact_in = F.col("inp").isNotNull().cast("int")
     sagg = (
-        stypes.join(skin, "gh", "left")
-        .join(F.broadcast(probe.withColumn("inp", F.lit(1))), "gh", "left")
-        .select(bloom_in.alias("b"), exact_in.alias("e"))
+        stypes.join(probe_inp, "gh", "left")
+        .crossJoin(F.broadcast(bitmap))
+        .select(
+            _bloom_hit().cast("int").alias("b"),
+            F.col("inp").isNotNull().cast("int").alias("e"),
+        )
         .agg(
             F.count(F.lit(1)).alias("sample_lookups"),
             F.sum(((F.col("b") == 1) & (F.col("e") == 0)).cast("int")).alias(
@@ -612,70 +657,96 @@ def decontam_ngram_ladder(
     longer n can silently exempt short docs: the n_docs column makes
     that visible instead of folding it into the rate).
 
-    Scale shape: ONE tokenize scan staged and checkpointed; each rung
-    re-shingles from the staged token arrays (shingling is the cheap
-    projection; tokenizing is the scan cost) with the same
-    broadcast-probe/hit-count plan as ``decontaminate``. Mean overlap
-    is a 9dp-decimal sum (order-free) finished at 6dp.
+    Scale shape (r13, guide §2.2 — the ngram_entropy ladder fold): ONE
+    tokenize+shingle pass stages every rung's distinct-hash array as
+    (n, ghs) struct entries in a single checkpointed column — the r12
+    shape re-ran the md5 shingling from the staged tokens for every
+    rung's probe build, hit count AND gram count (~6 full-corpus
+    shingle passes for a 3-rung ladder). One explode then feeds ONE
+    combined (n, gh)-keyed probe/hit plan and one (n, doc)-keyed flag
+    rollup for all rungs together; absent rungs are restored by a
+    left join against the literal rung list (same NULL row the old
+    empty aggregate produced). Mean overlap is a 9dp-decimal sum
+    (order-free) finished at 6dp.
     """
     docs = load_table(spark, sf_dir, "documents")
-    staged = (
-        docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
-        .localCheckpoint()
+    staged_toks = docs.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks")
     )
-    outs = []
-    for n in ns:
-        per_doc = staged.where(F.size("toks") >= n).select(
-            "doc_id", _shingle_hashes(F.col("toks"), n).alias("ghs")
+    rung_structs = [
+        F.when(
+            F.size("toks") >= n,
+            F.array(
+                F.struct(
+                    F.lit(n).alias("n"),
+                    _shingle_hashes(F.col("toks"), n).alias("ghs"),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,ghs:array<string>>>"))
+        for n in ns
+    ]
+    staged = staged_toks.select(
+        "doc_id", F.concat(*rung_structs).alias("rungs")
+    ).localCheckpoint()
+    per = staged.select("doc_id", F.explode("rungs").alias("r")).select(
+        "doc_id", F.col("r.n").alias("n"), F.col("r.ghs").alias("ghs")
+    )
+    pairs = per.select(
+        "doc_id", "n", F.explode_outer("ghs").alias("gh")
+    ).localCheckpoint()
+    probe = (
+        pairs.where(F.col("doc_id") % probe_mod == 0)
+        .select("n", "gh")
+        .distinct()
+        .localCheckpoint()  # two consumers: the hit join and the size rollup
+    )
+    hits = (
+        pairs.join(F.broadcast(probe), ["n", "gh"])
+        .groupBy("n", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    flags = (
+        per.select("doc_id", "n", F.size("ghs").alias("n_grams"))
+        .join(hits, ["n", "doc_id"], "left")
+        .select(
+            "n",
+            (n_hit * CONTAM_DEN >= F.col("n_grams") * CONTAM_NUM)
+            .cast("int")
+            .alias("c"),
+            F.round(n_hit.cast("double") / F.col("n_grams"), 9)
+            .cast("decimal(20,9)")
+            .alias("frac"),
         )
-        probe = (
-            per_doc.where(F.col("doc_id") % probe_mod == 0)
-            .select(F.explode_outer("ghs").alias("gh"))
-            .distinct()
+    )
+    agg = flags.groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("contam_docs"),
+        F.round(
+            F.try_divide(
+                F.sum("frac").cast("double"), F.count(F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("mean_overlap"),
+    )
+    np_ = probe.groupBy("n").agg(F.count(F.lit(1)).alias("n_probe_shingles"))
+    rungs = spark.createDataFrame([(int(n),) for n in ns], "n int")
+    return (
+        rungs.join(agg, "n", "left")
+        .join(np_, "n", "left")
+        .select(
+            F.col("n").cast("bigint").alias("ngram_n"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("n_probe_shingles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_probe_shingles"),
+            F.coalesce(F.col("contam_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("contam_docs"),
+            "mean_overlap",
         )
-        hits = (
-            per_doc.select("doc_id", F.explode_outer("ghs").alias("gh"))
-            .join(F.broadcast(probe), "gh")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
-        )
-        n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
-        flags = (
-            per_doc.select("doc_id", F.size("ghs").alias("n_grams"))
-            .join(hits, "doc_id", "left")
-            .select(
-                (n_hit * CONTAM_DEN >= F.col("n_grams") * CONTAM_NUM)
-                .cast("int")
-                .alias("c"),
-                F.round(n_hit.cast("double") / F.col("n_grams"), 9)
-                .cast("decimal(20,9)")
-                .alias("frac"),
-            )
-        )
-        agg = flags.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("contam_docs"),
-            F.round(
-                F.try_divide(
-                    F.sum("frac").cast("double"), F.count(F.lit(1)).cast("double")
-                ),
-                6,
-            ).alias("mean_overlap"),
-        )
-        np_ = probe.agg(F.count(F.lit(1)).alias("n_probe_shingles"))
-        outs.append(
-            agg.crossJoin(F.broadcast(np_)).select(
-                F.lit(n).cast("bigint").alias("ngram_n"),
-                "n_docs",
-                "n_probe_shingles",
-                "contam_docs",
-                "mean_overlap",
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out.orderBy("ngram_n")
+        .orderBy("ngram_n")
+    )
 
 
 def _decontam_ladder_sql(
