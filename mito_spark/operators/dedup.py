@@ -930,20 +930,32 @@ def jaccard_prefix_join(
 
     if shingles is None:
         docs = spread(load_table(spark, sf_dir, "documents"))
-        shingles = _staged_shingles(docs, shingle)
-    shd = shingles.where(F.size("sh") > 0).localCheckpoint()
+        shingles = _staged_shingles(docs, shingle).localCheckpoint()
+    # the caller's frame is already materialized (sibling tiers pass a
+    # checkpointed stage) — re-checkpointing it here (the r12 shape)
+    # paid a second corpus-sized materialization for nothing; the
+    # size filter is a free scan predicate on each read
+    shd = shingles.where(F.size("sh") > 0)
     # prefix extraction via a per-doc rank window rather than
     # collect_list + array_sort + slice: same two linear shuffles
     # (df count; rank on doc_id) but no struct-array materialization.
-    # The index keys are 60-bit HASHES of the shingles, not the
+    # The index keys are xxhash64 HASHES of the shingles, not the
     # strings: the prefix filter is complete under ANY consistent
     # global order of the shingle universe, and a hash collision can
     # only merge two inverted-list buckets — extra candidates the
     # exact verify kills, never a lost pair. 8-byte join keys instead
-    # of ~20-char strings cut the three index shuffles' width.
-    ex = shd.select(
-        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
-    ).select("doc_id", "n", _hash60(F.col("s")).alias("h"))
+    # of ~20-char strings cut the three index shuffles' width; the
+    # native xxhash64 replaces the r12 md5+hex-conv _hash60 (r13: the
+    # index needs consistency, not cryptographic salting — same
+    # completeness argument, ~10x cheaper per shingle), and the
+    # hashed explode is checkpointed because BOTH the df count and
+    # the probe side read it (the r12 shape re-exploded and re-hashed
+    # the corpus for each).
+    ex = (
+        shd.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+        .select("doc_id", "n", F.xxhash64(F.col("s")).alias("h"))
+        .localCheckpoint()
+    )
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "h")
     pref = (
