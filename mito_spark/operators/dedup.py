@@ -947,15 +947,18 @@ def jaccard_prefix_join(
     # of ~20-char strings cut the three index shuffles' width; the
     # native xxhash64 replaces the r12 md5+hex-conv _hash60 (r13: the
     # index needs consistency, not cryptographic salting — same
-    # completeness argument, ~10x cheaper per shingle), and the
-    # hashed explode is checkpointed because BOTH the df count and
-    # the probe side read it (the r12 shape re-exploded and re-hashed
-    # the corpus for each).
-    ex = (
-        shd.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-        .select("doc_id", "n", F.xxhash64(F.col("s")).alias("h"))
-        .localCheckpoint()
-    )
+    # completeness argument, ~10x cheaper per shingle). The hashed
+    # explode is deliberately NOT checkpointed: the df count and the
+    # probe side each recompute it, but with xxhash64 the recompute is
+    # two cheap map-side passes over the materialized shingle frame,
+    # measured FASTER than paying a corpus-shingle-sized
+    # materialization + blocked re-read (5-rep interleaved medians at
+    # sf0.1: 3.08 s → 2.43 s standalone, 6.39 s → 4.25 s in the
+    # lsh_recall two-leg context; the checkpoint only looked good
+    # against the r12 double-md5 recompute).
+    ex = shd.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    ).select("doc_id", "n", F.xxhash64(F.col("s")).alias("h"))
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "h")
     pref = (

@@ -992,38 +992,41 @@ def ngram_entropy_report(
     values so both engines subtract identical doubles.
 
     Scale shape (r13 optimization round, guide §2.2/§2.4): ONE
-    tokenize scan stages a single combined (n, gram) struct array —
-    materialized in the checkpoint, so the one explode is a free
-    attribute fan-out (the winnow Generate rule) — and ONE
-    groupBy(n, gram) type shuffle + one per-n rollup replace the
-    before-plan's per-n explode→groupBy legs (3 Generates and 6
-    Exchanges down to 1 and 2; same total gram volume through the one
-    shuffle, keyed (n, gram) so the three ladders' types never
-    collide). Per-doc n-grams are in-row transform slices over the
-    token array; output max_n rows via a left join against the
-    literal rung list (an absent rung — no doc long enough — yields
-    the same NULL row the old empty-aggregate produced).
+    tokenize scan stages the token array plus one PLAIN string gram
+    array per rung n >= 2 (materialized in the checkpoint, so each
+    explode is a free attribute fan-out — the winnow Generate rule;
+    the unigram rung reuses ``toks`` directly, paying no transform),
+    then a UNION of the per-rung explodes feeds ONE groupBy(n, gram)
+    type shuffle + one per-n rollup, replacing the r12 per-n
+    explode→groupBy legs (6 Exchanges down to 2; same total gram
+    volume, keyed (n, gram) so the rungs' types never collide). The
+    first r13 form staged a single combined struct<n,g> array
+    instead — measured SLOWER (2.10 s vs 1.88 s solo, 3.04 s vs
+    1.56 s under session load at sf0.1): the unigram rung paid an
+    interpreted struct+slice transform over every token that the
+    plain ``toks`` reuse avoids, and the struct materialization
+    bought nothing the union does not. Output max_n rows via a left
+    join against the literal rung list (an absent rung — no doc long
+    enough — yields the same NULL row the old empty-aggregate
+    produced).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
 
     def slicer(width: int):
         # closure factory: the HOF lambda must take exactly ONE
         # parameter — a second (even defaulted) binds the array index
-        return lambda i: F.struct(
-            F.lit(width).alias("n"),
-            F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(width))).alias("g"),
-        )
+        return lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(width)))
 
     def gram_col(n: int):
         return F.when(
             F.size("toks") >= n,
             F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)), slicer(n)),
-        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+        ).otherwise(F.array().cast("array<string>"))
 
     staged = (
         docs.select(_tokens(F.lower(F.col("text"))).alias("toks"))
         .select(
-            F.concat(*[gram_col(n) for n in range(1, max_n + 1)]).alias("grams")
+            "toks", *[gram_col(n).alias(f"g{n}") for n in range(2, max_n + 1)]
         )
         .localCheckpoint()
     )
@@ -1031,12 +1034,17 @@ def ngram_entropy_report(
     def dec(c):
         return F.round(c, 9).cast("decimal(28,9)")
 
-    cnts = (
-        staged.select(F.explode("grams").alias("ng"))
-        .select(F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
-        .groupBy("n", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    legs = [
+        staged.select(
+            F.lit(n).alias("n"),
+            F.explode("toks" if n == 1 else f"g{n}").alias("g"),
+        )
+        for n in range(1, max_n + 1)
+    ]
+    grams = legs[0]
+    for leg in legs[1:]:
+        grams = grams.unionAll(leg)
+    cnts = grams.groupBy("n", "g").agg(F.count(F.lit(1)).alias("c"))
     per_n = cnts.groupBy("n").agg(
         F.sum("c").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),
