@@ -2613,14 +2613,18 @@ def lsh_curve_report(
     products — engine-exact, no pow()).
 
     Scale shape: ONE shingle scan and ONE signature pass feed every
-    config (both checkpointed); each config adds a slim (band, key)
-    count plus a bucket self-join whose output size IS the config's
-    reported candidate mass — the ladder's total cost is the sum of
-    the masses it measures, and the loose configs that would explode
-    at 100 TB (bands=NUM_HASHES, rows=1) announce themselves in the
-    same row that costs them. The truth side is the bounded verified-
-    pair frame. At a production run the ladder subsets to configs
-    whose predicted mass (from the skew monitor) fits budget.
+    config (both checkpointed); all configs' band keys are tagged
+    with their `bands` id and folded into ONE combined frame, so the
+    whole ladder costs one bucket rollup, one bucket self-join, one
+    candidate distinct and one truth probe (r13 — the per-config loop
+    ran each as its own job chain). The self-join's output size is
+    still the SUM of the configs' candidate masses — the ladder's
+    total cost is the sum of the masses it measures, and the loose
+    configs that would explode at 100 TB (bands=NUM_HASHES, rows=1)
+    announce themselves in the same row that costs them. The truth
+    side is the bounded verified-pair frame. At a production run the
+    ladder subsets to configs whose predicted mass (from the skew
+    monitor) fits budget.
 
     Parity: candidate masses and catches are integer-exact; recall is
     one 6dp try_divide; theory columns are literal products.
@@ -2638,56 +2642,99 @@ def lsh_curve_report(
         "doc_id", _salted_minhash(F.col("sh"), NUM_HASHES).alias("sig")
     ).localCheckpoint()
     n_true = truth.count()  # bounded verified-pair frame
-    outs = []
+    # r13 (guide §2.4): ONE combined (bands, band, key) frame replaces
+    # the per-config loop — the five configs' bucket rollup, bucket
+    # self-join, candidate distinct and truth probe each ran their own
+    # job chain (~25 jobs); tagging every config's band keys with its
+    # `bands` id folds them into ONE rollup shuffle, ONE self-join,
+    # ONE distinct and ONE truth probe (the dim-ablation rung-ladder
+    # pattern). Per-config rows come back via the literal rung frame
+    # (one 1-row select per config, union-folded at plan time — the
+    # theory columns stay SPARK literal products so the engine-exact
+    # IEEE sequence is unchanged); a config absent from an aggregate
+    # (possible only on an empty corpus) coalesces to the same zeros
+    # the old empty-input aggregates produced.
+    legs = [
+        _band_keys_cfg(sigd, bands, rows).select(
+            F.lit(bands).alias("bands"), "doc_id", "band", "key"
+        )
+        for bands, rows in _lsh_configs()
+    ]
+    keys_all = legs[0]
+    for leg in legs[1:]:
+        keys_all = keys_all.unionAll(leg)
+    mass_all = (
+        keys_all.groupBy("bands", "band", "key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(F.sum(F.expr("sz * (sz - 1) DIV 2")), F.lit(0)).alias(
+                "candidate_mass"
+            ),
+        )
+    )
+    cand_all = (
+        keys_all.alias("a")
+        .join(keys_all.alias("b"), ["bands", "band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "bands",
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    counts_all = cand_all.groupBy("bands").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    caught_all = (
+        cand_all.join(truth, ["id_a", "id_b"])
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).alias("n_caught"))
+    )
+    rungs = []
     for bands, rows in _lsh_configs():
-        keys = _band_keys_cfg(sigd, bands, rows)
-        mass = (
-            keys.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .agg(
-                F.count(F.lit(1)).alias("n_buckets"),
-                F.coalesce(F.sum(F.expr("sz * (sz - 1) DIV 2")), F.lit(0)).alias(
-                    "candidate_mass"
-                ),
-            )
-        )
-        cand = (
-            keys.alias("a")
-            .join(keys.alias("b"), ["band", "key"])
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-            .distinct()
-        )
-        counts = cand.agg(F.count(F.lit(1)).alias("n_candidates")).crossJoin(
-            cand.join(truth, ["id_a", "id_b"]).agg(
-                F.count(F.lit(1)).alias("n_caught")
-            )
-        )
-        outs.append(
-            mass.crossJoin(counts).select(
+        rungs.append(
+            spark.range(1).select(
                 F.lit(bands).cast("bigint").alias("bands"),
                 F.lit(rows).cast("bigint").alias("rows_per_band"),
-                "n_buckets",
-                "candidate_mass",
-                "n_candidates",
-                F.lit(n_true).cast("bigint").alias("n_true_pairs"),
-                "n_caught",
-                F.round(
-                    F.try_divide(
-                        F.col("n_caught").cast("double"), F.lit(float(n_true))
-                    ),
-                    6,
-                ).alias("recall"),
                 *[
                     _catch_prob(j, rows, bands).alias(f"p_catch_{int(j * 100)}")
                     for j in LSH_CURVE_JS
                 ],
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out.orderBy("bands")
+    rung = rungs[0]
+    for r in rungs[1:]:
+        rung = rung.unionAll(r)
+    return (
+        rung.join(mass_all, "bands", "left")
+        .join(counts_all, "bands", "left")
+        .join(caught_all, "bands", "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce(F.col("n_buckets"), F.lit(0)).cast("bigint").alias("n_buckets"),
+            F.coalesce(F.col("candidate_mass"), F.lit(0))
+            .cast("bigint")
+            .alias("candidate_mass"),
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.lit(n_true).cast("bigint").alias("n_true_pairs"),
+            F.coalesce(F.col("n_caught"), F.lit(0)).cast("bigint").alias("n_caught"),
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("n_caught"), F.lit(0)).cast("double"),
+                    F.lit(float(n_true)),
+                ),
+                6,
+            ).alias("recall"),
+            *[f"p_catch_{int(j * 100)}" for j in LSH_CURVE_JS],
+        )
+        .orderBy("bands")
+    )
 
 
 def _catch_prob_sql(j: float, rows: int, bands: int) -> str:
