@@ -1046,7 +1046,14 @@ def _bpe_learn(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        staged = cur.select(pairs_col.alias("pairs")).localCheckpoint()
+        # NOT checkpointed (r13): the argmax is the pairs projection's
+        # only consumer, so materializing it bought nothing — Generate
+        # evaluates the transform once per input row either way (the
+        # winnow re-evaluation trap needs a second reference), and the
+        # checkpoint cost a full pairs write + blocked re-read per
+        # round (5-rep A/B over the 3-round loop: 7.66 -> 5.81 s
+        # median at sf0.1, merge tables bit-identical)
+        staged = cur.select(pairs_col.alias("pairs"))
         top = (
             staged.select(F.explode("pairs").alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -1355,7 +1362,9 @@ def _bpe_learn_bytes(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        staged = cur.select("wc", pairs_col.alias("pairs")).localCheckpoint()
+        # NOT checkpointed (r13) — same A/B as _bpe_learn: single
+        # consumer, the materialization was pure overhead per round
+        staged = cur.select("wc", pairs_col.alias("pairs"))
         top = (
             staged.select("wc", F.explode("pairs").alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -2821,7 +2830,14 @@ def _wp_learn(
         # row-stored, never column-pruned, so carrying toks here would
         # make every aggregate below scan double data (measured: the
         # toks+pairs staging cost 4.2 s per argmax at sf0.1 vs ~2 s
-        # split)
+        # split). The checkpoint itself is LOAD-BEARING here, unlike
+        # the single-consumer _bpe_learn loop (r13): pc_full below is
+        # referenced three times (floor, pc, heads) and ReusedExchange
+        # does NOT dedup the three pair-count subtrees (verified: the
+        # un-checkpointed argmax plan carries 3 Generates, i.e. the
+        # pairs transform re-runs per consumer), so without the
+        # materialization every round pays the corpus pair transform
+        # three times.
         staged = cur.select(pairs_col.alias("pairs")).localCheckpoint()
         pc_full = (
             staged.select(F.explode("pairs").alias("p"))
@@ -3126,6 +3142,11 @@ def _wps_learn(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        # checkpoint LOAD-BEARING (r13, the _wp_learn finding):
+        # pc_full is multi-referenced (floor + pc) and ReusedExchange
+        # does not dedup the pair-count subtrees, so an
+        # un-checkpointed staged frame re-runs the pairs transform
+        # per consumer (3 Generates in the _wp_learn probe plan)
         staged = cur.select("wc", pairs_col.alias("pairs")).localCheckpoint()
         pc_full = (
             staged.select("wc", F.explode("pairs").alias("p"))
@@ -3520,7 +3541,9 @@ def tokenizer_compression_curve(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        staged = cur.select("wc", pairs_col.alias("pairs")).localCheckpoint()
+        # NOT checkpointed (r13) — same A/B as _bpe_learn: single
+        # consumer, the materialization was pure overhead per round
+        staged = cur.select("wc", pairs_col.alias("pairs"))
         top = (
             staged.select("wc", F.explode("pairs").alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
