@@ -49,11 +49,19 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, pre_oriented: bool = False) -> DataFrame:
     """Orient edges (big → small); for each node u: connect every
-    smaller neighbor (and u itself) to min(N_small(u) ∪ {u})."""
+    smaller neighbor (and u itself) to min(N_small(u) ∪ {u}).
+
+    ``pre_oriented``: the input is already distinct with u > v on
+    every row — true for ``_large_star`` output, whose every edge is
+    (v_orig, m) with v_orig > u_orig >= m — so the orient projection,
+    the self-loop filter and the distinct (a full shuffle per round)
+    are no-ops and are skipped."""
     oriented = (
-        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        e
+        if pre_oriented
+        else e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -63,6 +71,42 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
     self_edge = withmin.select("u", F.col("m").alias("v")).distinct()
     return to_min.union(self_edge).distinct()
+
+
+def _is_star_forest(e: DataFrame) -> bool:
+    """Convergence probe: the alternating-star fixpoints are exactly
+    the depth-1 star forests (Kiveris et al. §3) pointing at component
+    minima: every row child-to-smaller-parent (u > v), every node with
+    at most one parent edge (u values unique), and no node both a
+    child and a parent (u and v columns disjoint) — then each parent
+    is smaller than all its children, so it IS the component min. The
+    u > v clause is free on post-round frames (``_small_star`` only
+    emits u > v) but rejects a wrongly-oriented INITIAL edge list that
+    happens to be star-shaped (labels would not be minima). Detecting
+    the star directly ends the loop one round earlier than the r1-r12
+    two-equal-signatures probe, which needed a full (no-op)
+    contraction round plus its probe to confirm the fixpoint. One
+    aggregate job over the tagged node list — same bounded
+    3-numbers-to-the-driver discipline as ``_signature``."""
+    tagged = e.select(
+        F.col("u").alias("node"), F.lit(1).alias("t"), (F.col("u") > F.col("v")).alias("ok")
+    ).unionAll(e.select(F.col("v").alias("node"), F.lit(2).alias("t"), F.lit(True).alias("ok")))
+    row = (
+        tagged.groupBy("node")
+        .agg(
+            F.min("t").alias("mn"),
+            F.max("t").alias("mx"),
+            F.count(F.when(F.col("t") == 1, 1)).alias("deg_u"),
+            F.min("ok").alias("all_ok"),
+        )
+        .agg(
+            F.count(F.when((F.col("mn") == 1) & (F.col("mx") == 2), 1)).alias("both"),
+            F.coalesce(F.max("deg_u"), F.lit(0)).alias("max_deg"),
+            F.coalesce(F.min("all_ok"), F.lit(True)).alias("oriented"),
+        )
+        .first()
+    )
+    return int(row["both"]) == 0 and int(row["max_deg"]) <= 1 and bool(row["oriented"])
 
 
 def _signature(e: DataFrame) -> tuple[int, int]:
@@ -97,32 +141,27 @@ def connected_components(
         # pair-producing plan — possibly a full LSH pipeline — twice
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
     converged = False
-    # max_iter + 1: convergence is detected by two consecutive equal
-    # signatures, so a graph needing exactly max_iter contraction
-    # rounds still gets its (no-op) confirmation round instead of a
+    # max_iter + 1 probe slots: a graph needing exactly max_iter
+    # contraction rounds still gets its final star check instead of a
     # spurious raise
     for _ in range(max_iter + 1):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig = _signature(e)
-        if sig == prev_sig:
+        if _is_star_forest(e):
             converged = True
             break
-        prev_sig = sig
+        e = _small_star(_large_star(e), pre_oriented=True).localCheckpoint(eager=True)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "star contraction is O(log n), so this indicates a pathological "
             "edge stream — refusing to emit a partial labeling"
         )
-    # converged: e is (node → component-min) for every non-root node
+    # converged: e is (node → component-min) for every non-root node.
+    # e is distinct with u > v on every row and roots is distinct with
+    # u == v, so the branches are disjoint and each is duplicate-free —
+    # the r1-r12 union-level distinct was a redundant full shuffle
     roots = e.select(F.col("v").alias("u"), F.col("v")).distinct()
-    return (
-        e.union(roots)
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("v").alias("component"))
-    )
+    return e.union(roots).select(F.col("u").alias("node"), F.col("v").alias("component"))
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -278,3 +278,29 @@ def test_cluster_split_groups_never_straddle(spark, sf_dir):
         .agg(F.countDistinct("split").alias("n_splits"))
     )
     assert per_cluster.where("n_splits > 1").count() == 0
+
+
+def test_star_probe_exactly_characterizes_min_stars(spark):
+    # the r13 convergence probe: True only for depth-1 forests whose
+    # every edge points child -> smaller parent (= component minimum)
+    from mito_spark.operators.graph import _is_star_forest
+
+    def probe(edges):
+        return _is_star_forest(spark.createDataFrame(edges, "u long, v long"))
+
+    assert probe([(2, 1), (3, 1), (9, 7)])          # two min-stars
+    assert not probe([(1, 2), (1, 3)])              # star at a MAX — labels would not be minima
+    assert not probe([(2, 1), (3, 2)])              # chain: 2 is child and parent
+    assert not probe([(3, 1), (3, 2)])              # two parents for one child
+    assert _is_star_forest(
+        spark.createDataFrame([], "u long, v long")
+    )                                               # empty edge set is converged
+
+
+def test_cc_premature_convergence_guard(spark):
+    # a wrongly-oriented star must still contract to min-labels (the
+    # probe's u > v clause; without it this would label component 1 as 2)
+    got = _labels(spark, [(1, 2)])
+    assert got == {1: 1, 2: 1}
+    got = _labels(spark, [(1, 2), (1, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
