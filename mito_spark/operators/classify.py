@@ -85,18 +85,27 @@ def _chars(p: Column) -> Column:
 
 def _char_trigrams(chars: Column) -> Column:
     """All char trigrams from a STAGED char-array column (positions,
-    not distinct — NB wants occurrence counts). Array slices are O(3)
-    per gram; the rejected ``p.substr(i, 3)`` form pays a code-point
-    scan from the string start per position — O(prefix²) per doc,
-    measured 2.1× slower at sf0.1. Guarded so len<3 yields an empty
+    not distinct — NB wants occurrence counts). Per gram: three O(1)
+    ``element_at`` lookups + one concat — the r1-r12
+    ``concat_ws("", slice(chars, i, 3))`` form allocated a 3-element
+    array per position inside the interpreted lambda and measured
+    4.3× slower on the 10× corpus (3.39 → 0.79 s model-build leg,
+    r13); the earlier-rejected ``p.substr(i, 3)`` form pays a
+    code-point scan from the string start per position — O(prefix²)
+    per doc, 2.1× slower still. Guarded so len<3 yields an empty
     array (a bare sequence(1, len-2) would generate a DESCENDING
     range). The caller must stage ``chars`` as a real column; the
-    double reference here (size + slice) keeps CollapseProject from
-    inlining the extraction into the lambda."""
+    double reference here (size + element_at) keeps CollapseProject
+    from inlining the extraction into the lambda."""
     idx = F.when(
         F.size(chars) >= 3, F.sequence(F.lit(1), F.size(chars) - 2)
     ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws("", F.slice(chars, i, 3)))
+    return F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(chars, i), F.element_at(chars, i + 1), F.element_at(chars, i + 2)
+        ),
+    )
 
 
 def _langid_model(spark: SparkSession, sf_dir: str):
