@@ -50,9 +50,13 @@ CONTAM_NUM, CONTAM_DEN = 4, 5
 def _shingle_hashes(toks: Column, n: int) -> Column:
     """Distinct md5 hashes of every n-token shingle — md5 is a Catalyst
     built-in, so shingling is JVM-side and engine-portable."""
+    # n O(1) element_at lookups per gram instead of an n-element slice
+    # allocation inside the interpreted lambda (r13; measured 2.3× on
+    # the dedup shingle twin of this pattern) — safe bare because the
+    # outer guard admits only full windows
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda s: F.md5(F.array_join(F.slice(toks, s, n), " ")),
+        lambda s: F.md5(F.concat_ws(" ", *[F.element_at(toks, s + j) for j in range(n)])),
     )
     # Guard BEFORE the sequence: for short docs sequence(1, k<1) counts
     # DOWN through 0 and slice(_, 0, _) throws — the row-level filter
@@ -178,7 +182,7 @@ def _ngrams(toks: Column, n: int) -> Column:
     produce a DESCENDING sequence, not an empty one."""
     joined = F.transform(
         F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda s: F.array_join(F.slice(toks, s, n), " "),
+        lambda s: F.concat_ws(" ", *[F.element_at(toks, s + j) for j in range(n)]),
     )
     return F.when(F.size(toks) >= n, joined).otherwise(
         F.array().cast("array<string>")

@@ -1014,8 +1014,12 @@ def ngram_entropy_report(
 
     def slicer(width: int):
         # closure factory: the HOF lambda must take exactly ONE
-        # parameter — a second (even defaulted) binds the array index
-        return lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(width)))
+        # parameter — a second (even defaulted) binds the array index.
+        # element_at unroll (r13): the gram_col guard admits only full
+        # windows, so no slice allocation per position is needed
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j) for j in range(width)]
+        )
 
     def gram_col(n: int):
         return F.when(

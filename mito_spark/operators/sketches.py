@@ -586,9 +586,20 @@ def cms_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(_tokens(F.lower(F.col("text"))).alias("toks"))
     idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - (CMS_GRAM - 1), F.lit(1)))
+    # element_at unroll (r13): full windows take CMS_GRAM O(1) lookups;
+    # the greatest(…,1) partial tail on short docs keeps the exact
+    # slice-join gram behind the when
     grams = toks.select(
         F.explode(
-            F.transform(idx, lambda i: F.array_join(F.slice("toks", i, CMS_GRAM), " "))
+            F.transform(
+                idx,
+                lambda i: F.when(
+                    F.size("toks") >= i + (CMS_GRAM - 1),
+                    F.concat_ws(
+                        " ", *[F.element_at("toks", i + j) for j in range(CMS_GRAM)]
+                    ),
+                ).otherwise(F.array_join(F.slice("toks", i, CMS_GRAM), " ")),
+            )
         ).alias("g")
     ).localCheckpoint()  # one gram pass feeds sketch + count + eval
     n_tokens = grams.count()
@@ -827,13 +838,18 @@ def hll_calibration_report(
             "source",
             "toks",
             F.transform(
-                bi_idx, lambda i: F.array_join(F.slice("toks", i, 2), " ")
+                bi_idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
             ).alias("bis"),
             F.transform(
                 F.when(
                     F.size("toks") >= 5, F.sequence(F.lit(1), F.size("toks") - 4)
                 ).otherwise(F.array().cast("array<int>")),
-                lambda i: F.array_join(F.slice("toks", i, 5), " "),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + j) for j in range(5)]
+                ),
             ).alias("g5s"),
         )
         .localCheckpoint()

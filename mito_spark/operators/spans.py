@@ -53,7 +53,12 @@ def _window_hashes(docs: DataFrame, w: int, keep_toks: bool) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - w + 1),
                 lambda i: F.md5(
-                    F.encode(F.array_join(F.slice(F.col("toks"), i, w), " "), "UTF-8")
+                    F.encode(
+                        F.concat_ws(
+                            " ", *[F.element_at(F.col("toks"), i + j) for j in range(w)]
+                        ),
+                        "UTF-8",
+                    )
                 ),
             ),
         )
@@ -280,7 +285,9 @@ def boilerplate_ngrams(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - n + 1),
-                lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+                ),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))

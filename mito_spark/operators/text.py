@@ -424,12 +424,29 @@ def _winnow_fps(docs: DataFrame, k: int, w: int) -> DataFrame:
     staged = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("toks"))
     toks = F.col("toks")
     n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    # element_at unroll (r13): full k-windows take k O(1) lookups; the
+    # greatest(…,1) partial tail on short docs keeps the exact
+    # slice-join gram behind the when. Same split for the w-window
+    # minima below (least over w lookups vs array_min of a slice).
     grams = staged.select(
         "doc_id",
         F.transform(
             F.sequence(F.lit(1), n_grams),
             lambda i: F.conv(
-                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15), 16, 10
+                F.substring(
+                    F.md5(
+                        F.when(
+                            F.size(toks) >= i + (k - 1),
+                            F.concat_ws(
+                                " ", *[F.element_at(toks, i + j) for j in range(k)]
+                            ),
+                        ).otherwise(F.concat_ws(" ", F.slice(toks, i, k)))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
             ).cast("bigint"),
         ).alias("g"),
     )
@@ -439,7 +456,13 @@ def _winnow_fps(docs: DataFrame, k: int, w: int) -> DataFrame:
         "doc_id",
         F.size(g).alias("n_grams"),
         F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n_windows), lambda j: F.array_min(F.slice(g, j, w)))
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.when(
+                    F.size(g) >= j + (w - 1),
+                    F.least(*[F.element_at(g, j + i) for i in range(w)]),
+                ).otherwise(F.array_min(F.slice(g, j, w))),
+            )
         ).alias("f"),
     )
 
