@@ -522,10 +522,36 @@ def _kmeans_centroids(train: DataFrame, n_cells: int, iters: int = 3) -> list[li
     centroids = [list(r.v) for r in seeds][:n_cells]
     dim = len(centroids[0])
 
-    def dim_sum(i: int):
-        # closure factory: a 2-arg lambda per dimension (a default-arg
-        # third param would make Spark see a 3-arg HOF lambda)
-        return lambda acc, x: acc + x.getField("v")[i]
+    # Ordered per-cell sums (r13): for wide vectors, ONE fold with an
+    # array<double> accumulator — the r9-r12 form ran a separate
+    # F.aggregate PER DIMENSION, i.e. 64 interpreted folds over the
+    # same sorted member list per cell per iteration. acc[i]
+    # accumulates in the identical vec_id order the per-dim folds
+    # used (zip_with preserves element order and the fold sequence is
+    # unchanged), so every per-dim sum is IEEE-bit-identical — the
+    # oracle's centroid arithmetic still matches bit-for-bit. For
+    # NARROW vectors (the dim-8 PQ sub-trainings) the zip_with
+    # allocation per element costs more than the passes it saves
+    # (measured 2.05 → 2.22 s on ann_ivfadc at 10×), so small dims
+    # keep the per-dim folds.
+    if dim >= 16:
+        zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+        sums = F.aggregate(
+            F.col("l"),
+            zeros,
+            lambda acc, x: F.zip_with(acc, x.getField("v"), lambda a, b: a + b),
+        )
+    else:
+
+        def dim_sum(i: int):
+            # closure factory: a 2-arg lambda per dimension (a
+            # default-arg third param would make Spark see a 3-arg
+            # HOF lambda)
+            return lambda acc, x: acc + x.getField("v")[i]
+
+        sums = F.array(
+            *[F.aggregate(F.col("l"), F.lit(0.0), dim_sum(i)) for i in range(dim)]
+        )
 
     for _ in range(iters):
         cell = _nearest_cell_expr(centroids)
@@ -536,12 +562,7 @@ def _kmeans_centroids(train: DataFrame, n_cells: int, iters: int = 3) -> list[li
             .select(
                 "cell",
                 F.size("l").alias("n"),
-                F.array(
-                    *[
-                        F.aggregate(F.col("l"), F.lit(0.0), dim_sum(i))
-                        for i in range(dim)
-                    ]
-                ).alias("s"),
+                sums.alias("s"),
             )
             .collect()
         )
@@ -2244,53 +2265,90 @@ def ann_nprobe_curve_report(
     cell_pairs = F.array(
         *[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)]
     )
+    # r13 fold (the lsh_curve / dim_ablation pattern, guide §2.4): the
+    # rungs are NESTED PREFIXES of one per-query cell ranking, so the
+    # r9-r12 per-rung loop (one probe join + cosine pass + top-k +
+    # truth intersect PER nprobe — Σ nprobe/n_cells corpus-fraction
+    # cosine passes) collapses into ONE scored pass at the max rung:
+    # each candidate carries its cell's probe rank, explodes into the
+    # rungs that reach it (rung > pos — slim int rows AFTER the cosine
+    # is computed once), and one composite-key top-k ranks every rung.
+    # Ordering source (array_sort over (dist, cell-index) structs),
+    # cosine values, per-rung candidate sets and the (desc cos, asc id)
+    # total order are byte-identical to the per-rung loop.
+    max_probe = min(max(nprobes), n_cells)
+    probe_cells = F.transform(
+        F.slice(F.array_sort(cell_pairs), 1, max_probe),
+        lambda p: p.getField("i"),
+    )
+    qex = (
+        tagged.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+        .select("query_id", "q", F.posexplode(probe_cells).alias("pos", "cell"))
+    )
+    scored = (
+        tagged.join(F.broadcast(qex), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "pos",
+            _cosine(F.col("q"), F.col("v")).alias("cos"),
+        )
+        .where(F.col("cos").isNotNull())
+    )
+    rung_arr = F.array(*[F.lit(np).cast("bigint") for np in nprobes])
+    exploded = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cos",
+        F.explode(F.filter(rung_arr, lambda r: r > F.col("pos"))).alias("nprobe"),
+    )
+    tk = per_key_topk(
+        exploded, ["nprobe", "query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select("nprobe", "query_id", "neighbor_id")
+    caught = (
+        tk.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_caught"))
+    )
+    # per-rung 1-row literal frames (the lsh_curve rung-frame pattern):
+    # probe_frac/recall keep the exact per-rung literal IEEE
+    # expressions of the old loop; a rung no candidate reaches
+    # coalesces to the same zero its empty aggregate produced
     outs = []
     for nprobe in nprobes:
-        probe_cells = F.transform(
-            F.slice(F.array_sort(cell_pairs), 1, min(nprobe, n_cells)),
-            lambda p: p.getField("i"),
-        )
-        queries = (
-            tagged.where(F.col("vec_id") < n_queries)
-            .select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
-            .withColumn("cell", F.explode(probe_cells))
-        )
-        joined = (
-            tagged.join(F.broadcast(queries), "cell")
-            .where(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                _cosine(F.col("q"), F.col("v")).alias("cos"),
-            )
-            .where(F.col("cos").isNotNull())
-        )
-        tk = per_key_topk(
-            joined, "query_id", [F.desc("cos"), F.asc("neighbor_id")], k
-        ).select("query_id", "neighbor_id")
-        caught = tk.join(truth, ["query_id", "neighbor_id"]).agg(
-            F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias("n_caught")
-        )
         outs.append(
-            caught.select(
+            spark.range(1).select(
                 F.lit(nprobe).cast("bigint").alias("nprobe"),
                 F.round(
                     F.lit(float(min(nprobe, n_cells))) / F.lit(float(n_cells)), 6
                 ).alias("probe_frac"),
                 F.lit(n_truth).cast("bigint").alias("n_truth"),
-                F.col("n_caught"),
-                F.round(
-                    F.try_divide(
-                        F.col("n_caught").cast("double"), F.lit(float(n_truth))
-                    ),
-                    6,
-                ).alias("recall"),
             )
         )
-    out = outs[0]
+    rungs = outs[0]
     for o in outs[1:]:
-        out = out.unionAll(o)
-    return out.orderBy("nprobe")
+        rungs = rungs.unionAll(o)
+    return (
+        rungs.join(caught, "nprobe", "left")
+        .select(
+            "nprobe",
+            "probe_frac",
+            "n_truth",
+            F.coalesce(F.col("n_caught"), F.lit(0).cast("bigint")).alias("n_caught"),
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("n_caught"), F.lit(0).cast("bigint")).cast(
+                        "double"
+                    ),
+                    F.lit(float(n_truth)),
+                ),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )
 
 
 def _nprobe_curve_sql(
