@@ -57,15 +57,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver gates the FIRST 50 entries.
     # ROTATION (r13, per VERDICT r12 next#9): precedence inside the
     # window is TOUCHED code > OLDEST evidence. The r13 window = the
-    # 13 phase-1 optimization rewrites, the 35 queries whose code the
-    # r13 session-2 optimizations touched (directly or through the
-    # shared shingle/trigram/CC/trainer helpers; every one oracle
-    # re-proven in-session at sf0.01 AND sf0.001), and the two
+    # 13 phase-1 optimization rewrites, the queries whose code the
+    # r13 session-2/3 optimizations touched (directly or through the
+    # shared shingle/trigram/CC/trainer/k-means helpers; every one
+    # oracle re-proven in-session at sf0.01 AND sf0.001 — session 3's
+    # six k-means-family entries displace six session-2 entries whose
+    # helper changes are gated by in-window siblings), and the two
     # oldest-evidence anchors (sessionize, dedup_exact — last
-    # driver-green r6/r7). The 24 untouched cohort entries the
-    # session-2 set displaced lead the out-of-window tail; all are
-    # green in the regenerated full-registry sweep
-    # (CORRECTNESS_LOCAL_r13.json).
+    # driver-green r6/r7). The displaced cohort entries lead the
+    # out-of-window tail; all are green in the regenerated
+    # full-registry sweep (CORRECTNESS_LOCAL_r13.json).
     #
     # r12-era window rationale (kept for the audit trail): the r12
     # window held (a) the 18 r12-NEW operators — the thirteen session-2
@@ -173,9 +174,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_weighted_jaccard": dedup.dedup_weighted_jaccard,
         "dedup_containment": dedup.dedup_containment,
         "incremental_dedup": dedup.incremental_dedup,
-        "minhash_estimate_report": dedup.minhash_estimate_report,
-        "dedup_pair_explain": dedup.dedup_pair_explain,
-        "dedup_attribution_report": dedup.dedup_attribution_report,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         "bbit_minhash_report": dedup.bbit_minhash_report,
@@ -183,7 +181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_check": dedup.split_leakage_check,
         "decontaminate": decontam.decontaminate,
         "repetition_quality": decontam.repetition_quality,
-        "term_burstiness_report": quality.term_burstiness_report,
         "cms_calibration_report": sketches.cms_calibration_report,
         "exact_substring_spans": spans.exact_substring_spans,
         "span_rewrite": spans.span_rewrite,
@@ -192,14 +189,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": text.winnow_dup_pairs,
         "bpe_learn_merges": text.bpe_learn_merges,
         "bpe_learn_merges_bytes": text.bpe_learn_merges_bytes,
-        "bpe_encode": text.bpe_encode,
-        "tokenizer_compression_curve": text.tokenizer_compression_curve,
+    # r13-touched session 3 (nprobe-curve rung fold + k-means
+    # array-accumulator cell sums; oracle re-proven in-session at
+    # both gate SFs):
+        "ann_nprobe_curve": similarity.ann_nprobe_curve_report,
+        "embedding_cluster_profile": similarity.embedding_cluster_profile,
+        "ann_cosine_topk_ivf": similarity.cosine_topk_ivf,
+        "ann_ivfadc": ann_index.ann_query_ivfadc,
+        "ann_pq_topk": pq.ann_pq_topk,
+        "ivf_balance_report": similarity.ivf_balance_report,
     # oldest-evidence anchors (last driver-green r6/r7; fill to 50):
         "sessionize": events.sessionize,
         "dedup_exact": dedup.exact_dedup,
     # ---- out of window (evidence per CORRECTNESS_r9..r12; relative order kept) ----
     # displaced untouched cohort (was in the 7b22cfa window; driver
-    # evidence r9-r12, all green in the regenerated full sweep):
+    # evidence r9-r12, all green in the regenerated full sweep),
+    # plus six session-2-touched entries displaced by the session-3
+    # set (their code changes are gated by in-window siblings of the
+    # same helpers; all green in the sweep):
+        "bpe_encode": text.bpe_encode,
+        "tokenizer_compression_curve": text.tokenizer_compression_curve,
+        "term_burstiness_report": quality.term_burstiness_report,
+        "dedup_pair_explain": dedup.dedup_pair_explain,
+        "dedup_attribution_report": dedup.dedup_attribution_report,
+        "minhash_estimate_report": dedup.minhash_estimate_report,
         "dataset_split": sampling.dataset_split,
         "token_pack_bins": sampling.token_pack_bins,
         "strings_showcase": scalar_showcase.strings_showcase,
@@ -232,7 +245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_report": similarity.ann_rbo_report,
         "graph_assortativity": graph.graph_assortativity,
         "kmv_overlap_report": sketches.kmv_overlap_report,
-        "ivf_balance_report": similarity.ivf_balance_report,
         "whitening_isotropy_report": similarity.whitening_isotropy_report,
         "events_seasonality_report": events.events_seasonality_report,
         "textrank_keywords": text.textrank_keywords,
@@ -277,10 +289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outlier_report": similarity.embedding_outlier_report,
         "simhash_estimate_report": dedup.simhash_estimate_report,
         "global_percentiles_exact": sketches.global_percentiles_exact,
-        "ann_ivfadc": ann_index.ann_query_ivfadc,
         "ann_persisted_topk": ann_index.ann_query_persisted,
         "ann_persisted_sq8": ann_index.ann_query_persisted_sq8,
-        "ann_cosine_topk_ivf": similarity.cosine_topk_ivf,
         "q16_supplier_part_variety": relational2.q16_supplier_part_variety,
         "q19_disjunctive_pred": relational2.q19_disjunctive_pred,
         "q20_heavy_shippers": relational2.q20_heavy_shippers,
@@ -301,7 +311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "top_orders_per_customer": relational.top_orders_per_customer,
         "semdedup": similarity.semdedup,
-        "embedding_cluster_profile": similarity.embedding_cluster_profile,
         "corpus_shuffle": sampling.corpus_shuffle,
         "dedup_simhash": dedup.simhash_dedup,
         "bootstrap_ci_report": sampling.bootstrap_ci_report,
@@ -318,7 +327,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency_report": sampling.packing_efficiency_report,
         "dedup_normalization_report": dedup.dedup_normalization_report,
         "source_token_drift": quality.source_token_drift,
-        "ann_nprobe_curve": similarity.ann_nprobe_curve_report,
         "collocation_pmi_report": text.collocation_pmi_report,
         "jl_projection_report": similarity.jl_projection_report,
         "dedup_paragraphs": dedup.dedup_paragraphs,
@@ -352,7 +360,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_attribution_report": quality.filter_attribution_report,
         "cluster_silhouette": similarity.cluster_silhouette,
         "source_overlap_matrix": dedup.source_overlap_matrix,
-        "ann_pq_topk": pq.ann_pq_topk,
         "events_user_ewma": events.events_user_ewma,
         "graph_clustering": graph.graph_clustering,
         "ann_cosine_topk": similarity.cosine_topk_bruteforce,
